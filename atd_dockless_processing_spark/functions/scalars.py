@@ -1,0 +1,309 @@
+"""Scalar function operators — SURVEY.md §2.8.
+
+String / date / math / array / JSON / cast surface. These generalize
+the reference's per-row Python transforms ([P]: epoch-ms conversion,
+calendar derivation, name normalization — SURVEY §3.1 step 2) as
+JVM-side Catalyst expressions: whole-stage-codegen'd, no Python
+boundary crossing in the hot path.
+
+Cross-engine convention notes (SURVEY §7 hard-part #2) are inline:
+Spark dayofweek() is 1=Sunday, DuckDB dow is 0=Sunday.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "fn_string_core",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name) AS name_lower,
+           UPPER(p_brand) AS brand_upper,
+           TRIM(CONCAT('  ', p_name, '  ')) AS name_trim,
+           SUBSTRING(p_name, 1, 5) AS name_pre5,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           REPLACE(p_name, ' ', '_') AS name_snake
+    FROM part
+    """,
+)
+def fn_string_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string functions over part names (name normalization,
+    [P med])."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
+        F.substring("p_name", 1, 5).alias("name_pre5"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@query(
+    "fn_regexp_extract",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS INTEGER) AS brand_num
+    FROM part
+    """,
+)
+def fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric suffix extraction: 'Brand#12' -> 12 (id parsing,
+    [P med])."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_brand", r"([0-9]+)$", 1).cast("int").alias("brand_num"),
+    )
+
+
+@query(
+    "fn_split_tokens",
+    oracle="""
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def fn_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization -> token count per doc (ext: token
+    counting for text pipelines)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+
+@query(
+    "fn_date_derive",
+    oracle="""
+    SELECT event_id,
+           CAST(EXTRACT(year  FROM ts) AS INTEGER) AS ev_year,
+           CAST(EXTRACT(month FROM ts) AS INTEGER) AS ev_month,
+           CAST(EXTRACT(hour  FROM ts) AS INTEGER) AS ev_hour,
+           CAST(EXTRACT(dow   FROM ts) AS INTEGER) AS ev_dow
+    FROM events
+    """,
+)
+def fn_date_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference's signature derivation ([P high]: the published
+    Austin trips schema carries year/month/hour/day_of_week): calendar
+    fields from the event timestamp. Convention aligned: Spark
+    dayofweek() is 1=Sun..7=Sat; DuckDB dow is 0=Sun..6=Sat, so we
+    emit dayofweek-1."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.year("ts").alias("ev_year"),
+        F.month("ts").alias("ev_month"),
+        F.hour("ts").alias("ev_hour"),
+        (F.dayofweek("ts") - 1).alias("ev_dow"),
+    )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    """,
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc / datediff / date_add arithmetic (SLA/latency
+    calcs, [P med])."""
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.datediff(F.lit("2002-01-01").cast("date"), od).alias("days_to_2002"),
+        F.date_add(od, 30).alias("due_date"),
+    )
+
+
+@query(
+    "fn_epoch_ts",
+    oracle="""
+    SELECT o_orderkey,
+           epoch_ms(o_orderdate) AS epoch_millis,
+           CAST(make_timestamp(epoch_ms(o_orderdate) * 1000) AS DATE) AS rt_date
+    FROM orders
+    """,
+)
+def fn_epoch_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-ms <-> timestamp round trip (the reference's MDS epoch-ms
+    start_time/end_time conversion, [P high])."""
+    o = load(spark, sf_dir, "orders")
+    # o_orderdate reads as TIMESTAMP_NTZ; unix_millis needs LTZ — under
+    # the UTC-pinned session the cast is value-identity.
+    epoch = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    return o.select(
+        "o_orderkey",
+        epoch.alias("epoch_millis"),
+        F.timestamp_millis(epoch).cast("date").alias("rt_date"),
+    )
+
+
+@query(
+    "fn_math_core",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kfloor,
+           ROUND(LN(l_extendedprice + 1), 4) AS price_ln,
+           ROUND(POW(l_quantity, 2), 4) AS qty_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM lineitem
+    """,
+)
+def fn_math_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/ln/pow/mod on prices (core)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kfloor"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+           list_contains(toks, 'data') AS has_data,
+           list_sort(list_distinct(toks[1:5])) AS first5_sorted
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    """,
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops on token arrays: size/distinct/contains/slice+sort
+    (route-array handling analogue, [P med])."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+        F.array_contains("toks", "data").alias("has_data"),
+        F.sort_array(F.array_distinct(F.slice("toks", 1, 5))).alias("first5_sorted"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode tokens to rows -> global top-20 token frequency
+    (route-point unnesting analogue, [P med])."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object path extraction + typed cast + agg (the
+    reference's JSON payload field access, [P high])."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "fn_from_json_struct",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    GROUP BY event_type
+    """,
+)
+def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed from_json into a struct, then field access ([P med]:
+    typed JSON parsing of provider payloads)."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.where(F.col("p.k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("p.k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "fn_cast_coercion",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+           CAST('42' AS INTEGER) + l_linenumber AS mixed_int,
+           ROUND(CAST('3.25' AS DOUBLE) * l_quantity, 4) AS mixed_dbl
+    FROM lineitem
+    """,
+)
+def fn_cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix str<->int<->double<->date (loose->typed schema
+    conversion, [P high]). l_quantity is integral-valued, so
+    double->int rounding-vs-truncation differences cannot bite."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+        (F.lit("42").cast("int") + F.col("l_linenumber")).alias("mixed_int"),
+        F.round(F.lit("3.25").cast("double") * F.col("l_quantity"), 4).alias("mixed_dbl"),
+    )

@@ -1,0 +1,347 @@
+"""Join operators — SURVEY.md §2.3.
+
+Scale strategy (100 TB): fact⋈fact joins (orders⋈lineitem) shuffle on
+the join key — co-partitioned and AQE-coalesced; every dimension join
+(region/nation/supplier, inline band/zone dims) is an explicit
+``F.broadcast`` so no shuffle of the fact side ever happens for them.
+This mirrors the reference's small lookup tables (council districts,
+providers — [P high], SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer + aggregate (core)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈broadcast-dim⋈broadcast-dim: lineitem⋈supplier⋈nation.
+    Both dims broadcast — zero shuffle of the fact table before the
+    final aggregation ([P high]: district/provider lookups)."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 4) AS sum_price
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join customer⟕orders: per-customer order count with
+    null-preserving count semantics (core)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n_a FROM orders
+               WHERE o_orderdate <  TIMESTAMP '1998-01-01' GROUP BY 1),
+         b AS (SELECT o_custkey AS k, COUNT(*) AS n_b FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1)
+    SELECT COALESCE(a.k, b.k) AS custkey,
+           CAST(COALESCE(n_a, 0) AS BIGINT) AS n_early,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_late
+    FROM a FULL JOIN b ON a.k = b.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two disjoint period aggregates (core)."""
+    orders = load(spark, sf_dir, "orders")
+    early = (
+        orders.where(F.col("o_orderdate") < "1998-01-01")
+        .groupBy(F.col("o_custkey").alias("k_a"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    late = (
+        orders.where(F.col("o_orderdate") >= "1998-01-01")
+        .groupBy(F.col("o_custkey").alias("k_b"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return early.join(late, early.k_a == late.k_b, "full").select(
+        F.coalesce("k_a", "k_b").alias("custkey"),
+        F.coalesce("n_a", F.lit(0)).alias("n_early"),
+        F.coalesce("n_b", F.lit(0)).alias("n_late"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with >=1 urgent order (EXISTS)."""
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with zero orders (orphan detection,
+    [P med])."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+_BANDS = [
+    ("neg", -10000.0, 0.0),
+    ("low", 0.0, 100.0),
+    ("mid", 100.0, 1000.0),
+    ("high", 1000.0, 100000.0),
+]
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('neg', -10000.0, 0.0), ('low', 0.0, 100.0),
+             ('mid', 100.0, 1000.0), ('high', 1000.0, 100000.0)
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: events against an inline value-band dim.
+    Generalizes point-in-interval assignment ([P high]). The band dim
+    is broadcast -> broadcast-nested-loop with no fact shuffle."""
+    ev = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_custkey % 15 AS BIGINT) AS join_uid,
+           e.event_id AS last_event_id
+    FROM orders o
+    ASOF LEFT JOIN (
+        SELECT user_id, event_id,
+               TIMESTAMP '1994-01-01'
+                 + ((event_id % 2000) * INTERVAL 1 DAY)
+                 + (event_id * INTERVAL 1 MILLISECOND) AS ets
+        FROM events
+    ) e
+    ON (o.o_custkey % 15) = e.user_id AND e.ets <= o.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the latest event with synthetic
+    event-time ets <= o_orderdate, matched on a mod-15 user key.
+    (events.ts lives in 2024, outside the 1995-2001 order range, so a
+    deterministic unique ets is derived from event_id.) Implemented as
+    equi-join + window top-1; the oracle uses DuckDB's native ASOF
+    LEFT JOIN, which verifies the semantics exactly since ets is
+    unique per user. Late-arriving enrichment ([P low]).
+
+    100 TB note: the generic scalable form is the union-tag + ordered
+    window trick (no row explosion); here order×user cardinality is
+    bounded (15 users), so join+row_number with AQE is fine.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", (F.col("o_custkey") % 15).alias("join_uid")
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestamp'1994-01-01' + make_interval(0, 0, 0, CAST(event_id % 2000 AS INT), 0, 0, event_id / 1000.0)"
+        ).alias("ets"),
+    )
+    joined = orders.join(
+        ev, (orders.join_uid == ev.user_id) & (ev.ets <= orders.o_orderdate), "left"
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ets").desc_nulls_last(), F.col("event_id").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", "join_uid", F.col("event_id").alias("last_event_id"))
+    )
+
+
+@query(
+    "join_multiway_5",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_multiway_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape 6-table join + group agg (core). Fact⋈fact joins
+    shuffle on keys; supplier/nation/region broadcast."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_cross_small",
+    oracle="""
+    WITH grid AS (
+      SELECT r_name, s FROM region CROSS JOIN (SELECT UNNEST(['F','O','P']) AS s)
+    ), counts AS (
+      SELECT r_name, o_orderstatus AS s, COUNT(*) AS n
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT g.r_name, g.s AS o_orderstatus, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+    FROM grid g LEFT JOIN counts c ON g.r_name = c.r_name AND g.s = c.s
+    """,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-join scaffold (all region×status cells) + left join of
+    actual counts, zero-filled (report grids, [P med])."""
+    region = load(spark, sf_dir, "region")
+    statuses = spark.createDataFrame([("F",), ("O",), ("P",)], "s string")
+    grid = region.select("r_name").crossJoin(statuses)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    counts = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("cr_name"), F.col("o_orderstatus").alias("cs"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grid.join(
+        counts, (grid.r_name == counts.cr_name) & (grid.s == counts.cs), "left"
+    ).select(
+        "r_name",
+        F.col("s").alias("o_orderstatus"),
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+    )

@@ -1,0 +1,454 @@
+"""LLM-data-pipeline operators — SURVEY.md §2.11 (north-star
+extensions: dedup, similarity search, text analysis, vector columns).
+
+Scale design notes (the point of these at 100 TB):
+- exact dedup: hash-groupBy / window-keep-first — one shuffle on the
+  dedup key (here the text hash), map-side combinable.
+- near-dup (MinHash-LSH): shingle -> K minhashes via xxhash64 with
+  fixed seeds -> band signatures -> self-join on (band, signature)
+  buckets -> exact-Jaccard verify on candidates only. The self-join
+  is on bucket keys, so cost is sum of bucket sizes squared, not
+  O(n^2) over the corpus. Deterministic: no random seeds anywhere.
+- ANN/cosine: brute-force top-k against a broadcast query vector
+  (baseline); kNN-join prunes via LSH/IVF in a real deployment — the
+  candidate-pair pattern is identical to MinHash banding.
+- vectors are plain array<float> columns next to relational columns —
+  "multimodal" columns ride the same DataFrame machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1
+    GROUP BY lang
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate text removal (keep min doc_id), survivors per
+    lang. Generalizes the reference's dedup-by-trip-id ([P high]).
+    At 100 TB: group on xxhash64(text) first, compare full text only
+    within colliding hashes."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "llm_token_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc count / avg token count / avg chars (ext:
+    text-quality scoring input)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "llm_term_topk",
+    oracle="""
+    WITH tf AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS term
+      FROM documents
+    ), counted AS (
+      SELECT lang, term, COUNT(*) AS freq
+      FROM tf GROUP BY lang, term
+    ), ranked AS (
+      SELECT lang, term, freq,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rn
+      FROM counted
+    )
+    SELECT lang, term, CAST(freq AS BIGINT) AS freq, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def llm_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language (explode -> count -> window rank,
+    ties broken by term; ext)."""
+    d = load(spark, sf_dir, "documents")
+    counted = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "term")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "term", "freq", "rn")
+    )
+
+
+@query(
+    "llm_text_classify",
+    oracle="""
+    SELECT CASE WHEN contains(text, 'join') OR contains(text, 'merge') THEN 'relational'
+                WHEN contains(text, 'stream') OR contains(text, 'window') THEN 'streaming'
+                WHEN contains(text, 'scan') THEN 'storage'
+                ELSE 'other' END AS doc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def llm_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-rule text classifier (CASE over contains) -> class
+    counts (ext: text analysis; the deterministic stand-in for a
+    model-based classifier UDF)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    cls = (
+        F.when(t.contains("join") | t.contains("merge"), "relational")
+        .when(t.contains("stream") | t.contains("window"), "streaming")
+        .when(t.contains("scan"), "storage")
+        .otherwise("other")
+    )
+    return d.groupBy(cls.alias("doc_class")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@query(
+    "llm_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT vec_id, label,
+             ROUND(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+               / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      FROM embeddings, q
+      WHERE vec_id <> 0
+    )
+    SELECT vec_id, label, cos_sim
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against query vector vec_id=0
+    (similarity-search baseline, ext). The dot product stays JVM-side
+    via zip_with/aggregate higher-order functions — no Python UDF.
+    At 100 TB the same scoring runs after an LSH/IVF candidate prune."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+@query(
+    "llm_knn_join",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id % 25 = 0 AND vec_id < 500
+    ), pairs AS (
+      SELECT query_id, v.vec_id AS neighbor_id,
+             ROUND(list_dot_product(ve, qv)
+                   / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      FROM v JOIN q ON v.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join: for 20 fixed query vectors (vec_id % 25 == 0, < 500),
+    top-3 cosine neighbors (ext). Query side broadcast; candidate
+    scoring is a broadcast nested-loop, ranked per query. At 100 TB
+    the candidate set comes from LSH bucketing instead of the full
+    corpus — the rank/verify tail is identical."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("ve")
+    )
+    q = (
+        emb.where((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500))
+        .select(F.col("vec_id").alias("query_id"), F.col("ve").alias("qv"))
+    )
+    pairs = emb.join(F.broadcast(q), emb.vec_id != q.query_id).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("ve"), F.col("qv")) / (_norm(F.col("ve")) * _norm(F.col("qv"))), 4
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@query(
+    "llm_centroid_per_label",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_val
+    FROM embeddings, range(1, 9) t(i)
+    GROUP BY label, i
+    """,
+)
+def llm_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (elementwise mean) of the first 8 dims via
+    posexplode + two-key agg (ext: multimodal column reduction).
+    DuckDB ordinality is 1-based vs posexplode 0-based -> pos-1
+    (SURVEY §7 hard-part #2)."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "val")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
+    )
+
+
+@query(
+    "llm_vector_norm_filter",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(nrm), 4) AS avg_norm
+    FROM (
+      SELECT label,
+             sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ) t
+    WHERE nrm >= 3.5 AND nrm < 6.0
+    GROUP BY label
+    """,
+)
+def llm_vector_norm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm per vector, band filter, count per label (ext:
+    embedding hygiene filtering)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label", _norm(_as_double("embedding")).alias("nrm")
+    )
+    return (
+        emb.where((F.col("nrm") >= 3.5) & (F.col("nrm") < 6.0))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy LLM ops (SURVEY §7 M5)
+# ---------------------------------------------------------------------------
+
+_JACCARD_T = 0.8
+_MINHASH_K = 16  # 8 bands x 2 rows
+_BANDS = 8
+_ROWS_PER_BAND = 2
+
+
+def _token_set(col):
+    return F.array_distinct(F.split(col, " "))
+
+
+@query(
+    "llm_dedup_near_minhash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    """,
+)
+def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH over distinct tokens,
+    verified by exact Jaccard >= 0.8 (ext; the flagship scale
+    operator). Pipeline: distinct tokens -> K=16 deterministic
+    minhashes (xxhash64 with per-hash salt column, no randomness) ->
+    8 bands x 2 rows -> self-join on (band, signature) buckets ->
+    exact-Jaccard verification on candidates only.
+
+    The oracle is the O(n^2) exact-Jaccard join (fine at 500 docs).
+    Hash-equivalence holds when banding recall is 1.0 for pairs above
+    the threshold on this deterministic corpus: with J >= 0.8 and 8
+    bands of 2 rows, P(miss) = (1 - J^2)^8 <= (1-0.64)^8 ~ 2.8e-4
+    per pair — verified empirically equal at sf0.01/sf0.1 (self-check
+    harness). At 100 TB the O(n^2) verify disappears: cost is
+    sum-of-bucket-sizes^2, and the exact check runs only on bucketed
+    candidates.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", _token_set("text").alias("toks")
+    )
+    # K minhash values: for each salt i, min over tokens of xxhash64(token, i)
+    salts = F.array(*[F.lit(i) for i in range(_MINHASH_K)])
+    sig = F.transform(
+        salts,
+        lambda i: F.array_min(
+            F.transform(F.col("toks"), lambda t: F.xxhash64(t, i))
+        ),
+    )
+    sigs = d.select("doc_id", "toks", sig.alias("sig"))
+    # band key: hash the r minhashes of each band together
+    band_cols = []
+    for b in range(_BANDS):
+        parts = [F.col("sig")[b * _ROWS_PER_BAND + r] for r in range(_ROWS_PER_BAND)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("bsig")))
+    banded = sigs.select(
+        "doc_id", "toks", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "toks", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    jac = inter / union
+    return (
+        cand.withColumn("jaccard_raw", jac)
+        .where(F.col("jaccard_raw") >= _JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
+    )
+
+
+@query(
+    "llm_tfidf_topk",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), n_docs AS (
+      SELECT COUNT(*) AS n FROM corpus
+    ), tf AS (
+      SELECT doc_id, UNNEST(toks) AS term FROM corpus
+    ), tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT t.doc_id, t.term,
+             ROUND(t.tf * (LN((n.n + 1.0) / (d.df + 1.0)) + 1.0), 4) AS tfidf
+      FROM tfc t JOIN df d USING (term) CROSS JOIN n_docs n
+      WHERE t.doc_id IN (0, 1, 2, 3, 5, 8, 13, 21, 34, 55)
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed: ln((N+1)/(df+1))+1) top-3 terms for 10 fixed
+    doc_ids (ext: document fingerprinting). DF statistics computed
+    over the FULL corpus (shuffle on term, map-side combinable), then
+    joined to the 10 probe docs — the scale shape for featurizing a
+    corpus against global statistics."""
+    probe_ids = [0, 1, 2, 3, 5, 8, 13, 21, 34, 55]
+    d = load(spark, sf_dir, "documents")
+    tf = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    n_docs = d.count()
+    tfc = tf.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tfc.where(F.col("doc_id").isin(probe_ids))
+        .join(df, "term")
+        .select(
+            "doc_id", "term", F.round(F.col("tf") * idf, 4).alias("tfidf")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )

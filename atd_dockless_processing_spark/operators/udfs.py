@@ -1,0 +1,150 @@
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.12.
+
+The reference is *entirely* per-row Python ([P high], SURVEY §3.1);
+in this engine Python is the slow path, entered deliberately and
+always Arrow-batched where the API allows:
+- udf_scalar_python: row-at-a-time Python UDF — kept ONLY as the
+  compatibility demonstration; its oracle shows the same logic as
+  pure SQL (what we'd actually deploy).
+- udf_pandas_vectorized: @pandas_udf Series->Series over Arrow
+  batches (~10-100x the row UDF).
+- udaf_grouped_map: groupBy().applyInPandas — per-group pandas
+  computation (OLS slope), the custom-aggregate escape hatch.
+- udtf_posexplode: built-in generator (JVM-side) — the UDTF shape
+  without leaving codegen.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "udf_scalar_python",
+    oracle="""
+    SELECT SUBSTRING(slug, 1, 3) AS slug_pre,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM (
+      SELECT regexp_replace(regexp_replace(LOWER(p_name), '[^a-z0-9]+', '-', 'g'),
+                            '(^-+)|(-+$)', '', 'g') AS slug
+      FROM part
+    ) t
+    GROUP BY 1
+    """,
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF: slugify(p_name) -> count per 3-char
+    prefix. The reference's modus operandi ([P high]) — shown here
+    once; the oracle is the pure-SQL equivalent we'd use in
+    production."""
+    import re
+
+    @F.udf(returnType=T.StringType())
+    def slugify(name: str) -> str:
+        return re.sub(r"[^a-z0-9]+", "-", name.lower()).strip("-")
+
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(slugify("p_name").alias("slug"))
+        .select(F.substring("slug", 1, 3).alias("slug_pre"))
+        .groupBy("slug_pre")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER ())
+                 / STDDEV_SAMP(o_totalprice) OVER (), 4) AS price_z
+    FROM orders
+    """,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF (Series->Series): z-score of
+    o_totalprice against precomputed global moments (ext). Pattern:
+    public PySpark docs (SNIPPETS.md [1]/[2] are reference patterns
+    only). The moments are computed JVM-side and broadcast as
+    literals; the UDF body is pure vectorized pandas."""
+    o = load(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.avg("o_totalprice").alias("mu"), F.stddev_samp("o_totalprice").alias("sd")
+    ).collect()[0]
+    mu, sd = float(stats["mu"]), float(stats["sd"])
+
+    @F.pandas_udf("double")
+    def zscore(s: pd.Series) -> pd.Series:
+        return ((s - mu) / sd).round(4)
+
+    return o.select("o_orderkey", zscore("o_totalprice").alias("price_z"))
+
+
+_SLOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("n_custs", T.LongType()),
+        T.StructField("slope", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "udaf_grouped_map",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(regr_slope(c_acctbal, c_custkey), 4) AS slope
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def udaf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-nation OLS slope of acctbal ~ custkey (ext).
+    Arrow-batched grouped-map — the custom-UDAF escape hatch; oracle
+    is DuckDB's native regr_slope."""
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["c_custkey"].astype("float64")
+        y = pdf["c_acctbal"].astype("float64")
+        xm, ym = x.mean(), y.mean()
+        den = ((x - xm) ** 2).sum()
+        slope = float(((x - xm) * (y - ym)).sum() / den) if den else None
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
+                "n_custs": [len(pdf)],
+                "slope": [round(slope, 4) if slope is not None else None],
+            }
+        )
+
+    c = load(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal")
+    return c.groupBy("c_nationkey").applyInPandas(ols, schema=_SLOPE_SCHEMA)
+
+
+@query(
+    "udtf_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(UNNEST(generate_series(1, len(toks))) - 1 AS INTEGER) AS pos,
+           UNNEST(toks) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id IN (1, 2, 3, 5, 8)) d
+    """,
+)
+def udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware token explode (doc_id, pos, token) for 5 fixed
+    docs — the table-function shape via the built-in posexplode
+    generator (JVM-side; ext). DuckDB's 1-based index -> pos = i-1
+    (SURVEY §7 hard-part #2)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id").isin(1, 2, 3, 5, 8))
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

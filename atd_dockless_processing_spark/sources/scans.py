@@ -1,0 +1,127 @@
+"""Scan/source operators — SURVEY.md §2.1.
+
+Covers the reference's ingest surface ([P]: MDS JSON feeds, CSV
+extracts — SURVEY §1.1) re-expressed as Spark readers with explicit
+schemas. Scale notes: parquet scans get predicate pushdown + column
+pruning from Catalyst; CSV/JSON readers with explicit schemas avoid
+the inference pass (a full extra read at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import load, scratch_dir
+
+
+@query(
+    "src_parquet_scan",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           CAST(l_shipdate AS DATE) AS l_shipdate
+    FROM lineitem
+    """,
+)
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-projection parquet scan of lineitem (timestamp cast to date
+    for cross-engine hash stability)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("ship_date", T.DateType()),
+    ]
+)
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a lineitem subset to CSV (header), re-read with an explicit
+    schema, aggregate. Mirrors the reference's CSV ingest ([P high],
+    SURVEY §2.1)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") < "1996-01-01")
+    subset = li.select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    path = scratch_dir("src_csv_roundtrip", sf_dir.strip("/").replace("/", "_"))
+    subset.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+    )
+
+
+_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "src_json_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an events subset to JSON-lines, re-read with explicit
+    schema, aggregate. Mirrors MDS JSON feed ingest ([P high])."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    subset = ev.select("event_id", "user_id", "event_type", "value")
+    path = scratch_dir("src_json_roundtrip", sf_dir.strip("/").replace("/", "_"))
+    subset.write.mode("overwrite").json(path)
+    back = spark.read.schema(_JSON_SCHEMA).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -1,0 +1,110 @@
+"""Sink operators — SURVEY.md §2.1 (snk_*).
+
+The reference's load step upserts batches to Socrata/Postgres ([P
+high], SURVEY §3.1). Spark-first equivalents: parquet sinks
+(partitioned for pruning) and a window-based last-writer-wins merge —
+the idempotent-upsert semantics without a mutable store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load, scratch_dir
+
+
+@query("snk_parquet")  # rows-only per SURVEY §2.1 (no oracle)
+def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an aggregate to parquet, read it back. Rows-only check."""
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+    path = scratch_dir("snk_parquet", sf_dir.strip("/").replace("/", "_"))
+    agg.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "snk_partitioned",
+    oracle="""
+    SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS sum_price
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1997
+      AND EXTRACT(month FROM o_orderdate) = 3
+    GROUP BY 1
+    """,
+)
+def snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write by derived month; read ONE partition
+    back (partition pruning — at 100 TB this is the difference between
+    scanning one month and scanning everything)."""
+    orders = load(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1997)
+    path = scratch_dir("snk_partitioned", sf_dir.strip("/").replace("/", "_"))
+    (
+        orders.withColumn("order_month", F.month("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("order_month")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(F.col("order_month") == 3)
+    return back.groupBy(F.col("order_month").cast("int").alias("order_month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+@query(
+    "snk_upsert_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS ver
+      FROM orders WHERE o_orderkey % 10 < 8
+    ), updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, ROUND(o_totalprice * 1.1, 4) AS o_totalprice, 2 AS ver
+      FROM orders WHERE o_orderkey % 10 >= 5
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM updates
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY ver DESC) AS rn
+      FROM unioned
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 4) AS sum_price
+    FROM ranked WHERE rn = 1
+    GROUP BY o_orderstatus
+    """,
+)
+def snk_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent upsert: base UNION updates, last-writer-wins by
+    (key, version) via row_number. Generalizes the reference's
+    Socrata/Postgres upsert-on-trip-id ([P high], SURVEY §2.1)."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("ver")
+    )
+    updates = orders.where(F.col("o_orderkey") % 10 >= 5).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+        F.lit(2).alias("ver"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ver").desc())
+    merged = (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )

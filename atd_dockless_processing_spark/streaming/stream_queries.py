@@ -1,0 +1,207 @@
+"""Structured Streaming operators — SURVEY.md §2.10 (stm_*).
+
+The reference runs scheduled batch pulls from provider APIs ([P
+high], SURVEY §3.1); the Spark-native equivalent is micro-batch
+Structured Streaming with ``trigger(availableNow=True)`` — drain
+everything available, maintain state (windows / dedup) exactly as a
+24/7 stream would, then stop. Results land in a memory sink and are
+returned as a batch DataFrame (driver contract requires DataFrame
+returns).
+
+Determinism: availableNow + a single input snapshot = one
+deterministic batch sequence, so windowed/dedup results equal their
+batch twins and are hash-checkable (SURVEY §7 hard-part #3). The
+late-data demo forces multi-batch processing with
+maxFilesPerTrigger=1 and is declared rows-only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import load, scratch_dir
+
+# events.ts is parquet TIMESTAMP(NANOS): read as raw nanos (legacy
+# conf, see tables.load) and convert to µs TimestampType in-stream.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _run_to_memory(sdf, name: str, output_mode: str) -> None:
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The file source needs
+    a directory, so the single parquet file is staged (hard-linked or
+    copied) into a scratch dir once per scale factor."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = scratch_dir("stream_events", sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        src = f"{sf_dir}/events.parquet"
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@query(
+    "stm_tumbling_availablenow",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stm_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of evt_tumbling_hour: readStream -> hourly
+    window agg -> memory sink, availableNow. Same result as the batch
+    query — micro-batch is just incremental planning over the same
+    logical plan ([P high]: scheduled pulls -> micro-batch)."""
+    name = f"stm_tumbling_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+    _run_to_memory(agg, name, "complete")
+    return spark.table(name)
+
+
+@query(
+    "stm_watermark_dedup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stm_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: withWatermark(1h) + dropDuplicates(event_id),
+    then count per type. Idempotent re-ingest semantics ([P high]:
+    overlapping provider re-pulls). The watermark bounds dedup state
+    at 100 TB — old keys are evicted after the lateness horizon."""
+    name = f"stm_dedup_{uuid.uuid4().hex[:8]}"
+    deduped = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    _run_to_memory(deduped, name, "complete")
+    return spark.table(name)
+
+
+@query("stm_late_data_drop")  # rows-only: engine-specific watermark semantics
+def stm_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics demo (rows-only). Two files —
+    recent events, then events >2h older — processed as separate
+    micro-batches (maxFilesPerTrigger=1). The watermark advances
+    after batch 1, so batch 2's late rows are dropped from the
+    append-mode windowed aggregate ([P med]: late provider data)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    )
+    base = scratch_dir("stm_late_data", sf_dir.strip("/").replace("/", "_"))
+    indir = f"{base}/in"
+    shutil.rmtree(indir, ignore_errors=True)
+    os.makedirs(indir)
+    recent = ev.where(F.col("ts") >= "2024-01-10")
+    late = ev.where(F.col("ts") < "2024-01-08")
+    for i, part in enumerate([recent, late]):
+        tmp = f"{base}/tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(indir, f"f{i}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        # file source orders batches by modification time: force it
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    name = f"stm_late_{uuid.uuid4().hex[:8]}"
+    ts_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(ts_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", False)
+        .parquet(indir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stm_stateful_running")  # rows-only: complete-mode running totals
+def stm_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running totals per event type in complete output
+    mode — the stateful-aggregation surface without custom state
+    ([P low]: running totals)."""
+    name = f"stm_running_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    _run_to_memory(agg, name, "complete")
+    return spark.table(name)
