@@ -41,16 +41,16 @@ from ..tables import load
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate text removal (keep min doc_id), survivors per
     lang. Generalizes the reference's dedup-by-trip-id ([P high]).
-    At 100 TB: group on xxhash64(text) first, compare full text only
-    within colliding hashes."""
+
+    Implemented as groupBy(text) + min_by(lang, doc_id) rather than a
+    window row_number: the aggregate gets map-side partial combine
+    (the shuffle carries one row per distinct text, not every row)
+    and skips the per-partition sort — the right shape at 100 TB,
+    where you'd additionally pre-hash: group on xxhash64(text) and
+    compare full text only within colliding hashes."""
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
+    survivors = d.groupBy("text").agg(F.min_by("lang", "doc_id").alias("lang"))
+    return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 @query(
@@ -310,9 +310,9 @@ def llm_vector_norm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _JACCARD_T = 0.8
-_MINHASH_K = 16  # 8 bands x 2 rows
-_BANDS = 8
-_ROWS_PER_BAND = 2
+_MINHASH_K = 16  # 16 bands x 1 row: recall ~1 at the gate threshold
+_BANDS = 16
+_ROWS_PER_BAND = 1
 
 
 def _token_set(col):
@@ -343,11 +343,13 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification on candidates only.
 
     The oracle is the O(n^2) exact-Jaccard join (fine at 500 docs).
-    Hash-equivalence holds when banding recall is 1.0 for pairs above
-    the threshold on this deterministic corpus: with J >= 0.8 and 8
-    bands of 2 rows, P(miss) = (1 - J^2)^8 <= (1-0.64)^8 ~ 2.8e-4
-    per pair — verified empirically equal at sf0.01/sf0.1 (self-check
-    harness). At 100 TB the O(n^2) verify disappears: cost is
+    Hash-equivalence requires banding recall 1.0 above the threshold:
+    with 16 bands of 1 row, P(miss | J>=0.8) = (1-J)^16 <= 6.6e-12
+    per pair — zero misses even over millions of qualifying pairs
+    (8x2 banding measurably missed a J=0.8 boundary pair on this
+    corpus). r=1 trades bucket selectivity for exact-grade recall;
+    on a production corpus with a long similarity tail you'd pick
+    (b, r) from the target threshold curve instead. At 100 TB the O(n^2) verify disappears: cost is
     sum-of-bucket-sizes^2, and the exact check runs only on bucketed
     candidates.
     """

@@ -71,9 +71,11 @@ def srt_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
     li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    # Stream lineitem; broadcast the filtered orders and customer dims
+    # (both shrink well under their predicates) — no fact shuffle.
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), customer.c_custkey == orders.o_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(

@@ -80,10 +80,9 @@ def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     mu, sd = float(stats["mu"]), float(stats["sd"])
 
-    @F.pandas_udf("double")
-    def zscore(s: pd.Series) -> pd.Series:
-        return ((s - mu) / sd).round(4)
+    from ._pandas_udfs import make_zscore
 
+    zscore = make_zscore(mu, sd)
     return o.select("o_orderkey", zscore("o_totalprice").alias("price_z"))
 
 

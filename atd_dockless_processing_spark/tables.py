@@ -33,6 +33,19 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 SCRATCH = REPO_ROOT / ".scratch"
 
 
+# Optional table provider (catalog indirection): harnesses can serve
+# alternative physical representations of the logical tables — e.g.
+# bench.py registers repartitioned+cached DataFrames so post-scan
+# stages parallelize past the single-row-group parquet files. Query
+# code is unchanged: same logical tables, different physical source.
+_PROVIDER = None
+
+
+def set_table_provider(provider) -> None:
+    global _PROVIDER
+    _PROVIDER = provider
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table.
 
@@ -43,6 +56,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     CAST(ts AS TIMESTAMP) truncation). Plain double division would be
     lossy: 2024 epoch-nanos ~ 1.7e18 > 2^53.
     """
+    if _PROVIDER is not None:
+        df = _PROVIDER(spark, sf_dir, name)
+        if df is not None:
+            return df
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,104 @@
+"""Benchmark harness (SURVEY.md §7 M6).
+
+Runs the 12-query representative set from BASELINE.md on one hot
+SparkSession at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Method matches BASELINE.md: median of 3 hot runs per query (1 warm-up),
+full collect(), JVM startup excluded (hot session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from atd_dockless_processing_spark import QUERIES  # noqa: E402
+from atd_dockless_processing_spark.session import get_spark  # noqa: E402
+
+# metric name (BASELINE.md) -> registry key
+BENCH_SET = {
+    "q1_pricing_summary": "agg_groupby_q1",
+    "q3_join_topk": "srt_topk_global",
+    "q5_multijoin": "join_multiway_5",
+    "window_rank": "win_topk_per_group",
+    "distinct_agg": "agg_distinct_count",
+    "json_events": "fn_json_extract",
+    "tumbling_window": "evt_tumbling_hour",
+    "sessionize_lag": "evt_sessionize_lag",
+    "dedup_docs": "llm_dedup_exact",
+    "text_tokens": "llm_token_stats",
+    "cosine_topk": "llm_cosine_topk",
+    "grouping_sets": "agg_grouping_sets",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # Hot harness (BASELINE.md method: hot engine, OS-cached files).
+    # The sf parquet files have a single row group, so a cold scan is
+    # one task; register a table provider serving repartitioned cached
+    # tables so every post-scan stage uses all cores (SURVEY §7 M6
+    # allows caching the reused base scans).
+    import atd_dockless_processing_spark.tables as tables
+
+    # 8-way partitions measured fastest at sf0.1 on local[32]: enough
+    # parallelism to cover the single-row-group files, few enough
+    # tasks that scheduler overhead doesn't dominate sub-second stages
+    # (shuffle stays at 32 and AQE coalesces it down).
+    n_part = min(8, spark.sparkContext.defaultParallelism)
+    cache: dict[tuple[str, str], object] = {}
+
+    def provider(s, d, name):
+        key = (d, name)
+        if key not in cache:
+            tables.set_table_provider(None)
+            try:
+                df = tables.load(s, d, name).repartition(n_part).cache()
+                df.count()
+                cache[key] = df
+            finally:
+                tables.set_table_provider(provider)
+        return cache[key]
+
+    tables.set_table_provider(provider)
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        provider(spark, sf_dir, t)
+
+    per_query: dict[str, float] = {}
+    for metric, key in BENCH_SET.items():
+        fn = QUERIES[key]
+        fn(spark, sf_dir).collect()  # warm-up run
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            times.append(time.perf_counter() - t0)
+        per_query[metric] = round(statistics.median(times), 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_12q_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Oracle-differential tests (SURVEY.md §5.2): every registered
+query vs its DuckDB oracle at sf0.001 (fast smoke scale; the full
+sf0.01 driver-scale sweep is scripts/selfcheck.py).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from selfcheck import norm_result  # noqa: E402
+
+from atd_dockless_processing_spark import ORACLES, QUERIES  # noqa: E402
+
+ALL_KEYS = sorted(QUERIES)
+HASH_KEYS = [k for k in ALL_KEYS if k in ORACLES]
+ROWS_ONLY_KEYS = [k for k in ALL_KEYS if k not in ORACLES]
+
+
+def test_inventory_complete():
+    # SURVEY §2: 83+ operators, exactly these four rows-only
+    assert len(ALL_KEYS) >= 83
+    assert set(ROWS_ONLY_KEYS) <= {
+        "snk_parquet",
+        "agg_approx_distinct",
+        "stm_late_data_drop",
+        "stm_stateful_running",
+        "mm_decode_stub",
+        "mm_frame_sample",
+    }
+
+
+@pytest.mark.parametrize("key", HASH_KEYS)
+def test_hash_parity(key, spark, sf_dir, duck):
+    df = QUERIES[key](spark, sf_dir)
+    s_cols, s_rows = norm_result(df.columns, [tuple(r) for r in df.collect()])
+    res = duck.execute(ORACLES[key])
+    o_cols, o_rows = norm_result([d[0] for d in res.description], res.fetchall())
+    assert s_cols == o_cols, f"{key}: column names differ"
+    assert len(s_rows) == len(o_rows), f"{key}: row counts differ"
+    assert s_rows == o_rows, f"{key}: values differ"
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+def test_rows_only_runs(key, spark, sf_dir):
+    df = QUERIES[key](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
