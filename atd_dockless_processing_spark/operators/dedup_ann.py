@@ -1,0 +1,349 @@
+"""Near-duplicate detection + approximate-nearest-neighbor search —
+the training-data-pipeline extensions beyond MinHash (which lives in
+``llm.py``): SimHash, character-n-gram Jaccard, embedding-cosine
+near-dup, and IVF-bucketed ANN.
+
+Scale design (the 100 TB story for each):
+- SimHash: per-doc 32-bit signature is a pure map (one pass, no
+  shuffle); candidate generation is a self-join on (band, band-bits)
+  buckets — pigeonhole guarantees recall 1.0 for hamming <= BANDS-1,
+  so the verify step (cheap ``bit_count(xor)``) only sees bucketed
+  pairs. Cost: sum of bucket sizes squared, never O(n^2) corpus-wide.
+- n-gram Jaccard: exact verify here is blocked per ``lang`` (the
+  natural shard key); at 100 TB the candidate prune is MinHash-LSH
+  over the n-gram sets (same banding machinery as llm.py), with this
+  operator as the verify tail.
+- embedding near-dup / IVF ANN: the corpus side is partitioned by
+  coarse-quantizer cell (here: label-derived centroids), so a probe
+  touches one partition's posting list instead of the corpus — the
+  same partition-pruning shape Spark applies to partitioned parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash60, portable_hash60_sql
+from ..registry import query
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4  # 4 bands x 8 bits: recall 1.0 for hamming <= 3
+_HAMMING_T = 3
+
+
+def _bit_set(i: int):
+    # single-param closure: a 2-arg lambda would be read by F.filter
+    # as an (element, index) lambda, turning i into a Column
+    return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+
+def _simhash32(hs):
+    """32-bit SimHash of an array<long> of token hashes: bit i is set
+    iff the majority of token hashes have bit i set."""
+    n = F.size(hs)
+    fp = F.lit(0).cast("long")
+    for i in range(_SIMHASH_BITS):
+        ones = F.size(F.filter(hs, _bit_set(i)))
+        fp = fp + F.when(ones * 2 > n, F.lit(1 << i)).otherwise(F.lit(0))
+    return fp
+
+
+def _simhash32_sql(hs_expr: str) -> str:
+    terms = [
+        f"(CASE WHEN 2 * len(list_filter({hs_expr}, h -> ((h >> {i}) & 1) = 1))"
+        f" > len({hs_expr}) THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SIMHASH_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            t -> {portable_hash60_sql('t')}) AS hs
+      FROM documents
+    ), fp AS (
+      SELECT doc_id, {_simhash32_sql('hs')} AS f FROM d
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= {_HAMMING_T}
+"""
+
+
+@query("llm_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via frequency-weighted 32-bit SimHash,
+    hamming <= 3.
+
+    Pipeline: tokens WITH multiplicity (weighted vote — distinct-set
+    simhash saturates on this shared-vocabulary corpus; measured) ->
+    portable 60-bit hash -> per-bit majority vote -> 32-bit
+    fingerprint -> LSH banding (4 bands x 8 bits; pigeonhole: any
+    pair with hamming <= 3 agrees on >= 1 band, so banding recall is
+    exactly 1.0 and the result hash-matches the O(n^2) oracle) ->
+    bit_count(xor) verify on candidates only. The whole pipeline is
+    JVM-side expressions — no Python UDF.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda t: portable_hash60(t)).alias("hs"),
+    )
+    fp = d.select("doc_id", _simhash32(F.col("hs")).alias("f"))
+    band_bits = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("f", b * band_bits).bitwiseAND(F.lit(mask)).alias("bval"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    banded = fp.select("doc_id", "f", F.explode(bands).alias("bk")).select(
+        "doc_id", "f", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.f").alias("fa"),
+            F.col("b.f").alias("fb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.where(ham <= _HAMMING_T)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 3
+_NGRAM_T = 0.8
+
+
+@query(
+    "llm_dedup_ngram",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - {_NGRAM_N - 1}, 1)),
+               i -> substr(text, CAST(i AS INTEGER), {_NGRAM_N}))) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4)
+             AS ngram_jaccard
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= {_NGRAM_T}
+    """,
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by character-3-gram Jaccard >= 0.8,
+    blocked by ``lang`` (the natural shard key — cross-language char
+    n-gram dups are not meaningful). The n-gram set is built with
+    higher-order functions (sequence + transform + substring), fully
+    JVM-side. At 100 TB the a.lang=b.lang block becomes a MinHash-LSH
+    candidate prune over the same gram sets (llm.py banding)."""
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - {_NGRAM_N - 1}, 1)),"
+            f" i -> substring(text, i, {_NGRAM_N}))"
+        )
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", grams.alias("grams"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
+    union = (F.size("a.grams") + F.size("b.grams")).cast("double") - inter
+    jac = inter / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(jac >= _NGRAM_T)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("ngram_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup + IVF ANN
+# ---------------------------------------------------------------------------
+
+_COS_T = 0.45
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@query(
+    "llm_dedup_embedding",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.ve, b.ve)
+                 / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 4)
+             AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ve, b.ve)
+          / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= {_COS_T}
+    """,
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.45; this
+    synthetic corpus' max pairwise cosine is ~0.51, so the threshold
+    selects the genuine near-dup tail). Exact all-pairs here; at
+    100 TB the pair generation is pruned by IVF cells (see
+    ``llm_ann_ivf``) or random-hyperplane LSH so each vector only
+    scores against its bucket's posting list."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("ve")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.ve"), F.col("b.ve")) / (
+        _norm(F.col("a.ve")) * _norm(F.col("b.ve"))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= _COS_T)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "llm_ann_ivf",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), cent_dims AS (
+      SELECT label, i, AVG(ve[i]) AS cv
+      FROM v, range(1, 65) t(i)
+      GROUP BY label, i
+    ), cent AS (
+      SELECT label AS clabel, array_agg(cv ORDER BY i) AS cvec
+      FROM cent_dims GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id % 100 = 0
+    ), assigned AS (
+      SELECT query_id, qv, clabel,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_dot_product(qv, cvec)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cvec, cvec)))
+                        DESC, clabel) AS rn
+      FROM q CROSS JOIN cent
+    ), probe AS (
+      SELECT query_id, qv, clabel FROM assigned WHERE rn = 1
+    ), cands AS (
+      SELECT p.query_id, p.clabel AS probe_label, v.vec_id AS neighbor_id,
+             ROUND(list_dot_product(v.ve, p.qv)
+                   / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(p.qv, p.qv))), 4)
+               AS cos_sim
+      FROM probe p JOIN v ON v.label = p.clabel AND v.vec_id <> p.query_id
+    ), ranked AS (
+      SELECT query_id, probe_label, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM cands
+    )
+    SELECT query_id, CAST(probe_label AS INTEGER) AS probe_label,
+           neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbor: coarse quantizer =
+    per-label centroid (a deterministic one-step Lloyd assignment —
+    nlist=10), nprobe=1, exact cosine top-3 within the probed cell.
+
+    This is the scale path for similarity search: the corpus is
+    partitioned by centroid cell (posting lists), a query scores
+    10 centroids instead of the corpus, then scans exactly one cell.
+    On a cluster the cells are physical partitions (partitionBy on
+    cell id), so the probe is partition pruning; centroids and probe
+    assignments are broadcast. Brute-force baseline for recall
+    comparison is ``llm_cosine_topk``/``llm_knn_join``."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("ve")
+    )
+    cent = (
+        emb.select("label", F.posexplode("ve").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("clabel"), "cvec")
+    )
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qv")
+    )
+    cq_cos = _dot(F.col("qv"), F.col("cvec")) / (_norm(F.col("qv")) * _norm(F.col("cvec")))
+    w_assign = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "clabel")
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", cq_cos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("query_id", "qv", "clabel")
+    )
+    cos = _dot(F.col("ve"), F.col("qv")) / (_norm(F.col("ve")) * _norm(F.col("qv")))
+    cands = emb.join(
+        F.broadcast(probe),
+        (emb.label == probe.clabel) & (emb.vec_id != probe.query_id),
+    ).select(
+        "query_id",
+        F.col("clabel").cast("int").alias("probe_label"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 4).alias("cos_sim"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cands.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "probe_label", "neighbor_id", "cos_sim", "rnk")
+    )

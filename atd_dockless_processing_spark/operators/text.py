@@ -1,0 +1,227 @@
+"""Text-analysis operators for training-data pipelines: language
+identification, quality scoring, BPE-style tokenization, and document
+fingerprinting — all pure JVM-side expressions over ``documents``
+(no Python UDFs in the hot path), each hash-checked against a DuckDB
+oracle running the identical formula.
+
+All four are embarrassingly parallel single-pass maps followed by a
+small aggregation — at 100 TB they pipeline inside one scan stage
+with map-side partial aggregation; there is no join or wide shuffle
+anywhere (the shuffle carries only (group-key, partial-agg) rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash60, portable_hash60_sql
+from ..registry import query
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# Language ID
+# ---------------------------------------------------------------------------
+
+# Word-unigram marker profiles. NOTE: the synthetic corpus shares one
+# vocabulary across all langs (measured this session), so these
+# profiles are deterministic stand-ins demonstrating the operator
+# shape (profile-score -> argmax); on real text they would be the
+# top discriminative n-grams per language.
+_LANG_MARKERS = {
+    "de": ("window", "batch", "group"),
+    "en": ("the", "a", "fast"),
+    "es": ("data", "row", "table"),
+    "fr": ("merge", "sort", "join"),
+    "zh": ("stream", "vector", "hash"),
+}
+_LANGS = sorted(_LANG_MARKERS)
+
+
+def _score(markers):
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(f"size(filter(split(text, ' '), t -> t IN ({inlist})))")
+
+
+def _score_sql(markers):
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({inlist})))"
+
+
+def _argmax_case_sql():
+    """Alphabetical first-wins argmax over the five scores (CASE with
+    >= comparisons — identical tie-break semantics on both engines)."""
+    clauses = []
+    for i, lang in enumerate(_LANGS[:-1]):
+        others = [f"s_{lang} >= s_{o}" for o in _LANGS if o != lang]
+        clauses.append(f"WHEN {' AND '.join(others)} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{_LANGS[-1]}' END"
+
+
+@query(
+    "txt_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {", ".join(f"{_score_sql(_LANG_MARKERS[lg])} AS s_{lg}" for lg in _LANGS)}
+      FROM documents
+    )
+    SELECT lang, {_argmax_case_sql()} AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-profile language identification: score each document
+    against per-language marker-token profiles, predict the argmax
+    (alphabetical first-wins tie-break), return the (actual,
+    predicted) confusion-matrix counts."""
+    d = load(spark, sf_dir, "documents")
+    for lg in _LANGS:
+        d = d.withColumn(f"s_{lg}", _score(_LANG_MARKERS[lg]))
+    pred = F.expr(_argmax_case_sql())
+    return (
+        d.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a")
+
+
+@query(
+    "txt_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_toks,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ({", ".join(f"'{w}'" for w in _STOPWORDS)}))) AS n_stop,
+             length(text) AS n_len
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+             0.4 * (CAST(n_uniq AS DOUBLE) / n_toks)
+             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_toks)
+             + 0.3 * least(CAST(n_len - n_toks + 1 AS DOUBLE) / n_toks / 8.0, 1.0)
+               AS quality
+      FROM feat
+    )
+    SELECT lang,
+           CASE WHEN quality >= 0.72 THEN 'high'
+                WHEN quality >= 0.55 THEN 'medium'
+                ELSE 'low' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(quality), 4) AS avg_quality
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: type-token ratio, stopword ratio,
+    and average token length combined into one score, bucketed into
+    tiers — the deterministic analogue of a fasttext-style quality
+    filter in a pretraining pipeline."""
+    toks = F.split("text", " ")
+    n_toks = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    inlist = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({inlist})))").cast("double")
+    # chars excluding the n_toks-1 separator spaces, per token
+    avg_tok_len = (F.length("text") - n_toks + 1) / n_toks
+    quality = (
+        F.lit(0.4) * (n_uniq / n_toks)
+        + F.lit(0.3) * (F.lit(1.0) - n_stop / n_toks)
+        + F.lit(0.3) * F.least(avg_tok_len / 8.0, F.lit(1.0))
+    )
+    tier = (
+        F.when(quality >= 0.72, "high").when(quality >= 0.55, "medium").otherwise("low")
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "lang", quality.alias("quality"), tier.alias("tier")
+    )
+    return d.groupBy("lang", "tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style regex tokenization
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+@query(
+    "txt_token_bpe",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '{_BPE_PATTERN}'))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def txt_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (alpha runs /
+    digit runs / punctuation runs — the GPT-2 pre-tokenizer shape,
+    simplified to the character classes both engines' regex dialects
+    share). Per-language token totals for pretraining data budgeting."""
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    d = load(spark, sf_dir, "documents").select("lang", F.size(toks).alias("nt"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(F.avg("nt"), 4).alias("avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling hash)
+# ---------------------------------------------------------------------------
+
+_FP_MOD = 2147483647  # 2^31 - 1: acc*31 + h stays < 2^36, no overflow
+_FP_BASE = 31
+
+
+@query(
+    "txt_fingerprint",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            t -> {portable_hash60_sql('t')} % {_FP_MOD}) AS hlist
+      FROM documents
+      WHERE doc_id < 25
+    )
+    SELECT doc_id,
+           list_reduce(list_concat([CAST(0 AS BIGINT)], hlist),
+                       (acc, h) -> (acc * {_FP_BASE} + h) % {_FP_MOD}) AS fingerprint
+    FROM hs
+    """,
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over the token-hash sequence (acc*31 + h mod 2^31-1) — the
+    content-defined-chunking / shift-detection primitive. Unlike the
+    set-based dedup signatures, token ORDER changes the fingerprint.
+    Single-pass map, no shuffle."""
+    hs = F.transform(
+        F.split("text", " "), lambda t: portable_hash60(t) % _FP_MOD
+    )
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * _FP_BASE + h) % _FP_MOD,
+    )
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 25)
+    return d.select("doc_id", fp.alias("fingerprint"))
