@@ -285,12 +285,12 @@ def join_multiway_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    # Stream the big fact (lineitem), broadcast everything else: the
-    # date filter shrinks orders enough to broadcast, and lineitem
-    # never shuffles or materializes a hash relation. (Left to its own
-    # stats Catalyst broadcast the 33 MiB lineitem side instead.)
+    # Stream the big fact (lineitem) so it never materializes a hash
+    # relation; orders joins by Catalyst's choice (auto-broadcast at
+    # small SF, shuffle join when stats outgrow the threshold at
+    # 100 TB). True dims (customer/supplier/nation/region) are hinted.
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), customer.c_custkey == orders.o_custkey)
         .join(
             F.broadcast(supplier),
