@@ -196,6 +196,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COS_T = 0.45
+_EMB_DIM = 64  # fixed by the data model (FIXTURES.md; oracle uses range(1,65))
 
 
 def _dot(a, b):
@@ -307,17 +308,18 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("ve")
     )
+    # Centroid = 64 per-dimension avg aggregates reassembled into an
+    # array: ONE map-side-combinable shuffle carrying (label, 64
+    # partials) — vs posexplode's 64x row explosion + 2 shuffles.
+    # (The oracle's range(1,65) unnest computes the same values.)
+    dim = _EMB_DIM
     cent = (
-        emb.select("label", F.posexplode("ve").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("cv"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
-            ).alias("cvec")
+        emb.groupBy("label")
+        .agg(*[F.avg(F.col("ve")[i]).alias(f"c{i}") for i in range(dim)])
+        .select(
+            F.col("label").alias("clabel"),
+            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cvec"),
         )
-        .select(F.col("label").alias("clabel"), "cvec")
     )
     q = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("ve").alias("qv")
