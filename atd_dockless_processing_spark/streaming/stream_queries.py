@@ -189,6 +189,88 @@ def stm_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "stm_stateful_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sized AS (
+      SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n) AS BIGINT) AS max_session_events
+    FROM sized GROUP BY user_id
+    """,
+)
+def stm_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator via applyInPandasWithState:
+    per-user 30-minute-gap sessionization with explicit GroupState
+    (last event time + running session count carried across
+    micro-batches). The arbitrary-state API is the Spark-native
+    answer to operators the built-in windowed aggs can't express —
+    the micro-batch generalization of the reference's scheduled
+    stateless pulls.
+
+    Determinism/hash-check: availableNow over the single staged
+    snapshot yields one micro-batch containing every event, and the
+    UDF sorts each group by (ts, event_id), so the emitted session
+    stats equal the batch lag-based sessionization SQL. State is
+    still exercised (written, then read back on the final emit)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    name = f"stm_sess_{uuid.uuid4().hex[:8]}"
+    ev = _stream_events(spark, sf_dir).select("user_id", "ts", "event_id")
+
+    def sessionize(key, pdfs, state: GroupState):
+        gap_s = 1800
+        if state.exists:
+            last_ts, n_sessions, cur_len, max_len = state.get
+        else:
+            last_ts, n_sessions, cur_len, max_len = None, 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["ts"]:
+                t = t.timestamp()
+                if last_ts is None or t - last_ts > gap_s:
+                    n_sessions += 1
+                    max_len = max(max_len, cur_len)
+                    cur_len = 1
+                else:
+                    cur_len += 1
+                last_ts = t
+        max_len = max(max_len, cur_len)
+        state.update((last_ts, n_sessions, cur_len, max_len))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "max_session_events": [max_len],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id long, n_sessions long, max_session_events long",
+        stateStructType="last_ts double, n_sessions long, cur_len long, max_len long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(out, name, "update")
+    return spark.table(name)
+
+
 @query("stm_stateful_running")  # rows-only: complete-mode running totals
 def stm_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming running totals per event type in complete output
