@@ -349,3 +349,51 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("o_orderstatus"),
         F.coalesce("n", F.lit(0)).alias("n_orders"),
     )
+
+
+_SALT_N = 16
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via explicit key salting: the fact side gets
+    a deterministic salt (event_id % 16) appended to the join key; the
+    dim side is exploded x16 so every (key, salt) bucket matches. The
+    result is identical to the plain join (the oracle), but a hot key's
+    rows now spread over 16 reducer partitions instead of one.
+
+    At 100 TB this is the manual fallback when AQE's skew-join split
+    cannot help (e.g. the skewed side feeds a single-key aggregation,
+    or the join is a broadcast candidate that does not fit memory).
+    AQE (on by default, session.py) handles the common cases without
+    this operator — which is why the salt here is explicit, bounded
+    (x16 dim replication), and deterministic (no rand(): repeatable
+    plans and retry-safe tasks)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % _SALT_N).cast("int")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted_dim = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_N)]))
+    )
+    return (
+        ev.join(
+            salted_dim,
+            (ev.user_id == salted_dim.c_custkey) & (ev.salt == salted_dim.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

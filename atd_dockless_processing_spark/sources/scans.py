@@ -125,3 +125,42 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+_ORC_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_linestatus
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a lineitem subset to ORC, re-read with explicit schema,
+    aggregate. ORC is Spark's second first-class columnar format
+    (predicate pushdown + column pruning, like parquet) — format
+    breadth for ingest interop."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 25)
+    subset = li.select("l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice")
+    path = scratch_dir("src_orc_roundtrip", sf_dir.strip("/").replace("/", "_"))
+    subset.write.mode("overwrite").orc(path)
+    back = spark.read.schema(_ORC_SCHEMA).orc(path)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
