@@ -1,0 +1,115 @@
+"""Engine unit tests beyond oracle parity (SURVEY §5.2): cross-engine
+hash portability, LSH banding guarantees (property-based), timestamp
+handling, and plan-shape assertions for the scale-critical operators.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from atd_dockless_processing_spark import QUERIES  # noqa: E402
+from atd_dockless_processing_spark.functions.hashing import (  # noqa: E402
+    portable_hash60,
+    portable_hash60_sql,
+)
+from atd_dockless_processing_spark.operators.dedup_ann import (  # noqa: E402
+    _HAMMING_T,
+    _SIMHASH_BANDS,
+    _SIMHASH_BITS,
+)
+
+
+def test_portable_hash_matches_duckdb(spark):
+    """The md5-derived 60-bit hash must agree bit-for-bit between
+    Spark and DuckDB — every simhash/fingerprint oracle depends on it."""
+    samples = ["", "a", "hello world", "größe", "naïve", "日本語テキスト",
+               "x" * 1000, "tab\tand\nnewline", "'quote'", '"double"']
+    df = spark.createDataFrame([(s,) for s in samples], ["t"])
+    got = {r["t"]: r["h"] for r in df.select("t", portable_hash60("t").alias("h")).collect()}
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(
+            f"SELECT {portable_hash60_sql('?')}", [s]
+        ).fetchone()[0]
+        assert got[s] == want, f"hash mismatch for {s!r}"
+        assert 0 <= got[s] < 2**60
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    fa=st.integers(min_value=0, max_value=2**32 - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=31), max_size=3),
+)
+def test_simhash_banding_pigeonhole(fa: int, flips: set[int]):
+    """Property: any pair with hamming <= _HAMMING_T shares at least
+    one LSH band — the recall-1.0 guarantee that makes the banded
+    self-join hash-match the O(n^2) oracle."""
+    # pigeonhole precondition: <= B-1 flipped bits cannot touch all B bands
+    assert _HAMMING_T <= _SIMHASH_BANDS - 1
+    fb = fa
+    for i in flips:
+        fb ^= 1 << i
+    assert bin(fa ^ fb).count("1") <= _HAMMING_T
+    band_bits = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    shared = any(
+        (fa >> (b * band_bits)) & mask == (fb >> (b * band_bits)) & mask
+        for b in range(_SIMHASH_BANDS)
+    )
+    assert shared, f"hamming<={_HAMMING_T} pair missed by banding: {fa:#x} vs {fb:#x}"
+
+
+def test_events_ts_is_microsecond_utc(spark, sf_dir, duck):
+    """events.ts (parquet TIMESTAMP_NANOS) must load as µs-precision
+    UTC timestamps agreeing with DuckDB's reading."""
+    from atd_dockless_processing_spark.tables import load
+
+    got = load(spark, sf_dir, "events").select(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("m")
+    ).collect()[0]["m"]
+    want = duck.execute(
+        "SELECT strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') FROM events"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_bucketed_join_has_no_pre_join_exchange(spark, sf_dir):
+    """snk_bucketed_join's point is the missing shuffle: assert no
+    Exchange appears below the SortMergeJoin."""
+    df = QUERIES["snk_bucketed_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_at = plan.find("SortMergeJoin")
+    assert join_at != -1, "expected a sort-merge join over bucketed scans"
+    assert "Exchange" not in plan[join_at:], "bucketing failed to remove the join shuffle"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    heaps), never a global sort."""
+    for key in ("srt_topk_global", "llm_cosine_topk"):
+        plan = QUERIES[key](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, key
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """flt_range's predicate must reach the parquet scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES["flt_range"](spark, sf_dir).explain("formatted")
+    out = buf.getvalue()
+    assert "PushedFilters: [" in out
+    pushed = out.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed to the scan"
