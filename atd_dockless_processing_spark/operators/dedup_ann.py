@@ -421,3 +421,99 @@ def llm_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(approx - exact), 4).alias("quant_err"),
     )
     return scored.orderBy(F.col("approx_cos").desc(), "vec_id").limit(10)
+
+
+@query(
+    "llm_kmeans_step",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), c0 AS (
+      SELECT label AS cid, array_agg(cv ORDER BY i) AS cvec FROM (
+        SELECT label, i, AVG(ve[i]) AS cv FROM v, range(1, 65) t(i) GROUP BY label, i
+      ) GROUP BY label
+    ), a1 AS (
+      SELECT vec_id, ve, cid, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (
+        SELECT v.vec_id, v.ve, c0.cid,
+               list_dot_product(ve, ve) + list_dot_product(cvec, cvec)
+                 - 2 * list_dot_product(ve, cvec) AS d2
+        FROM v CROSS JOIN c0
+      )
+    ), asg1 AS (
+      SELECT vec_id, ve, cid FROM a1 WHERE rn = 1
+    ), c1 AS (
+      SELECT cid, array_agg(cv ORDER BY i) AS cvec FROM (
+        SELECT cid, i, AVG(ve[i]) AS cv FROM asg1, range(1, 65) t(i) GROUP BY cid, i
+      ) GROUP BY cid
+    ), a2 AS (
+      SELECT vec_id, cid, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (
+        SELECT g.vec_id, c1.cid,
+               list_dot_product(g.ve, g.ve) + list_dot_product(c1.cvec, c1.cvec)
+                 - 2 * list_dot_product(g.ve, c1.cvec) AS d2
+        FROM asg1 g CROSS JOIN c1
+      )
+    )
+    SELECT CAST(cid AS INTEGER) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(d2), 4) AS avg_sq_dist
+    FROM a2 WHERE rn = 1
+    GROUP BY cid
+    """,
+)
+def llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of k-means (k=10) on the embeddings:
+    deterministic init from per-label centroids, assign (squared-L2
+    argmin, tie-break by cluster id), recompute centroids, reassign —
+    then report cluster sizes and mean squared distance (inertia/n).
+
+    The iterative-algorithm shape on DataFrames: each iteration is
+    assign (broadcast k centroids, argmin via window) + update (k x
+    dim map-side-combinable aggregate). At 100 TB you cache() the
+    assigned DataFrame per iteration and checkpoint() every few
+    rounds to truncate plan lineage; centroids (k x 64 doubles)
+    always fit in a broadcast. Distance uses
+    |x|^2 + |c|^2 - 2 x.c so the per-pair work is one dot product."""
+
+    def assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+        d2 = (
+            _dot(F.col("ve"), F.col("ve"))
+            + _dot(F.col("cvec"), F.col("cvec"))
+            - 2 * _dot(F.col("ve"), F.col("cvec"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            vecs.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "ve", "cid", "d2")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("ve")[i]).alias(f"c{i}") for i in range(_EMB_DIM)])
+            .select("cid", F.array(*[F.col(f"c{i}") for i in range(_EMB_DIM)]).alias("cvec"))
+        )
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("ve")
+    )
+    c0 = (
+        v.groupBy(F.col("label").alias("cid"))
+        .agg(*[F.avg(F.col("ve")[i]).alias(f"c{i}") for i in range(_EMB_DIM)])
+        .select("cid", F.array(*[F.col(f"c{i}") for i in range(_EMB_DIM)]).alias("cvec"))
+    )
+    asg1 = assign(v, c0)
+    c1 = update(asg1)
+    asg2 = assign(asg1.select("vec_id", "ve"), c1)
+    return (
+        asg2.groupBy(F.col("cid").cast("int").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("d2"), 4).alias("avg_sq_dist"),
+        )
+    )

@@ -189,3 +189,103 @@ def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "active_week")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "evt_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.s_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after
+    """,
+)
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who signed up, then clicked
+    AFTER the first signup, then purchased AFTER that first click —
+    strict event-time ordering, not mere co-occurrence.
+
+    Each stage is a conditional min-aggregate joined to the previous
+    stage (stage outputs are tiny: one row per surviving user), so at
+    100 TB the events table is scanned once per stage with the
+    previous stage broadcast — no window over the full event log."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@query(
+    "evt_time_spine",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(UNNEST(generate_series(DATE '1997-01-01', DATE '1997-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT spine.day, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def evt_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: generate a contiguous daily spine with
+    ``sequence()`` + explode, left-join daily counts, zero-fill the
+    missing days — the time-series densification every reporting
+    rollup needs (a day with no trips must appear as 0, not vanish).
+    The spine is generated, not stored, and broadcast to the counts."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("date"),
+                F.lit("1997-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(daily, spine.day == daily.d, "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_orders")
+    )

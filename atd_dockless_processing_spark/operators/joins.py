@@ -397,3 +397,39 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(c_custkey % 7, 3) AS k, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ), b AS (
+      SELECT nullif(o_custkey % 7, 3) AS k, COUNT(*) AS n_ord
+      FROM orders GROUP BY 1
+    )
+    SELECT a.k AS k, CAST(n_cust AS BIGINT) AS n_cust, CAST(n_ord AS BIGINT) AS n_ord
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    NULL bucket joins to the NULL bucket instead of disappearing —
+    the semantics needed when a join key legitimately carries
+    'unknown' (e.g. unresolved geography ids). Null keys hash to one
+    partition: at scale a populous NULL bucket is the classic skew
+    key — handle via join_skew_salted or filter-union."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("k_a"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    ords = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.nullif(F.col("o_custkey") % 7, F.lit(3)).alias("k_b"))
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+    )
+    return cust.join(ords, cust.k_a.eqNullSafe(ords.k_b)).select(
+        F.col("k_a").alias("k"), "n_cust", "n_ord"
+    )
