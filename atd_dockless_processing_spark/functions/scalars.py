@@ -307,3 +307,71 @@ def fn_cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit("42").cast("int") + F.col("l_linenumber")).alias("mixed_int"),
         F.round(F.lit("3.25").cast("double") * F.col("l_quantity"), 4).alias("mixed_dbl"),
     )
+
+
+@query(
+    "fn_struct_nested",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_orderpriority AS priority,
+           ROUND(o_totalprice * 1.1, 4) AS gross
+    FROM orders
+    WHERE o_totalprice > 400000 AND o_orderstatus = 'O'
+    """,
+)
+def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct round-trip: pack order attributes into a struct
+    column (the MDS route/feature-collection shape), filter and
+    project THROUGH the nested fields, then flatten. Catalyst prunes
+    and pushes through structs — nesting costs nothing at plan level
+    (the oracle is the flat equivalent; the Spark side genuinely
+    builds and traverses the struct)."""
+    o = load(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("gross"),
+        ).alias("meta"),
+        "o_totalprice",
+    )
+    return (
+        nested.where((F.col("o_totalprice") > 400000) & (F.col("meta.status") == "O"))
+        .select(
+            "o_orderkey",
+            F.col("meta.status").alias("status"),
+            F.col("meta.priority").alias("priority"),
+            F.col("meta.gross").alias("gross"),
+        )
+    )
+
+
+@query(
+    "fn_map_ops",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10) AS BIGINT)
+             AS sum_k_mod
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props into map<string,int>,
+    access via element_at, transform values with map higher-order
+    functions — the dynamic-schema path for loosely-typed payloads
+    (vs from_json-to-struct when fields are known). The oracle
+    computes the same result through typed JSON extraction."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    withmap = ev.select(
+        "event_type",
+        F.transform_values(m, lambda k, v: v % 10).alias("pm"),
+    )
+    return withmap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.element_at("pm", "k")).alias("sum_k_mod"),
+    )

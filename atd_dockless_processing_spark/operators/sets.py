@@ -106,3 +106,26 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
     ).select("o_custkey")
     return a.subtract(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity-preserving difference):
+    a customer with 5 early orders and 2 late ones keeps 3 rows —
+    vs `set_except`'s set semantics. Spark plans this as a
+    left-anti-style hash join on counts, one shuffle."""
+    o = load(spark, sf_dir, "orders")
+    early = o.where(F.col("o_orderdate") < "1997-01-01").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    late = o.where(F.col("o_orderdate") >= "1997-01-01").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return early.exceptAll(late)

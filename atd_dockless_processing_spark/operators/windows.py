@@ -158,3 +158,32 @@ def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 4) AS rev_7d
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: trailing-7-day revenue per
+    customer — the frame is bounded by VALUE distance (6 days back in
+    epoch seconds = 518400), not row count, so multiple orders on one
+    day all fall in each other's frame and gaps shorten the window.
+    This is the moving-aggregate semantics a rows-frame cannot give
+    on irregular event times."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-518400, 0)
+    )
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 4).alias("rev_7d")
+    )
