@@ -15,8 +15,41 @@ Config rationale (100 TB notes inline):
 from __future__ import annotations
 
 import os
+import shutil
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_PKG_ZIP: str | None = None
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable in Spark's Python WORKER processes.
+
+    The driver may run from any cwd with the repo reachable only via
+    its own sys.path; workers inherit neither. Closures sent to
+    workers (mapInPandas, applyInPandasWithState, pandas UDFs) hold
+    by-reference cloudpickle pointers to module-level helpers, so the
+    workers must be able to import the package — addPyFile ships a
+    zip of it to every worker's sys.path.
+    """
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        pkg_dir = Path(__file__).resolve().parent
+        scratch = pkg_dir.parent / ".scratch" / "pyfiles"
+        scratch.mkdir(parents=True, exist_ok=True)
+        tmp = scratch / "atd_dockless_processing_spark.zip.tmp"
+        dst = scratch / "atd_dockless_processing_spark.zip"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                zf.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+        shutil.move(tmp, dst)
+        _PKG_ZIP = str(dst)
+    shipped = spark.sparkContext.environment.get("__atd_pkg_shipped__")
+    if not shipped:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+        spark.sparkContext.environment["__atd_pkg_shipped__"] = "1"
 
 
 def get_spark(app_name: str = "atd-dockless-spark", master: str | None = None) -> SparkSession:
@@ -36,6 +69,7 @@ def get_spark(app_name: str = "atd-dockless-spark", master: str | None = None) -
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
 
 
@@ -49,4 +83,5 @@ def tune(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    _ship_package(spark)
     return spark
