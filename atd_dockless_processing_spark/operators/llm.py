@@ -364,32 +364,44 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("toks"), lambda t: F.xxhash64(t, i))
         ),
     )
-    sigs = d.select("doc_id", "toks", sig.alias("sig"))
-    # band key: hash the r minhashes of each band together
+    sigs = d.select("doc_id", F.size("toks").alias("n_t"), sig.alias("sig"))
+    # band key: hash the r minhashes of each band together.
+    # SLIM banding: only (doc_id, n_toks, band, bsig) crosses the
+    # quadratic bucket join; token arrays re-attach by broadcast after
+    # pair dedup (wide rows through the band join were measured
+    # unusable on this dense-similarity corpus — buckets hold a large
+    # corpus fraction, so the join output is ~all-pairs-sized).
     band_cols = []
     for b in range(_BANDS):
         parts = [F.col("sig")[b * _ROWS_PER_BAND + r] for r in range(_ROWS_PER_BAND)]
         band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("bsig")))
     banded = sigs.select(
-        "doc_id", "toks", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "toks", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+        "doc_id", "n_t", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "n_t", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio prune: J >= T implies min/max set size >= T
+            & (
+                F.least(F.col("a.n_t"), F.col("b.n_t")).cast("double")
+                >= _JACCARD_T * F.greatest(F.col("a.n_t"), F.col("b.n_t"))
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = pairs.join(
+        F.broadcast(d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))),
+        "doc_a",
+    ).join(
+        F.broadcast(d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
