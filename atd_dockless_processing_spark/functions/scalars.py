@@ -375,3 +375,40 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.element_at("pm", "k")).alias("sum_k_mod"),
     )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             levenshtein(a.p_name, b.p_name) AS edit_dist
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+                            AND a.p_brand = b.p_brand
+      WHERE a.p_partkey < 60 AND b.p_partkey < 60
+    )
+    SELECT name_a, name_b, CAST(edit_dist AS INTEGER) AS edit_dist
+    FROM pairs WHERE edit_dist <= 12
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: near-identical part names within
+    a brand (levenshtein <= 12 over a bounded key block). The fuzzy
+    twin of the exact/LSH dedup family — at scale the brand equality
+    is the blocking key, exactly like lang-blocking in
+    llm_dedup_ngram (edit distance on unblocked pairs is O(n^2 m^2))."""
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") < 60)
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.col("a.p_brand") == F.col("b.p_brand")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein("a.p_name", "b.p_name").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 12)
+    )

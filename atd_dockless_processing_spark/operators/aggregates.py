@@ -303,3 +303,68 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("n_p"),
         )
     )
+
+
+_HIST_LO, _HIST_HI, _HIST_NB = 0.0, 600000.0, 12
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(least(floor((o_totalprice - {_HIST_LO}) / {(_HIST_HI - _HIST_LO) / _HIST_NB}),
+                      {_HIST_NB - 1}) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 4) AS lo_price,
+           ROUND(MAX(o_totalprice), 4) AS hi_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (12 buckets over order totals, top bucket
+    clamps the tail) — the profiling primitive behind range-partition
+    sizing and skew detection. Pure expression + one combinable
+    aggregation; at 100 TB this is how you CHOOSE partition bounds
+    before a range-partitioned write."""
+    w = (_HIST_HI - _HIST_LO) / _HIST_NB
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - _HIST_LO) / w), F.lit(_HIST_NB - 1)
+    ).cast("int")
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 4).alias("lo_price"),
+        F.round(F.max("o_totalprice"), 4).alias("hi_price"),
+    )
+
+
+@query(
+    "sql_tpch_q6",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 THROUGH THE SQL ENTRY POINT: temp view + spark.sql
+    text — demonstrating that the engine's second API surface (SQL)
+    compiles to the identical Catalyst plan as the DataFrame calls
+    (same pushdown, same codegen). View name is uuid-scoped so
+    concurrent/repeated runs never collide."""
+    import uuid as _uuid
+
+    view = f"lineitem_{_uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM {view}
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """)

@@ -92,3 +92,67 @@ def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("zone")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+
+
+_HEX_SIZE = 40.0
+
+
+@query(
+    "geo_hex_bin",
+    oracle=f"""
+    WITH pts AS (
+      SELECT value AS x,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS y
+      FROM events
+    ), axial AS (
+      SELECT x, y,
+             (sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / {_HEX_SIZE} AS q,
+             (2.0 / 3.0 * y) / {_HEX_SIZE} AS r
+      FROM pts
+    ), cube AS (
+      SELECT x, q, r, -q - r AS s,
+             round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+      FROM axial
+    ), fixed AS (
+      SELECT x,
+             CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
+                  THEN -rr - rs ELSE rq END AS hq,
+             CASE WHEN abs(rr - r) > abs(rq - q) AND abs(rr - r) >= abs(rs - s)
+                       AND NOT (abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s))
+                  THEN -rq - rs ELSE rr END AS hr
+      FROM cube
+    )
+    SELECT CAST(hq AS INTEGER) AS hex_q, CAST(hr AS INTEGER) AS hex_r,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(SUM(x), 4) AS sum_value
+    FROM fixed
+    GROUP BY 1, 2
+    """,
+)
+def geo_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal binning (pointy-top axial coordinates, cube rounding
+    with largest-residual correction) — the H3-style privacy binning
+    the reference applies to trip endpoints, on (value, k) space.
+    Pure expressions end-to-end: the same identical formula runs in
+    the oracle, and at 100 TB it is a codegen'd map + one combinable
+    aggregation, exactly like geo_grid_bin."""
+    ev = load(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.get_json_object("props", "$.k").cast("int")
+    q = (F.sqrt(F.lit(3.0)) / 3.0 * x - F.lit(1.0) / 3.0 * y) / _HEX_SIZE
+    r = (F.lit(2.0) / 3.0 * y) / _HEX_SIZE
+    s = -q - r
+    rq, rr, rs = F.round(q, 0), F.round(r, 0), F.round(s, 0)
+    dq, dr, ds = F.abs(rq - q), F.abs(rr - r), F.abs(rs - s)
+    hq = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    hr = F.when(
+        (dr > dq) & (dr >= ds) & ~((dq > dr) & (dq > ds)), -rq - rs
+    ).otherwise(rr)
+    return (
+        ev.select(x.alias("x"), hq.cast("int").alias("hex_q"), hr.cast("int").alias("hex_r"))
+        .groupBy("hex_q", "hex_r")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("x"), 4).alias("sum_value"),
+        )
+    )

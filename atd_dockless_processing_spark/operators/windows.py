@@ -187,3 +187,23 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", F.round(F.sum("o_totalprice").over(w), 4).alias("rev_7d")
     )
+
+
+@query(
+    "win_cume_dist",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 4) AS cd
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution within group (empirical CDF position
+    of each order's value; total order via the key tie-break)."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    return o.select(
+        "o_orderkey", F.round(F.cume_dist().over(w), 4).alias("cd")
+    )
