@@ -1,0 +1,33 @@
+"""bench.py driver contract: one JSON line with metric/value/unit/
+queries/sf — run at the smallest SF so the test stays fast."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_emits_contract_json():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+        cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    doc = json.loads(line)
+    assert doc["unit"] == "sec"
+    assert doc["metric"] == "bench_12q_total"
+    assert doc["sf"] == 0.001
+    assert isinstance(doc["value"], (int, float)) and doc["value"] > 0
+    assert len(doc["queries"]) == 12
+    assert abs(sum(doc["queries"].values()) - doc["value"]) < 0.01
