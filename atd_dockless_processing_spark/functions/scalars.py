@@ -412,3 +412,33 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 12)
     )
+
+
+@query(
+    "fn_surrogate_key",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT sha256(CAST(l_orderkey AS VARCHAR) || '|'
+                                      || CAST(l_linenumber AS VARCHAR))) AS BIGINT)
+             AS n_keys,
+           substr(MIN(sha256(CAST(l_orderkey AS VARCHAR) || '|'
+                             || CAST(l_linenumber AS VARCHAR))), 1, 16) AS min_key_prefix
+    FROM lineitem
+    """,
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate keys: sha256 over the delimited natural
+    key (orderkey|linenumber) — collision-free in practice, REPRODUCIBLE
+    across reruns and engines (vs monotonically_increasing_id, which is
+    partition-layout-dependent and unusable for idempotent upserts).
+    The distinct count doubling as a uniqueness audit."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.sha2(
+        F.concat_ws("|", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")),
+        256,
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(key).alias("n_keys"),
+        F.substring(F.min(key), 1, 16).alias("min_key_prefix"),
+    )

@@ -165,3 +165,52 @@ def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
         )
     )
+
+
+@query(
+    "snk_scd2",
+    oracle="""
+    WITH versions AS (
+      SELECT o_custkey AS custkey, o_orderkey AS version_id,
+             CAST(o_orderdate AS DATE) AS eff_from,
+             o_totalprice AS attr
+      FROM orders WHERE o_custkey < 30
+    ), scd AS (
+      SELECT custkey, version_id, eff_from, attr,
+             LEAD(eff_from) OVER (PARTITION BY custkey
+                                  ORDER BY eff_from, version_id) AS eff_to
+      FROM versions
+    )
+    SELECT custkey, version_id, eff_from,
+           COALESCE(eff_to, DATE '9999-12-31') AS eff_to,
+           CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS is_current,
+           ROUND(attr, 4) AS attr
+    FROM scd
+    """,
+)
+def snk_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: versioned facts become
+    effectivity ranges via lead() (eff_to = next version's eff_from,
+    open-ended current row flagged). One window shuffle on the
+    business key — the warehouse-dimension shape of the reference's
+    idempotent upserts, with full history retained."""
+    v = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 30)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("version_id"),
+            F.col("o_orderdate").cast("date").alias("eff_from"),
+            F.col("o_totalprice").alias("attr"),
+        )
+    )
+    w = Window.partitionBy("custkey").orderBy("eff_from", "version_id")
+    scd = v.withColumn("eff_to_raw", F.lead("eff_from").over(w))
+    return scd.select(
+        "custkey",
+        "version_id",
+        "eff_from",
+        F.coalesce("eff_to_raw", F.lit("9999-12-31").cast("date")).alias("eff_to"),
+        F.when(F.col("eff_to_raw").isNull(), 1).otherwise(0).alias("is_current"),
+        F.round("attr", 4).alias("attr"),
+    )

@@ -287,3 +287,36 @@ def stm_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, name, "complete")
     return spark.table(name)
+
+
+@query(
+    "stm_join_stream_static",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stm_join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static customer dimension inside the micro-batch plan, then
+    aggregated — the canonical streaming-enrichment pattern (each
+    micro-batch joins against the CURRENT dim snapshot; no state is
+    kept for the static side, and at 100 TB the dim side is a
+    broadcast per micro-batch or a Delta/lake table picked up fresh
+    on every trigger)."""
+    name = f"stm_enrich_{uuid.uuid4().hex[:8]}"
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = (
+        _stream_events(spark, sf_dir)
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    _run_to_memory(enriched, name, "complete")
+    return spark.table(name)

@@ -22,8 +22,8 @@ ROWS_ONLY_KEYS = [k for k in ALL_KEYS if k not in ORACLES]
 
 
 def test_inventory_complete():
-    # SURVEY §2: 113+ operators, exactly these six rows-only
-    assert len(ALL_KEYS) >= 113
+    # SURVEY §2: 117+ operators, exactly these six rows-only
+    assert len(ALL_KEYS) >= 117
     assert set(ROWS_ONLY_KEYS) <= {
         "snk_parquet",
         "agg_approx_distinct",
