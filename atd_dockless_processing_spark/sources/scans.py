@@ -164,3 +164,42 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
     )
+
+
+@query(
+    "src_text_log_parse",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+)
+def src_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured log-line ingest: render events as text log
+    lines, write with the text sink, re-read with spark.read.text and
+    parse fields back out with regexp_extract — the classic
+    "raw application logs -> typed columns" ETL entry path ([P high]:
+    the reference's ingest is parsing semi-structured provider
+    payloads). The value field is serialized via %s (Java shortest
+    round-trip repr), so the re-parsed double is bit-identical and
+    the oracle can aggregate the original parquet directly."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    lines = ev.select(
+        F.format_string(
+            "evt id=%d type=%s value=%s", "event_id", "event_type", "value"
+        ).alias("value")
+    )
+    path = scratch_dir("src_text_log", sf_dir.strip("/").replace("/", "_"))
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parsed = back.select(
+        F.regexp_extract("value", r"type=(\w+)", 1).alias("event_type"),
+        F.regexp_extract("value", r"value=(\S+)$", 1).cast("double").alias("val"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("val"), 4).alias("sum_value"),
+    )

@@ -320,3 +320,48 @@ def stm_join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(enriched, name, "complete")
     return spark.table(name)
+
+
+@query(
+    "stm_foreachbatch_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stm_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the streaming escape hatch for sinks Spark
+    has no native writer for (the reference's Socrata/Postgres upsert
+    targets, [P high] — each micro-batch would be one idempotent
+    upsert call). Here each micro-batch appends to parquet; after the
+    availableNow drain the sink directory is read back and aggregated
+    — content is batching-invariant, so the result hash-matches the
+    batch oracle."""
+    out = scratch_dir(
+        "stm_foreachbatch",
+        sf_dir.strip("/").replace("/", "_"),
+        f"out_{uuid.uuid4().hex[:8]}",
+    )
+
+    def _write_batch(bdf: DataFrame, _batch_id: int) -> None:
+        bdf.select("event_id", "event_type", "value").write.mode("append").parquet(out)
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option(
+            "checkpointLocation",
+            scratch_dir("stm_foreachbatch", f"ckpt_{uuid.uuid4().hex[:8]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -5,7 +5,8 @@ SparkSession at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Method matches BASELINE.md: median of 3 hot runs per query (1 warm-up),
+Method matches BASELINE.md: median of 5 hot runs per query (2 warm-ups,
+the second so the JVM JIT compiles generated stages before timing),
 full collect(), JVM startup excluded (hot session).
 """
 
@@ -98,9 +99,12 @@ def main() -> None:
         t0 = time.perf_counter()
         df = QUERIES[key](spark, sf_dir)
         plan_build += time.perf_counter() - t0
-        df.toPandas()  # warm-up run (triggers analysis + codegen)
+        # 2 warm-ups: first triggers analysis + codegen, second lets
+        # the JVM JIT (C2) compile the generated stages before timing.
+        df.toPandas()
+        df.toPandas()
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df.toPandas()
             times.append(time.perf_counter() - t0)
@@ -116,7 +120,7 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "plan_build_s": round(plan_build, 4),
-                "method": "hot exec, plan built once, median of 3 toPandas",
+                "method": "hot exec, plan built once, median of 5 toPandas",
             }
         )
     )
