@@ -1,0 +1,281 @@
+"""Relational-breadth operators, batch M9 (SURVEY.md §2.15 cont.):
+argmax/argmin/mode aggregates, bitwise functions, gaps-and-islands
+streak detection, share-of-total window, and error-safe (TRY_*)
+arithmetic.
+
+Reference parity: the reference checkout was empty at survey time
+(SURVEY.md §0); these generalize standard relational surface the
+reference's SQL layer exposes ([P] per SURVEY §2 conventions).
+
+Scale design notes (100 TB):
+- ``agg_minmax_by``: max_by/min_by are ordinary declarative
+  aggregates — partial (map-side) combine applies, so the shuffle
+  carries one row per (group, agg) regardless of input size. The
+  modal-status sub-aggregate is count-then-argmax: two combinable
+  shuffles on low-cardinality keys, never a sort.
+- ``evt_gap_islands``: one shuffle to (user) partitions; the
+  row_number-difference trick turns consecutive-run detection into a
+  pure in-partition window + hash agg (no self-join, no iteration).
+- ``win_ratio_to_report``: single shuffle on the partition key; the
+  partition-total sum is computed by the same window exchange that
+  the projection consumes — no second pass over the fact table.
+- Tie-breaking discipline: every argmax/argmin uses a composite
+  scalar key that embeds the tie-breaker (amount then key, count
+  then value), so results are deterministic under any partitioning —
+  the property that makes re-runs hash-stable on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# argmax / argmin / mode aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    WITH sc AS (
+      SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey AS price_key
+      FROM orders
+    ),
+    base AS (
+      SELECT o_orderpriority,
+             max_by(o_orderkey, price_key) AS top_order,
+             min_by(o_orderkey, price_key) AS bottom_order,
+             ROUND(MAX(o_totalprice), 4) AS max_price,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM sc GROUP BY o_orderpriority
+    ),
+    cnt AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM sc GROUP BY 1, 2
+    ),
+    modal AS (
+      SELECT o_orderpriority,
+             max_by(o_orderstatus, printf('%010d|%s', n, o_orderstatus))
+               AS modal_status
+      FROM cnt GROUP BY o_orderpriority
+    )
+    SELECT base.*, modal.modal_status
+    FROM base JOIN modal USING (o_orderpriority)
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin/mode per group: the highest/lowest-value order id
+    per priority via max_by/min_by, plus the modal order status
+    (mode composed as count-then-argmax so ties break
+    deterministically — count desc, then status desc — identically in
+    both engines; native mode() has engine-defined ties).
+
+    Tie-safety: the ordering key embeds the tie-breaker in one scalar
+    (cents * 1e7 + orderkey fits bigint at any TPC-H SF; status key
+    is the zero-padded count concatenated with the status), so the
+    result is deterministic under any partitioning."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        (
+            F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10000000)
+            + F.col("o_orderkey")
+        ).alias("price_key"),
+    )
+    base = o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "price_key").alias("top_order"),
+        F.min_by("o_orderkey", "price_key").alias("bottom_order"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    modal = (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by(
+                "o_orderstatus",
+                F.format_string("%010d|%s", "n", "o_orderstatus"),
+            ).alias("modal_status")
+        )
+    )
+    return base.join(modal, "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# bitwise expression surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(bit_count(event_id)) AS BIGINT) AS sum_popcount,
+           CAST(SUM(event_id & 255) AS BIGINT) AS sum_low_byte,
+           CAST(SUM(xor(event_id, 90) & 1023) AS BIGINT) AS sum_xor_mask,
+           CAST(SUM((event_id & 15) << 2) AS BIGINT) AS sum_shifted,
+           CAST(SUM(event_id | 4096) AS BIGINT) AS sum_or_flag
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface (AND/OR/XOR/shift/popcount) over
+    event ids — the bit-flag decode path of compact encodings. All
+    JVM-side integer ops inside one codegen stage; one combinable agg
+    shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.bit_count("event_id")).alias("sum_popcount"),
+        F.sum(F.expr("event_id & 255")).alias("sum_low_byte"),
+        F.sum(F.expr("(event_id ^ 90) & 1023")).alias("sum_xor_mask"),
+        F.sum(F.expr("shiftleft(event_id & 15, 2)")).alias("sum_shifted"),
+        F.sum(F.expr("event_id | 4096")).alias("sum_or_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_gap_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, day_num,
+             day_num - ROW_NUMBER() OVER
+               (PARTITION BY user_id ORDER BY day_num) AS island
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, island,
+             CAST(COUNT(*) AS BIGINT) AS streak,
+             MIN(day_num) AS start_day
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(streak) AS BIGINT) AS max_streak,
+           CAST(min_by(start_day, -streak * 100000 + start_day) AS BIGINT)
+             AS best_start_day
+    FROM islands GROUP BY user_id
+    """,
+)
+def evt_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the row_number-difference trick (day_num - rn is constant within
+    a consecutive run). Trip/visit streak reconstruction ([P med] —
+    the session/trip rebuild family, SURVEY §2.10) without self-joins
+    or iteration: one shuffle to user partitions, then in-partition
+    window + two combinable aggs. best_start_day = start of the
+    longest streak, earliest-start tie-break via one composite
+    argmin key."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+                "day_num"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    grp = days.withColumn("island", F.col("day_num") - F.row_number().over(w))
+    islands = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak"),
+        F.min("day_num").alias("start_day"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("streak").alias("max_streak"),
+        F.min_by(
+            "start_day", (-F.col("streak")) * F.lit(100000) + F.col("start_day")
+        ).alias("best_start_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# share-of-total window (ratio_to_report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice /
+                 SUM(o_totalprice) OVER (PARTITION BY o_orderpriority),
+                 6) AS share
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total within group (Oracle's ratio_to_report): each
+    order's fraction of its priority class's total price. One shuffle
+    on the partition key; the unbounded-frame sum and the projection
+    share that single exchange. The date filter pushes to the parquet
+    scan."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6).alias(
+            "share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# error-safe arithmetic (TRY_ semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (value / NULLIF(event_id % 3, 0) IS NULL)
+                AS BIGINT) AS n_null_div,
+           ROUND(SUM(value / NULLIF(event_id % 3, 0)), 4) AS sum_safe_div,
+           CAST(SUM(event_id + user_id) AS BIGINT) AS sum_try_add,
+           CAST(COUNT(TRY_CAST(event_type AS DOUBLE)) AS BIGINT) AS n_castable
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: try_divide (NULL on zero divisor, not an
+    exception — ANSI-mode-safe), try_add (NULL on bigint overflow;
+    equals plain + here, asserting the no-overflow path), try_cast
+    (NULL on malformed input). The malformed-row-tolerant ingest
+    posture ([P high]: provider feeds contain malformed records that
+    must not kill the job)."""
+    ev = load(spark, sf_dir, "events")
+    safe_div = F.try_divide(F.col("value"), F.expr("event_id % 3"))
+    return ev.groupBy("event_type").agg(
+        F.count_if(safe_div.isNull()).alias("n_null_div"),
+        F.round(F.sum(safe_div), 4).alias("sum_safe_div"),
+        F.sum(F.try_add(F.col("event_id"), F.col("user_id"))).alias("sum_try_add"),
+        F.count(F.expr("try_cast(event_type AS DOUBLE)")).alias("n_castable"),
+    )
