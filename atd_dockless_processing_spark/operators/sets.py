@@ -129,3 +129,27 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return early.exceptAll(late)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicity-preserving
+    intersection): a customer with 5 early and 2 late orders keeps
+    min(5,2)=2 rows — completes the set-op surface alongside
+    `set_intersect`'s distinct semantics. One shuffle on the key,
+    min-of-counts semantics planned as a hash join."""
+    o = load(spark, sf_dir, "orders")
+    early = o.where(F.col("o_orderdate") < "1997-01-01").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    late = o.where(F.col("o_orderdate") >= "1997-01-01").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return early.intersectAll(late)

@@ -365,3 +365,46 @@ def stm_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "stm_sliding_watermark",
+    oracle="""
+    WITH offs AS (SELECT UNNEST([0, 1800]) AS off)
+    SELECT make_timestamp(
+             ((FLOOR((epoch(CAST(ts AS TIMESTAMP)) - off) / 3600) * 3600 + off) * 1000000)::BIGINT
+           ) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events CROSS JOIN offs
+    GROUP BY 1, 2
+    """,
+)
+def stm_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of evt_sliding_window: 1-hour windows sliding
+    every 30 minutes (each event lands in 2 windows) with a 1-hour
+    watermark, drained under availableNow. The watermark bounds
+    window state at 100 TB — closed windows are evicted from the
+    state store once the event-time horizon passes, so state size
+    follows the lateness bound, not the stream length. Complete mode
+    + one input snapshot keeps the result equal to the batch twin
+    (hash-checkable)."""
+    name = f"stm_sliding_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _run_to_memory(agg, name, "complete")
+    return spark.table(name)
