@@ -442,3 +442,35 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(key).alias("n_keys"),
         F.substring(F.min(key), 1, 16).alias("min_key_prefix"),
     )
+
+
+@query(
+    "fn_date_interval",
+    oracle="""
+    SELECT o_orderkey,
+           (CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH)::DATE AS due_q,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST((1998 - year(o_orderdate)) * 12
+                + (6 - month(o_orderdate)) AS INTEGER) AS months_to_cutoff
+    FROM orders
+    """,
+)
+def fn_date_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic: add_months (end-of-month
+    clamping verified identical across engines: Jan 31 + 1 mo =
+    Nov 30 + 3 mo = Feb 28), last_day, and whole-month distance
+    computed as the explicit (year, month) boundary formula — NOT
+    months_between, whose 31-day fractional divisor has no DuckDB
+    equivalent. Billing-period / reporting-calendar derivation
+    ([P med]: the reference's year/month reporting fields)."""
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(od, 3).alias("due_q"),
+        F.last_day(od).alias("month_end"),
+        (
+            (F.lit(1998) - F.year("o_orderdate")) * 12
+            + (F.lit(6) - F.month("o_orderdate"))
+        ).cast("int").alias("months_to_cutoff"),
+    )
