@@ -478,3 +478,27 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group, so equality is bitwise on both engines."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_CORR_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, l.c_custkey, l.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) l
+"""
+
+
+@query("sql_lateral_topn", oracle=_LATERAL_SQL)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join through the SQL entry point: per
+    nation, the top-2 customers by account balance (custkey
+    tie-break). Catalyst decorrelates the ORDER BY + LIMIT lateral
+    subquery (DecorrelateInnerQuery) into a partitioned rank — the
+    same single-shuffle window shape as win_topk_per_group, with no
+    per-outer-row re-execution; identical SQL runs on both engines."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)
