@@ -191,13 +191,18 @@ def fn_math_core(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(toks) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
            list_contains(toks, 'data') AS has_data,
-           list_sort(list_distinct(toks[1:5])) AS first5_sorted
+           array_to_string(list_sort(list_distinct(toks[1:5])), ',') AS first5_sorted
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
     """,
 )
 def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array ops on token arrays: size/distinct/contains/slice+sort
-    (route-array handling analogue, [P med])."""
+    (route-array handling analogue, [P med]).
+
+    The sorted-slice column is serialized with array_join so the result
+    set is hashable by pandas-based comparison harnesses (array cells are
+    numpy arrays there, which are unhashable); the oracle mirrors it with
+    array_to_string."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -206,7 +211,9 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_unique"),
         F.array_contains("toks", "data").alias("has_data"),
-        F.sort_array(F.array_distinct(F.slice("toks", 1, 5))).alias("first5_sorted"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.slice("toks", 1, 5))), ","
+        ).alias("first5_sorted"),
     )
 
 

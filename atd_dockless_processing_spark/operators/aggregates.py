@@ -137,7 +137,7 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT o_orderstatus,
-           list_sort(array_agg(DISTINCT o_orderpriority)) AS priorities
+           array_to_string(list_sort(array_agg(DISTINCT o_orderpriority)), '|') AS priorities
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -145,11 +145,17 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group sorted distinct list (deterministic collect_list —
     collect_set order is nondeterministic, so sort_array makes it
-    hashable; core)."""
+    deterministic; core). Serialized via array_join so pandas-based
+    comparison harnesses can hash the column (numpy arrays are
+    unhashable); oracle mirrors with array_to_string."""
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities")
+        )
     )
 
 

@@ -43,8 +43,8 @@ from ..tables import load
     oracle="""
     WITH sc AS (
       SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice,
-             CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
-               + o_orderkey AS price_key
+             printf('%013d|%013d', CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                    o_orderkey) AS price_key
       FROM orders
     ),
     base AS (
@@ -77,18 +77,22 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically — count desc, then status desc — identically in
     both engines; native mode() has engine-defined ties).
 
-    Tie-safety: the ordering key embeds the tie-breaker in one scalar
-    (cents * 1e7 + orderkey fits bigint at any TPC-H SF; status key
-    is the zero-padded count concatenated with the status), so the
-    result is deterministic under any partitioning."""
+    Tie-safety: the ordering key embeds the tie-breaker in one
+    zero-padded string '%013d|%013d' (cents | orderkey) — lexicographic
+    order equals (price, orderkey) order, and 13 digits cover cents to
+    ~1e13 and orderkeys to ~1e13 (TPC-H SF ~1.6M), with no bigint
+    packing overflow (a cents*1e12+orderkey scalar would overflow
+    bigint already at max TPC-H price). Same printf on both engines,
+    so the result is deterministic under any partitioning."""
     o = load(spark, sf_dir, "orders").select(
         "o_orderpriority",
         "o_orderstatus",
         "o_orderkey",
         "o_totalprice",
-        (
-            F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10000000)
-            + F.col("o_orderkey")
+        F.format_string(
+            "%013d|%013d",
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            F.col("o_orderkey"),
         ).alias("price_key"),
     )
     base = o.groupBy("o_orderpriority").agg(

@@ -264,25 +264,94 @@ def _as_double(col):
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.45; this
     synthetic corpus' max pairwise cosine is ~0.51, so the threshold
-    selects the genuine near-dup tail). Exact all-pairs here; at
-    100 TB the pair generation is pruned by IVF cells (see
-    ``llm_ann_ivf``) or random-hyperplane LSH so each vector only
-    scores against its bucket's posting list."""
-    # Norms are precomputed per VECTOR (n rows), not per PAIR (n^2
-    # rows): the quadratic stage evaluates only the dot product —
-    # measured ~3x cheaper than recomputing both norms per pair.
+    selects the genuine near-dup tail).
+
+    Scale plan — CELL-BLOCKED with a ball-cover recall-1.0 bound, not
+    all-pairs. cos(x,y) >= T on the unit sphere is Euclidean
+    d(x̂,ŷ) <= R = sqrt(2-2T). Cells = the label column (the same
+    coarse quantizer ``llm_ann_ivf`` uses); per cell we take the
+    centroid c and radius(c) = max member distance. Triangle
+    inequality: a qualifying pair (x,y) has
+    d(x̂, c_cell(y)) <= d(x̂,ŷ) + d(ŷ, c_cell(y)) <= R + radius(c),
+    so replicating every vector to each cell within R + radius(c)
+    (+1e-6 FP slack — widening only, so recall stays exactly 1.0 and
+    precision is restored by the exact verify) makes the candidate
+    join an EQUI-JOIN on cell id: replicated probes x members, a<b,
+    exact cosine verify. Each qualifying pair is emitted exactly once
+    (only via x -> cell(y) under a.vec_id < b.vec_id), so no dedup
+    pass. On this dense synthetic corpus (T=0.45 => R~1.05, cells
+    wide) the gate degenerates to near-full replication — but the
+    plan SHAPE is the 100 TB one: at a production dedup threshold
+    (T>=0.9 => R<=0.45) replication ~1 and each vector meets only
+    its neighborhood cells' posting lists. The oracle stays the
+    O(n^2) exact join — recall 1.0 means identical output."""
+    import math
+
     v = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("ve")
+        "vec_id", "label", _as_double("embedding").alias("ve")
     )
-    v = v.select("vec_id", "ve", _norm(F.col("ve")).alias("nrm"))
-    a, b = v.alias("a"), v.alias("b")
-    cos = _dot(F.col("a.ve"), F.col("b.ve")) / (F.col("a.nrm") * F.col("b.nrm"))
+    # Norms per VECTOR (n rows), not per PAIR; unit-normalized copy
+    # vh drives the geometric gate, raw ve drives the exact cosine
+    # (identical expression to the oracle for FP-rounding parity).
+    v = v.select(
+        "vec_id", "label", "ve", _norm(F.col("ve")).alias("nrm")
+    ).select(
+        "vec_id", "label", "ve", "nrm",
+        F.transform("ve", lambda x: x / F.col("nrm")).alias("vh"),
+    )
+    radius_gate = math.sqrt(2.0 - 2.0 * _COS_T)  # R on the unit sphere
+
+    dim = _EMB_DIM
+    cent = (
+        v.groupBy("label")
+        .agg(*[F.avg(F.col("vh")[i]).alias(f"c{i}") for i in range(dim)])
+        .select(
+            F.col("label").alias("cell"),
+            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cvec"),
+        )
+    )
+
+    def _d_to(cvec_col):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("vh"), cvec_col, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+
+    rad = (
+        v.join(F.broadcast(cent), v.label == cent.cell)
+        .select("cell", _d_to(F.col("cvec")).alias("d"))
+        .groupBy("cell")
+        .agg(F.max("d").alias("radius"))
+    )
+    cells = cent.join(rad, "cell")  # nlist rows: (cell, cvec, radius)
+
+    probes = (
+        v.crossJoin(F.broadcast(cells))  # n x nlist, linear not quadratic
+        .where(_d_to(F.col("cvec")) <= F.lit(radius_gate) + F.col("radius") + F.lit(1e-6))
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("ve").alias("a_ve"),
+            F.col("nrm").alias("a_nrm"),
+            "cell",
+        )
+    )
+    members = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("ve").alias("b_ve"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("label").alias("cell"),
+    )
+    cos = _dot(F.col("a_ve"), F.col("b_ve")) / (F.col("a_nrm") * F.col("b_nrm"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        probes.join(members, ["cell"])  # shuffle equi-join on cell id
+        .where(F.col("a_id") < F.col("b_id"))
         .where(cos >= _COS_T)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col("a_id").alias("vec_a"),
+            F.col("b_id").alias("vec_b"),
             F.round(cos, 4).alias("cos_sim"),
         )
     )

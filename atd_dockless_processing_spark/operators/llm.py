@@ -339,7 +339,7 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified by exact Jaccard >= 0.8 (ext; the flagship scale
     operator). Pipeline: distinct tokens -> K=16 deterministic
     minhashes (xxhash64 with per-hash salt column, no randomness) ->
-    8 bands x 2 rows -> self-join on (band, signature) buckets ->
+    16 bands x 1 row -> self-join on (band, signature) buckets ->
     exact-Jaccard verification on candidates only.
 
     The oracle is the O(n^2) exact-Jaccard join (fine at 500 docs).
@@ -445,17 +445,21 @@ def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids (ext: document fingerprinting). DF statistics computed
     over the FULL corpus (shuffle on term, map-side combinable), then
     joined to the 10 probe docs — the scale shape for featurizing a
-    corpus against global statistics."""
+    corpus against global statistics. The corpus size N enters the
+    plan as a broadcast single-row aggregate (crossJoin), not a
+    driver-side count(): one Spark job, one corpus scan, exactly like
+    the oracle's CROSS JOIN n_docs."""
     probe_ids = [0, 1, 2, 3, 5, 8, 13, 21, 34, 55]
     d = load(spark, sf_dir, "documents")
     tf = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    n_docs = d.count()
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n_docs"))
     tfc = tf.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    idf = F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     scored = (
         tfc.where(F.col("doc_id").isin(probe_ids))
         .join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id", "term", F.round(F.col("tf") * idf, 4).alias("tfidf")
         )

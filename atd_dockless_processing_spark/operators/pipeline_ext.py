@@ -118,7 +118,7 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFram
     comp AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
     SELECT cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           list_sort(list(doc_id)) AS member_ids
+           array_to_string(list_sort(list(doc_id)), ',') AS member_ids
     FROM comp GROUP BY cluster_id
     """,
 )
@@ -159,9 +159,12 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # member_ids serialized with array_join (mirrored by the oracle's
+    # array_to_string): pandas-based comparison harnesses cannot hash
+    # array cells (numpy arrays are unhashable)
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sort_array(F.collect_list("node")).alias("member_ids"),
+        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("member_ids"),
     ).select(F.col("label").alias("cluster_id"), "n_docs", "member_ids")
 
 
@@ -457,17 +460,17 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CORR_SQL = """
+_CORR_SQL_T = """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_max_orders
-    FROM orders o
+    FROM {orders} o
     WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
-                          FROM orders o2
+                          FROM {orders} o2
                           WHERE o2.o_custkey = o.o_custkey)
     GROUP BY o_orderpriority
 """
 
 
-@query("sql_correlated_subquery", oracle=_CORR_SQL)
+@query("sql_correlated_subquery", oracle=_CORR_SQL_T.format(orders="orders"))
 def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery through the SQL entry point: orders
     that are their customer's maximum, counted per priority. Catalyst
@@ -475,30 +478,52 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + join — verified by the absence of any per-row
     subquery execution in the plan. MAX (not AVG) keeps the
     correlation FP-exact: the compared value is an actual member of
-    the group, so equality is bitwise on both engines."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_CORR_SQL)
+    the group, so equality is bitwise on both engines.
+
+    The temp view is uuid-scoped (like sql_tpch_q6) so a concurrent
+    session's view named 'orders' is never clobbered; spark.sql
+    resolves the view eagerly at analysis, so the immediate drop
+    keeps the returned DataFrame valid."""
+    import uuid as _uuid
+
+    v = f"orders_corr_{_uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(v)
+    out = spark.sql(_CORR_SQL_T.format(orders=v))
+    spark.catalog.dropTempView(v)
+    return out
 
 
-_LATERAL_SQL = """
+_LATERAL_SQL_T = """
     SELECT n.n_name, l.c_custkey, l.c_acctbal
-    FROM nation n,
+    FROM {nation} n,
     LATERAL (
-      SELECT c_custkey, c_acctbal FROM customer c
+      SELECT c_custkey, c_acctbal FROM {customer} c
       WHERE c.c_nationkey = n.n_nationkey
       ORDER BY c_acctbal DESC, c_custkey LIMIT 2
     ) l
 """
 
 
-@query("sql_lateral_topn", oracle=_LATERAL_SQL)
+@query(
+    "sql_lateral_topn",
+    oracle=_LATERAL_SQL_T.format(nation="nation", customer="customer"),
+)
 def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL join through the SQL entry point: per
     nation, the top-2 customers by account balance (custkey
     tie-break). Catalyst decorrelates the ORDER BY + LIMIT lateral
     subquery (DecorrelateInnerQuery) into a partitioned rank — the
     same single-shuffle window shape as win_topk_per_group, with no
-    per-outer-row re-execution; identical SQL runs on both engines."""
-    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(_LATERAL_SQL)
+    per-outer-row re-execution; identical SQL runs on both engines.
+    Views are uuid-scoped to avoid clobbering same-named views in a
+    shared session (see sql_correlated_subquery)."""
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    vn, vc = f"nation_lat_{tag}", f"customer_lat_{tag}"
+    load(spark, sf_dir, "nation").createOrReplaceTempView(vn)
+    load(spark, sf_dir, "customer").createOrReplaceTempView(vc)
+    out = spark.sql(_LATERAL_SQL_T.format(nation=vn, customer=vc))
+    spark.catalog.dropTempView(vn)
+    spark.catalog.dropTempView(vc)
+    return out

@@ -74,7 +74,14 @@ def get_spark(app_name: str = "atd-dockless-spark", master: str | None = None) -
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable session confs (for sessions we did not build)."""
+    """Apply runtime-settable session confs (for sessions we did not
+    build). Idempotent and cheap on repeat calls: the whole body runs
+    once per SparkContext (the driver's correctness harness calls
+    tune() before every key — the flag makes call 2..n a no-op instead
+    of n py4j conf round-trips + a zip stat)."""
+    env = spark.sparkContext.environment
+    if env.get("__atd_tuned__"):
+        return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
@@ -84,4 +91,5 @@ def tune(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     _ship_package(spark)
+    env["__atd_tuned__"] = "1"
     return spark

@@ -131,12 +131,17 @@ def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100 TB repeated-join amortizer: pay one bucketed
     write, then every subsequent join/aggregation on the bucket key
     is shuffle-free — Spark's answer to co-located storage layouts.
-    """
-    import uuid as _uuid
 
+    Table names are FIXED per sf_dir and written mode("overwrite"):
+    repeated selfcheck/bench/test runs reuse the same two catalog
+    entries instead of leaking uuid-named metastore tables and
+    .scratch files per invocation (laziness stays valid — the
+    returned DataFrame scans tables that persist until the next
+    overwrite).
+    """
+    sftag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     base = scratch_dir("snk_bucketed", sf_dir.strip("/").replace("/", "_"))
-    tag = _uuid.uuid4().hex[:8]
-    o_tbl, c_tbl = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    o_tbl, c_tbl = f"bkt_orders_{sftag}", f"bkt_customer_{sftag}"
     (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")

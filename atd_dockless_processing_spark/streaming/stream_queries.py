@@ -42,15 +42,43 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+class _stream_partitions:
+    """Run a streaming query with few state partitions at test scale.
+
+    A stateful micro-batch pays a fixed per-partition cost (state
+    store open/commit + task launch) every batch; with the session's
+    batch setting of 32 that fixed cost dominates sub-second streams
+    at sf<=0.1. The state-partition count is baked into each query's
+    NEW checkpoint at first batch, so narrowing it here only affects
+    these self-contained drains. At 100 TB you'd raise it (state
+    partitioning, like shuffle partitioning, scales with executors) —
+    this is a test-latency knob, not a semantics change: windowed/
+    dedup results are partitioning-invariant.
+    """
+
+    N = "8"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.N)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _run_to_memory(sdf, name: str, output_mode: str) -> None:
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,26 +161,31 @@ def stm_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches (maxFilesPerTrigger=1). The watermark advances
     after batch 1, so batch 2's late rows are dropped from the
     append-mode windowed aggregate ([P med]: late provider data)."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props",
-    )
     base = scratch_dir("stm_late_data", sf_dir.strip("/").replace("/", "_"))
     indir = f"{base}/in"
-    shutil.rmtree(indir, ignore_errors=True)
-    os.makedirs(indir)
-    recent = ev.where(F.col("ts") >= "2024-01-10")
-    late = ev.where(F.col("ts") < "2024-01-08")
-    for i, part in enumerate([recent, late]):
-        tmp = f"{base}/tmp{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+    staged = [os.path.join(indir, f"f{i}.parquet") for i in range(2)]
+    if not all(os.path.exists(p) for p in staged):
+        # stage once per sf_dir (the two files are a pure function of
+        # the input snapshot — repeated selfcheck runs reuse them
+        # instead of paying two coalesce(1) write jobs per run)
+        shutil.rmtree(indir, ignore_errors=True)
+        os.makedirs(indir)
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props",
         )
-        dst = os.path.join(indir, f"f{i}.parquet")
-        shutil.move(os.path.join(tmp, src), dst)
-        # file source orders batches by modification time: force it
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
-        shutil.rmtree(tmp, ignore_errors=True)
+        recent = ev.where(F.col("ts") >= "2024-01-10")
+        late = ev.where(F.col("ts") < "2024-01-08")
+        for i, part in enumerate([recent, late]):
+            tmp = f"{base}/tmp{i}"
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+            )
+            dst = staged[i]
+            shutil.move(os.path.join(tmp, src), dst)
+            # file source orders batches by modification time: force it
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+            shutil.rmtree(tmp, ignore_errors=True)
 
     name = f"stm_late_{uuid.uuid4().hex[:8]}"
     ts_schema = T.StructType(
@@ -177,15 +210,21 @@ def stm_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("hour_start"), "n_events")
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{base}/ckpt_{uuid.uuid4().hex[:8]}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = f"{base}/ckpt_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # fresh checkpoints are required per run (file-source offsets live
+    # there; reusing one would skip all input) — so drop it after the
+    # drain instead of leaking one dir per invocation
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -340,26 +379,27 @@ def stm_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow drain the sink directory is read back and aggregated
     — content is batching-invariant, so the result hash-matches the
     batch oracle."""
+    # fixed sink path per sf_dir, cleared up front: foreachBatch
+    # APPENDS per micro-batch, so a stale directory would double-count
+    # — and uuid-per-run names would leak one dir per invocation
     out = scratch_dir(
-        "stm_foreachbatch",
-        sf_dir.strip("/").replace("/", "_"),
-        f"out_{uuid.uuid4().hex[:8]}",
+        "stm_foreachbatch", sf_dir.strip("/").replace("/", "_"), "out"
     )
+    shutil.rmtree(out, ignore_errors=True)
 
     def _write_batch(bdf: DataFrame, _batch_id: int) -> None:
         bdf.select("event_id", "event_type", "value").write.mode("append").parquet(out)
 
+    ckpt = scratch_dir("stm_foreachbatch", f"ckpt_{uuid.uuid4().hex[:8]}")
     q = (
         _stream_events(spark, sf_dir)
         .writeStream.foreachBatch(_write_batch)
-        .option(
-            "checkpointLocation",
-            scratch_dir("stm_foreachbatch", f"ckpt_{uuid.uuid4().hex[:8]}"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -101,6 +101,20 @@ def test_topk_uses_take_ordered(spark, sf_dir):
         assert "TakeOrderedAndProject" in plan, key
 
 
+def test_embedding_dedup_pair_join_is_cell_bucketed(spark, sf_dir):
+    """llm_dedup_embedding's quadratic candidate stage must be an
+    equi-join on the cell id (shuffle hashpartitioning on `cell`),
+    not an all-pairs nested loop. The only nested-loop join allowed
+    in the plan is the LINEAR n x nlist replication crossJoin against
+    the broadcast cell table."""
+    df = QUERIES["llm_dedup_embedding"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(cell" in plan, "pair join is not bucketed on cell id"
+    assert "CartesianProduct" not in plan
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 1, f"unexpected nested-loop joins in pair stage: {n_bnlj}"
+
+
 def test_filter_pushdown_reaches_parquet(spark, sf_dir):
     """flt_range's predicate must reach the parquet scan."""
     import io
