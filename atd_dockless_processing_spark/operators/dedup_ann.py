@@ -142,6 +142,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_N = 3
 _NGRAM_T = 0.8
 _NGRAM_MH_K = 16  # 16 bands x 1 row over gram minhashes
+_NGRAM_BLOCK_T = 64  # blocks larger than this take the banded path
 
 
 @query(
@@ -170,21 +171,30 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions (sequence + transform + substring), fully
     JVM-side.
 
-    Candidate plan (all prunes are EXACT — recall 1.0 at the gate, so
-    the result hash-matches the O(n^2) oracle):
-    1. slim within-lang self-join on (doc_id, lang, n_grams) only —
-       no gram arrays cross the quadratic join;
-    2. size-ratio prefilter (J >= T implies min/max set size >= T);
-    3. gram arrays re-attached to surviving pairs by broadcast, then
-       one array_intersect per candidate.
-    MinHash-LSH banding was tried and MEASURED WORSE here: this
-    corpus is so self-similar (median pairwise gram-Jaccard ~0.6)
-    that r=1 band buckets held ~20% of the corpus each and generated
-    3x more candidate rows than lang-blocked brute force. Banding
-    pays off when qualifying pairs are sparse; on a dense-similarity
-    corpus exact blocking + cheap prefilters wins. At 100 TB with a
-    real (sparse) corpus, the llm_dedup_near_minhash banding applies
-    unchanged to gram sets."""
+    HYBRID candidate plan, routed per block by block size (computed
+    in-plan: groupBy(lang).count + broadcast join — no driver-side
+    action). All gates are recall-1.0 at J >= 0.8, so the result
+    hash-matches the O(n^2) oracle:
+
+    - blocks with > 64 docs (the default at scale — at 100 TB
+      every real block is on this path): MinHash-LSH banding over the
+      gram sets, K=16 deterministic minhashes (xxhash64, salt=i),
+      16 bands x 1 row => P(miss | J>=0.8) <= (1-0.8)^16 ~ 6.6e-12;
+      bucket self-join carries only (doc_id, n_g, band, bsig); pair
+      dedup; gram arrays re-attached to surviving candidates.
+    - blocks with <= 64 docs: slim within-lang self-join
+      (brute force) — cheaper than banding when the whole block fits
+      a few bucket-joins' worth of pairs anyway.
+    Both paths share the size-ratio prefilter (J >= T implies
+    min/max set size >= T) and one exact-Jaccard verify tail.
+
+    Measured crossover on this corpus (PLANS.md): the dense synthetic
+    documents make band buckets hold ~20% of a block, so banding only
+    wins once the block is big enough that all-pairs quadratic cost
+    overtakes the ~3x candidate inflation — threshold 64 puts
+    sf0.001 blocks (~10 docs) on brute force and sf0.01+ blocks
+    (>=100 docs) on the banded default, so both paths stay covered by
+    the correctness gate."""
     grams = F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(length(text) - {_NGRAM_N - 1}, 1)),"
@@ -192,23 +202,68 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", grams.alias("grams"))
-    slim = d.select("doc_id", "lang", F.size("grams").alias("n_g"))
-    a, b = slim.alias("a"), slim.alias("b")
-    pairs = a.join(
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    slim = d.select("doc_id", "lang", F.size("grams").alias("n_g")).join(
+        F.broadcast(sizes), "lang"
+    )
+    size_ratio_ok = (
+        F.least(F.col("a.n_g"), F.col("b.n_g")).cast("double")
+        >= _NGRAM_T * F.greatest(F.col("a.n_g"), F.col("b.n_g"))
+    )
+
+    # --- small blocks: within-lang brute force over slim rows
+    small = slim.where(F.col("n_lang") <= _NGRAM_BLOCK_T)
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # size-ratio prefilter inside the join condition
-        & (
-            F.least(F.col("a.n_g"), F.col("b.n_g")).cast("double")
-            >= _NGRAM_T * F.greatest(F.col("a.n_g"), F.col("b.n_g"))
-        ),
+        & size_ratio_ok,
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         F.col("a.n_g").alias("na"),
         F.col("b.n_g").alias("nb"),
     )
+
+    # --- large blocks: 16x1 MinHash banding over gram sets
+    big = d.join(F.broadcast(sizes.where(F.col("n_lang") > _NGRAM_BLOCK_T)), "lang")
+    sig = F.transform(
+        F.array(*[F.lit(i) for i in range(_NGRAM_MH_K)]),
+        lambda i: F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(g, i))),
+    )
+    banded = (
+        big.select(
+            "doc_id", "lang", F.size("grams").alias("n_g"), sig.alias("sig")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_g",
+            F.posexplode(F.col("sig")).alias("band", "bsig"),
+        )
+    )
+    ba, bb = banded.alias("a"), banded.alias("b")
+    big_pairs = (
+        ba.join(
+            bb,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ratio_ok,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_g").alias("na"),
+            F.col("b.n_g").alias("nb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    # --- shared exact-Jaccard verify tail
+    pairs = small_pairs.unionByName(big_pairs)
     cand = pairs.join(
         F.broadcast(d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))),
         "doc_a",
