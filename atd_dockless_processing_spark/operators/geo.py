@@ -94,6 +94,122 @@ def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real point-in-polygon (ray casting) on synthesized lat/lon
+# ---------------------------------------------------------------------------
+
+# Austin-ish coordinates derived deterministically from (value,
+# user_id); the polygon table is literal, broadcast-sized, and one
+# polygon is deliberately NON-convex (L-shape) so the ray-cast parity
+# is exercised beyond what bbox tests cover.
+_PIP_POLYGONS = [
+    (
+        "central",  # non-convex L-shape
+        [
+            (-97.80, 30.15), (-97.65, 30.15), (-97.65, 30.30),
+            (-97.72, 30.30), (-97.72, 30.42), (-97.80, 30.42),
+        ],
+    ),
+    ("east_wedge", [(-97.64, 30.12), (-97.56, 30.20), (-97.64, 30.38)]),
+]
+
+
+def _pip_sql(poly) -> str:
+    """PNPOLY crossing-parity test as DuckDB SQL over (x, y) columns.
+
+    `e0` suffixes force DOUBLE literals (a bare decimal is DECIMAL in
+    DuckDB, whose division-by-zero on horizontal edges would error;
+    IEEE doubles give inf/nan, which the crossing conjunction then
+    discards identically on both engines)."""
+    n = len(poly)
+    terms = []
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        lx1, ly1, lx2, ly2 = (f"({v!r}e0)" for v in (x1, y1, x2, y2))
+        terms.append(
+            f"(CASE WHEN (({ly1} > y) <> ({ly2} > y)) AND "
+            f"x < ({lx2} - {lx1}) * (y - {ly1}) / ({ly2} - {ly1}) + {lx1} "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _pip_col(poly, x, y):
+    """Same PNPOLY parity test as a Spark Column expression."""
+    total = F.lit(0)
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        crosses = ((F.lit(y1) > y) != (F.lit(y2) > y)) & (
+            x
+            < (F.lit(x2) - F.lit(x1)) * (y - F.lit(y1)) / (F.lit(y2) - F.lit(y1))
+            + F.lit(x1)
+        )
+        total = total + F.when(crosses, 1).otherwise(0)
+    return total % 2 == 1
+
+
+_PIP_ZONE_SQL = (
+    "CASE WHEN "
+    + _pip_sql(_PIP_POLYGONS[0][1])
+    + f" THEN '{_PIP_POLYGONS[0][0]}' WHEN "
+    + _pip_sql(_PIP_POLYGONS[1][1])
+    + f" THEN '{_PIP_POLYGONS[1][0]}' ELSE 'outside' END"
+)
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+      SELECT (-97.95e0) + (abs(value) % 40.0e0) / 100.0e0 AS x,
+             30.10e0 + (user_id % 40) / 100.0e0 AS y,
+             value
+      FROM events
+    )
+    SELECT {_PIP_ZONE_SQL} AS zone,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM pts
+    GROUP BY 1
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL point-in-polygon: ray casting (PNPOLY crossing parity)
+    against literal polygons, one non-convex — the reference's actual
+    spatial core (trip endpoints -> council district / census tract,
+    [P high], SURVEY §2.9). Testdata has no lat/lon, so coordinates
+    are synthesized deterministically from (value, user_id) with the
+    identical formula in the oracle.
+
+    Scale shape: the polygon set is compiled INTO the expression (the
+    per-edge crossing tests unroll into one codegen stage — for a
+    real district table of a few hundred polygons you'd broadcast the
+    vertex table and F.aggregate over it instead), so the point table
+    is never shuffled before the final combinable agg: a pure map at
+    100 TB, same as geo_grid_bin/geo_hex_bin. Horizontal edges give
+    IEEE inf/nan in the slope term on both engines; the crossing
+    conjunction's first clause is then false, so parity is exact."""
+    ev = load(spark, sf_dir, "events")
+    x = F.lit(-97.95) + (F.abs(F.col("value")) % F.lit(40.0)) / F.lit(100.0)
+    y = F.lit(30.10) + (F.col("user_id") % 40) / F.lit(100.0)
+    zone = (
+        F.when(_pip_col(_PIP_POLYGONS[0][1], x, y), _PIP_POLYGONS[0][0])
+        .when(_pip_col(_PIP_POLYGONS[1][1], x, y), _PIP_POLYGONS[1][0])
+        .otherwise("outside")
+    )
+    return (
+        ev.select(zone.alias("zone"), "value")
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 _HEX_SIZE = 40.0
 
 
