@@ -35,28 +35,34 @@ BASE_SF = "/root/testdata/sf0.1"
 SHAPES = {
     "Q1 scan+agg": "agg_groupby_q1",
     "Q3 join+agg+topk": "srt_topk_global",
+    # the reference's core domain: per-user event sessionization
+    # (window + lag + agg); user_id shifts per replica, so each
+    # replica is a fresh user cohort with realistic session lengths
+    "sessionize window+agg": "evt_sessionize_lag",
 }
 # (table, [key columns to shift per replica])
 REPL = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
+    "events": ["user_id"],
 }
 SPANS = {"l_orderkey": 10_000_000, "o_orderkey": 10_000_000,
-         "o_custkey": 10_000_000, "c_custkey": 10_000_000}
+         "o_custkey": 10_000_000, "c_custkey": 10_000_000,
+         "user_id": 10_000_000}
 
 
 def build(spark, mult: int) -> Path:
     out = REPO / ".scratch" / f"scale_x{mult}"
-    if all((out / f"{t}.parquet").exists() for t in REPL):
-        return out
     for t, keys in REPL.items():
+        if (out / f"{t}.parquet" / "_SUCCESS").exists():
+            continue
         df = load(spark, BASE_SF, t).withColumn(
             "_rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
         )
         for k in keys:
             df = df.withColumn(k, F.col(k) + F.col("_rep").cast("long") * SPANS[k])
-        n_files = 32 if t == "lineitem" else 8
+        n_files = 32 if t in ("lineitem", "events") else 8
         (
             df.drop("_rep")
             .repartition(n_files)
