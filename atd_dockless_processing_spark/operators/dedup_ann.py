@@ -262,13 +262,16 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    # --- shared exact-Jaccard verify tail
+    # --- shared exact-Jaccard verify tail. The gram re-attach joins
+    # are UNHINTED: d is the full corpus (auto-broadcast at test SF,
+    # shuffled hash join on doc_id at 100 TB — a broadcast hint here
+    # would ship the whole corpus to every executor).
     pairs = small_pairs.unionByName(big_pairs)
     cand = pairs.join(
-        F.broadcast(d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))),
+        d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
         "doc_a",
     ).join(
-        F.broadcast(d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))),
+        d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")),
         "doc_b",
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")

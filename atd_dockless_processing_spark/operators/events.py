@@ -217,9 +217,13 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict event-time ordering, not mere co-occurrence.
 
     Each stage is a conditional min-aggregate joined to the previous
-    stage (stage outputs are tiny: one row per surviving user), so at
-    100 TB the events table is scanned once per stage with the
-    previous stage broadcast — no window over the full event log."""
+    stage (stage outputs shrink to one row per surviving user), so at
+    100 TB the events table is scanned once per stage — no window over
+    the full event log. Stage joins are UNHINTED: per-user stage
+    output still scales with the user population, so Catalyst/AQE
+    broadcasts it only while runtime stats say it fits, and the
+    shuffle join on user_id co-partitions with the following groupBy
+    (no extra exchange) once it doesn't."""
     ev = load(spark, sf_dir, "events")
     s = (
         ev.where(F.col("event_type") == "signup")
@@ -228,14 +232,14 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(s), "user_id")
+        .join(s, "user_id")
         .where(F.col("ts") > F.col("s_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .where(F.col("ts") > F.col("c_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))

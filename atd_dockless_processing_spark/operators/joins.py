@@ -286,14 +286,16 @@ def join_multiway_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     # Stream the big fact (lineitem) so it never materializes a hash
-    # relation; orders joins by Catalyst's choice (auto-broadcast at
-    # small SF, shuffle join when stats outgrow the threshold at
-    # 100 TB). True dims (customer/supplier/nation/region) are hinted.
+    # relation; orders/customer/supplier join by Catalyst's choice
+    # (auto-broadcast at small SF, shuffle join when stats outgrow the
+    # threshold — customer and supplier are SF-proportional, so a hint
+    # would OOM a 100 TB build side). Only the truly fixed-size dims
+    # (nation 25 rows, region 5 rows) are hinted.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), customer.c_custkey == orders.o_custkey)
+        .join(customer, customer.c_custkey == orders.o_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )

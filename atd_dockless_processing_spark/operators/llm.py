@@ -396,11 +396,13 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # token re-attach UNHINTED: d is corpus-sized (auto-broadcast at
+    # test SF, shuffled hash join on doc_id at 100 TB)
     cand = pairs.join(
-        F.broadcast(d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))),
+        d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),
         "doc_a",
     ).join(
-        F.broadcast(d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))),
+        d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")),
         "doc_b",
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")

@@ -65,7 +65,8 @@ _PAIR_SQL = f"""
 def _ngram_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     """Char-3-gram Jaccard >= threshold near-dup pairs, lang-blocked
     (same candidate plan as llm_dedup_ngram: slim self-join +
-    size-ratio prefilter, gram arrays re-attached by broadcast)."""
+    size-ratio prefilter, gram arrays re-attached by an unhinted
+    doc_id join — auto-broadcast at test SF, shuffle at scale)."""
     grams = F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(length(text) - {_NGRAM_N - 1}, 1)),"
@@ -89,11 +90,13 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFram
         F.col("a.n_g").alias("na"),
         F.col("b.n_g").alias("nb"),
     )
+    # gram re-attach UNHINTED: d is corpus-sized (auto-broadcast at
+    # test SF, shuffled hash join on doc_id at 100 TB)
     cand = pairs.join(
-        F.broadcast(d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))),
+        d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
         "doc_a",
     ).join(
-        F.broadcast(d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))),
+        d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")),
         "doc_b",
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")

@@ -71,14 +71,15 @@ def srt_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
     li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
-    # Stream lineitem (largest fact) and leave the orders join strategy
-    # to Catalyst: at small SF the filtered orders side is under the
-    # broadcast threshold (verified BroadcastHashJoin in the plan); at
-    # 100 TB stats push it to a shuffle join — no hint means the right
-    # plan at every scale. Customer is a true dim here: hint it.
+    # Stream lineitem (largest fact) and leave BOTH join strategies to
+    # Catalyst: at small SF the filtered orders and customer sides sit
+    # under the broadcast threshold (verified BroadcastHashJoin in the
+    # plan); at 100 TB customer is SF-proportional (~15B rows) so
+    # stats/AQE push both to shuffled hash joins — no hint means the
+    # right plan at every scale.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), customer.c_custkey == orders.o_custkey)
+        .join(customer, customer.c_custkey == orders.o_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
