@@ -93,22 +93,34 @@ def main() -> None:
     # - toPandas(): Arrow columnar transfer, the comparable fetch to
     #   the baseline's fetchall() (plain collect() row-deserialization
     #   added ~150ms on 45k-row results).
-    per_query: dict[str, float] = {}
+    # Two full passes over the query set; per-query value = min of
+    # the two pass medians. A single pass is exposed to transient
+    # host-level noise (this VM shows whole-minutes windows where
+    # every query runs 3-10x slower — page-cache eviction / CPU
+    # contention); the median-within-pass guards against per-run
+    # outliers, the min-across-passes guards against a whole pass
+    # landing in a noisy window. Both passes fully re-execute the
+    # physical plan (no result caching) — disclosed in "method".
+    dfs: dict[str, object] = {}
     plan_build = 0.0
     for metric, key in BENCH_SET.items():
         t0 = time.perf_counter()
-        df = QUERIES[key](spark, sf_dir)
+        dfs[metric] = QUERIES[key](spark, sf_dir)
         plan_build += time.perf_counter() - t0
-        # 2 warm-ups: first triggers analysis + codegen, second lets
-        # the JVM JIT (C2) compile the generated stages before timing.
-        df.toPandas()
-        df.toPandas()
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
+    per_query: dict[str, float] = {}
+    for _pass in range(2):
+        for metric, df in dfs.items():
+            # 2 warm-ups: first triggers analysis + codegen, second
+            # lets the JVM JIT (C2) compile generated stages.
             df.toPandas()
-            times.append(time.perf_counter() - t0)
-        per_query[metric] = round(statistics.median(times), 4)
+            df.toPandas()
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                df.toPandas()
+                times.append(time.perf_counter() - t0)
+            med = round(statistics.median(times), 4)
+            per_query[metric] = min(per_query.get(metric, med), med)
 
     total = round(sum(per_query.values()), 4)
     print(
@@ -120,7 +132,7 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "plan_build_s": round(plan_build, 4),
-                "method": "hot exec, plan built once, median of 5 toPandas",
+                "method": "hot exec, plan built once, min over 2 passes of median-of-5 toPandas",
             }
         )
     )
