@@ -59,6 +59,7 @@ _KEY_ORDER = [
     "set_union_distinct", "fn_levenshtein", "join_semi", "sql_correlated_subquery",
     "evt_anomaly_zscore", "evt_gap_islands", "llm_unigram_logprob", "udf_scalar_python",
     "src_json_roundtrip", "src_text_log_parse", "snk_parquet", "snk_upsert_merge",
+    "llm_corpus_funnel",
     "agg_collect_sorted", "evt_tumbling_hour", "udaf_grouped_map", "evt_sliding_window",
     "join_left_outer", "llm_cosine_topk", "join_full_outer", "join_skew_salted",
     "join_broadcast_dim", "fn_from_json_struct", "llm_vector_quantize", "srt_topk_global",
@@ -72,6 +73,7 @@ _KEY_ORDER = [
     "agg_cube", "join_asof", "agg_groupby_q1", "stm_late_data_drop",
     "stm_watermark_dedup", "snk_bucketed_join", "stm_stateful_session", "llm_dedup_near_minhash",
     "llm_dedup_simhash", "fn_url_parse", "mm_decode_stub", "geo_bbox_join",
+    "txt_repetition_filter",
     "agg_approx_distinct", "llm_ann_hyperplane", "llm_kmeans_step", "llm_dedup_embedding",
     "llm_ann_ivf", "llm_dedup_clusters", "llm_dedup_ngram",
 ]

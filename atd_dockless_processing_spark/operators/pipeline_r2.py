@@ -3,7 +3,8 @@
 Operators a 100 TB LLM-corpus pipeline runs beyond dedup/ANN:
 eval-set decontamination, dataset-mixture reweighting, LM-based
 quality scoring, PII masking, per-entity anomaly screens, URL
-parsing, and percent-rank windows. Reference parity is declared
+parsing, percent-rank windows, Gopher-style repetition screens,
+and the end-to-end cleaning funnel. Reference parity is declared
 against SURVEY.md §2 [P] tags (the /root/reference checkout was
 empty at survey time, SURVEY §0 — no file:line cites possible).
 """
@@ -399,4 +400,159 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.nth_value("o_orderkey", 3).over(wfull).alias("third_cheapest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter (Gopher-style duplicate-n-gram screens)
+# ---------------------------------------------------------------------------
+
+_REP_DUP_T = 0.30  # duplicate-2-gram fraction threshold
+_REP_TOP_T = 0.10  # most-frequent-2-gram fraction threshold
+
+
+@query(
+    "txt_repetition_filter",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) AS g2
+      FROM documents
+    ), m AS (
+      SELECT lang,
+             CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup2_frac,
+             CAST(list_max(list_transform(list_distinct(g2),
+                  x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2) AS top2_frac
+      FROM g
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE dup2_frac > {_REP_DUP_T}
+                                    OR top2_frac > {_REP_TOP_T}) AS BIGINT) AS n_flagged,
+           ROUND(AVG(dup2_frac), 4) AS avg_dup2,
+           ROUND(AVG(top2_frac), 4) AS avg_top2
+    FROM m GROUP BY lang
+    """,
+)
+def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality screen in the style of the published
+    Gopher/MassiveText filtering rules: per document, the fraction of
+    word-2-grams that are duplicates and the fraction taken by the
+    single most frequent 2-gram; a document exceeding either
+    threshold (0.30 / 0.10) is flagged as repetitive boilerplate.
+    Reported per language: doc counts, flag counts, average fractions.
+
+    Everything is per-row higher-order-function work (transform /
+    array_distinct / filter inside whole-stage codegen) on the map
+    side — the per-doc mode computation is O(distinct x n) within the
+    row, never a shuffle — followed by ONE map-combinable agg on
+    lang. At 100 TB this runs inside the scan stage like txt_pii_mask;
+    the per-row cost is bounded by document length, not corpus size."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(
+            "transform(sequence(1, size(split(text,' ')) - 1),"
+            " i -> concat(element_at(split(text,' '), i), ' ',"
+            "             element_at(split(text,' '), i + 1)))"
+        ).alias("g2"),
+    )
+    n_g = F.size("g2").cast("double")
+    dup2 = (n_g - F.size(F.array_distinct("g2")).cast("double")) / n_g
+    top2 = (
+        F.expr(
+            "array_max(transform(array_distinct(g2),"
+            " x -> size(filter(g2, y -> y = x))))"
+        ).cast("double")
+        / n_g
+    )
+    m = d.select("lang", dup2.alias("dup2_frac"), top2.alias("top2_frac"))
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(
+            (F.col("dup2_frac") > _REP_DUP_T) | (F.col("top2_frac") > _REP_TOP_T)
+        ).alias("n_flagged"),
+        F.round(F.avg("dup2_frac"), 4).alias("avg_dup2"),
+        F.round(F.avg("top2_frac"), 4).alias("avg_top2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus-cleaning funnel
+# ---------------------------------------------------------------------------
+
+_FUN_Q_T = 0.65  # quality threshold (txt_quality_score formula)
+_FUN_LEN_LO, _FUN_LEN_HI = 20, 80  # token-count band
+
+
+@query(
+    "llm_corpus_funnel",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             len(string_split(text,' ')) AS n_toks,
+             len(list_distinct(string_split(text,' '))) AS n_uniq,
+             len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS n_stop,
+             length(text) AS n_len
+      FROM documents
+    ), m AS (
+      SELECT lang,
+             {portable_hash60_sql("'mix_' || CAST(doc_id AS VARCHAR)")} % 10 <
+               CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 8 ELSE 10 END AS mix_ok,
+             n_toks BETWEEN {_FUN_LEN_LO} AND {_FUN_LEN_HI} AS len_ok,
+             0.4*(CAST(n_uniq AS DOUBLE)/n_toks)
+             + 0.3*(1.0 - CAST(n_stop AS DOUBLE)/n_toks)
+             + 0.3*least(CAST(n_len-n_toks+1 AS DOUBLE)/n_toks/8.0, 1.0)
+               >= {_FUN_Q_T} AS q_ok
+      FROM feat
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_ingested,
+           CAST(COUNT(*) FILTER (WHERE mix_ok) AS BIGINT) AS n_mix,
+           CAST(COUNT(*) FILTER (WHERE mix_ok AND len_ok) AS BIGINT) AS n_len,
+           CAST(COUNT(*) FILTER (WHERE mix_ok AND len_ok AND q_ok) AS BIGINT) AS n_clean
+    FROM m GROUP BY lang
+    """,
+)
+def llm_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning funnel — the north-star composition
+    a pretraining data pipeline runs as ONE pass: mixture gate
+    (llm_dataset_mixture's md5 bucket downsampling) -> token-length
+    band -> quality threshold (txt_quality_score's formula), with
+    per-language survivor counts after each CUMULATIVE stage. The
+    funnel report is how pipeline owners audit where documents die.
+
+    Single scan, all stage predicates evaluated as map-side
+    expressions in one whole-stage-codegen pass, one map-combinable
+    agg shuffle on lang — adding a funnel stage costs zero extra
+    passes over 100 TB (contrast with materializing per-stage
+    intermediate tables)."""
+    toks = F.split("text", " ")
+    n_toks = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))").cast(
+        "double"
+    )
+    avg_tok_len = (F.length("text") - n_toks + 1) / n_toks
+    quality = (
+        F.lit(0.4) * (n_uniq / n_toks)
+        + F.lit(0.3) * (F.lit(1.0) - n_stop / n_toks)
+        + F.lit(0.3) * F.least(avg_tok_len / 8.0, F.lit(1.0))
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 5).when(F.col("lang") == "zh", 8).otherwise(10)
+    )
+    mix_ok = (
+        portable_hash60(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))) % 10
+        < rate
+    )
+    len_ok = (F.size(toks) >= _FUN_LEN_LO) & (F.size(toks) <= _FUN_LEN_HI)
+    q_ok = quality >= _FUN_Q_T
+    m = load(spark, sf_dir, "documents").select(
+        "lang", mix_ok.alias("mix_ok"), len_ok.alias("len_ok"), q_ok.alias("q_ok")
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_ingested"),
+        F.count_if(F.col("mix_ok")).alias("n_mix"),
+        F.count_if(F.col("mix_ok") & F.col("len_ok")).alias("n_len"),
+        F.count_if(F.col("mix_ok") & F.col("len_ok") & F.col("q_ok")).alias("n_clean"),
     )
