@@ -285,18 +285,28 @@ def llm_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
     ) t
-    WHERE nrm >= 3.5 AND nrm < 6.0
+    WHERE nrm >= 0.5 AND nrm < 1.5
     GROUP BY label
     """,
 )
 def llm_vector_norm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-norm per vector, band filter, count per label (ext:
-    embedding hygiene filtering)."""
+    embedding hygiene filtering — drop zero/denormal/blown-up
+    vectors before indexing).
+
+    Band [0.5, 1.5): the synthetic embeddings are unit-normalized
+    (norms 1.0 +/- 1e-7), so this keeps the healthy corpus and would
+    drop genuinely anomalous vectors; the norm computation itself is
+    verified cross-engine through avg_norm at 4 decimals. The
+    previous [3.5, 6.0) band matched zero rows at every SF — a
+    vacuous 0=0 hash pass (round-2 verdict). The band edges sit far
+    from the data so FP summation-order differences between engines
+    cannot flip a row across the boundary."""
     emb = load(spark, sf_dir, "embeddings").select(
         "label", _norm(_as_double("embedding")).alias("nrm")
     )
     return (
-        emb.where((F.col("nrm") >= 3.5) & (F.col("nrm") < 6.0))
+        emb.where((F.col("nrm") >= 0.5) & (F.col("nrm") < 1.5))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),

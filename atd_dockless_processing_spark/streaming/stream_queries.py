@@ -26,20 +26,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import query
-from ..tables import load, scratch_dir
+from ..tables import events_ts_to_timestamp, load, scratch_dir
 
-# events.ts is parquet TIMESTAMP(NANOS): read as raw nanos (legacy
-# conf, see tables.load) and convert to µs TimestampType in-stream.
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The file stream source requires an explicit schema. events.ts has
+# shipped as both TIMESTAMP(NANOS) (long under nanosAsLong) and
+# TIMESTAMP(MICROS) (NTZ) — so the schema is taken from a batch
+# footer read of the actual file (cheap, cached per staged dir) and
+# the ts dtype is normalized post-read by events_ts_to_timestamp,
+# exactly like the batch loader. A hard-coded schema here cost round
+# 2 three streaming keys when the testdata encoding flipped.
+_RAW_SCHEMA_CACHE: dict = {}
+
+
+def _events_raw_schema(spark: SparkSession, path: str) -> T.StructType:
+    if path not in _RAW_SCHEMA_CACHE:
+        _RAW_SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    return _RAW_SCHEMA_CACHE[path]
 
 
 class _stream_partitions:
@@ -89,14 +91,25 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = scratch_dir("stream_events", sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "events.parquet")
+    src = f"{sf_dir}/events.parquet"
+    # re-stage when the source file changed underneath the scratch
+    # copy (testdata regeneration) — a stale staged file silently
+    # serves old data/encoding otherwise
+    s = os.stat(src)
+    if os.path.exists(dst):
+        d = os.stat(dst)
+        fresh = d.st_ino == s.st_ino or (d.st_size, d.st_mtime) == (s.st_size, s.st_mtime)
+        if not fresh:
+            os.remove(dst)
+            _RAW_SCHEMA_CACHE.pop(dst, None)
     if not os.path.exists(dst):
-        src = f"{sf_dir}/events.parquet"
         try:
             os.link(src, dst)
         except OSError:
             shutil.copyfile(src, dst)
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            shutil.copystat(src, dst)
+    raw = spark.readStream.schema(_events_raw_schema(spark, dst)).parquet(stage)
+    return events_ts_to_timestamp(raw)
 
 
 @query(
@@ -164,7 +177,15 @@ def stm_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stm_late_data", sf_dir.strip("/").replace("/", "_"))
     indir = f"{base}/in"
     staged = [os.path.join(indir, f"f{i}.parquet") for i in range(2)]
-    if not all(os.path.exists(p) for p in staged):
+    # freshness marker: staged files derive from the source snapshot;
+    # re-stage if the source changed (testdata regeneration)
+    marker = f"{base}/src_mtime"
+    src_sig = str(os.stat(f"{sf_dir}/events.parquet").st_mtime_ns)
+    stale = True
+    if all(os.path.exists(p) for p in staged) and os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read().strip() != src_sig
+    if stale:
         # stage once per sf_dir (the two files are a pure function of
         # the input snapshot — repeated selfcheck runs reuse them
         # instead of paying two coalesce(1) write jobs per run)
@@ -186,6 +207,8 @@ def stm_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             # file source orders batches by modification time: force it
             os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
             shutil.rmtree(tmp, ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write(src_sig)
 
     name = f"stm_late_{uuid.uuid4().hex[:8]}"
     ts_schema = T.StructType(

@@ -46,16 +46,36 @@ def set_table_provider(provider) -> None:
     _PROVIDER = provider
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table.
+def events_ts_to_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize an ``events`` frame's ``ts`` column to TimestampType.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark 4 refuses
-    by default; we read it as raw nanos (legacy conf) and convert to
-    a µs TimestampType with integer division (the data is µs-precise
-    — FIXTURES.md — so this is lossless, and matches DuckDB's
-    CAST(ts AS TIMESTAMP) truncation). Plain double division would be
-    lossy: 2024 epoch-nanos ~ 1.7e18 > 2^53.
+    The physical parquet encoding of ``events.ts`` has varied across
+    testdata generations — TIMESTAMP(NANOS) (which Spark 4 reads as a
+    raw long under ``spark.sql.legacy.parquet.nanosAsLong``) and
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ when not UTC-adjusted,
+    TIMESTAMP when adjusted). Dispatch on the dtype actually read
+    instead of assuming one encoding, so an environment flip is a
+    no-op rather than an engine-wide failure:
+
+    - LongType (legacy nanos): integer ``div 1000`` to µs, then
+      ``timestamp_micros``. Integer division is lossless for
+      µs-precise data and matches DuckDB's CAST truncation; plain
+      double division would not be (2024 epoch-nanos ~ 1.7e18 > 2^53).
+    - TimestampNTZType: cast to TIMESTAMP — wall-clock identity
+      because the session timezone is pinned to UTC (session.py).
+    - TimestampType: already correct, cast is a no-op.
     """
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table (``events.ts`` normalized to TimestampType
+    via :func:`events_ts_to_timestamp`, whatever its physical encoding)."""
     if _PROVIDER is not None:
         df = _PROVIDER(spark, sf_dir, name)
         if df is not None:
@@ -63,7 +83,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return events_ts_to_timestamp(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -150,3 +150,45 @@ def test_filter_pushdown_reaches_parquet(spark, sf_dir):
     assert "PushedFilters: [" in out
     pushed = out.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert pushed.strip(), "no filters pushed to the scan"
+
+
+@pytest.mark.parametrize("unit", ["ns", "us", "ms"])
+def test_events_loader_dispatches_on_physical_ts_encoding(spark, tmp_path, unit):
+    """The testdata's events.ts physical encoding has flipped between
+    rounds (TIMESTAMP(NANOS) read as raw long under nanosAsLong, vs
+    TIMESTAMP(MICROS) read as TIMESTAMP_NTZ). load() must dispatch on
+    the dtype actually read and return identical µs TimestampType
+    values for every encoding — an environment flip must be a no-op,
+    not an engine-wide AnalysisException (round-2 postmortem)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from atd_dockless_processing_spark.tables import load
+
+    want = [
+        datetime.datetime(2024, 1, 1, 0, 9, 58, 778000),
+        datetime.datetime(2024, 3, 15, 12, 0, 0, 5000),
+        datetime.datetime(2024, 12, 31, 23, 59, 59, 999000),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(want, pa.timestamp(unit)),
+            "user_id": pa.array([10, 20, 30], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    d = tmp_path / unit
+    d.mkdir()
+    # version 2.6 preserves nanos physically; older coerces to µs
+    pq.write_table(tbl, d / "events.parquet", version="2.6")
+    assert pq.read_schema(d / "events.parquet").field("ts").type == pa.timestamp(unit)
+
+    df = load(spark, str(d), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    got = [r["ts"] for r in df.orderBy("event_id").select("ts").collect()]
+    assert got == want
