@@ -41,7 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (scripts/profile_keys.py, 2026-08-13). Keys missing from the list
 # (added after the last reorder) sort last, preserving completeness.
 _KEY_ORDER = [
-    # --- tier 1: never driver-tested (66) ---
+    # --- tier 1: never driver-tested (66 + the 4 round-3 additions) ---
+    "llm_pack_sequences", "txt_boilerplate_strip", "geo_nearest_hub", "evt_markov_transitions",
     "set_intersect", "evt_sessionize_lag", "set_except_all", "set_union_all",
     "fn_bitwise", "llm_centroid_per_label", "llm_dataset_mixture", "mm_frame_sample",
     "set_except", "sql_lateral_topn", "llm_dedup_exact", "set_intersect_all",

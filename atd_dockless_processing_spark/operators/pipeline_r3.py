@@ -1,0 +1,327 @@
+"""Round-3 extensions — SURVEY.md §2.17.
+
+Four first-class operators rounding out the training-data-pipeline
+and product-analytics surface (reference parity per SURVEY §0: the
+checkout was empty, so each row cites the public capability it
+generalizes):
+
+- ``llm_pack_sequences`` — concat-and-chunk sequence packing (the
+  GPT-style pretraining batch layout).
+- ``txt_boilerplate_strip`` — corpus-adaptive boilerplate pruning by
+  document-frequency threshold.
+- ``geo_nearest_hub`` — nearest-hub snap (broadcast argmin), the
+  dockless-mobility "assign trip end to nearest station/district
+  centroid" shape.
+- ``evt_markov_transitions`` — event-type transition matrix
+  (first-order Markov counts + conditional probabilities).
+
+All are hash-checked against DuckDB oracles; all hot paths are
+JVM-side expressions (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# llm_pack_sequences — concat-and-chunk packing
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512  # tokens per training sequence
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), offs AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+      FROM toks
+    )
+    SELECT lang,
+           CAST(FLOOR(start_off / {_PACK_CAPACITY}) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM offs
+    GROUP BY 1, 2
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate each language's
+    documents in doc_id order and chop the token stream into
+    fixed-capacity packs (capacity {cap}); a doc belongs to the pack
+    containing its START offset (concat-and-chunk — the standard
+    pretraining batch layout, where boundary docs spill into the next
+    block). Emits per-(lang, pack) doc and token counts — the
+    batch-manifest a data loader consumes.
+
+    Plan shape: one window cumsum per lang partition (single
+    exchange), then a partial-aggregable groupBy — no joins, no
+    collect. At 100 TB the lang partitions are further keyed by shard
+    (the window key becomes (lang, shard) with per-shard offsets), so
+    no single partition must hold a whole language.
+    """.format(cap=_PACK_CAPACITY)
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = toks.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        offs.groupBy(
+            "lang",
+            F.floor(F.col("start_off") / _PACK_CAPACITY).alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_boilerplate_strip — document-frequency boilerplate pruning
+# ---------------------------------------------------------------------------
+
+_DF_THRESHOLD = 0.5  # tokens present in > 50% of docs are boilerplate
+
+
+@query(
+    "txt_boilerplate_strip",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t
+      FROM documents
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), common AS (
+      SELECT t FROM tok, n
+      GROUP BY t, n_docs
+      HAVING COUNT(DISTINCT doc_id) > n_docs * {_DF_THRESHOLD}
+    ), per_doc AS (
+      SELECT tok.doc_id, tok.lang,
+             COUNT(*) AS n_tok,
+             COUNT(*) FILTER (WHERE tok.t NOT IN (SELECT t FROM common))
+               AS n_kept
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok - n_kept) AS BIGINT) AS tokens_removed,
+           ROUND(AVG(CAST(n_kept AS DOUBLE) / n_tok), 4) AS avg_keep_ratio
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def txt_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive boilerplate pruning: tokens whose document
+    frequency exceeds {t:.0%} of the corpus (headers, nav text,
+    license banners in real crawls) are stripped from every document;
+    emits per-language removal stats. The C4/RefinedWeb-style
+    df-threshold cleanup step.
+
+    Plan shape: the boilerplate vocabulary is computed with one
+    explode+distinct agg, collapsed to a single array row, and
+    CROSS-JOINED (1-row broadcast) onto the corpus; the strip itself
+    is a map-side HOF filter (no per-token shuffle of the corpus —
+    the token explode happens only on the vocabulary side at full
+    width, and the corpus passes once). At 100 TB the vocabulary is
+    KBs (df > 50% caps it at ~1/threshold distinct tokens) — always
+    broadcastable.
+    """.format(t=_DF_THRESHOLD)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    n_docs_df = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    df_counts = (
+        docs.select("doc_id", F.explode(F.array_distinct("toks")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    common = (
+        df_counts.crossJoin(F.broadcast(n_docs_df))
+        .where(F.col("df") > F.col("n_docs") * _DF_THRESHOLD)
+        .select("t")
+    )
+    common_arr = common.agg(
+        F.coalesce(F.collect_list("t"), F.array()).alias("common")
+    )
+    stripped = docs.crossJoin(F.broadcast(common_arr)).select(
+        "lang",
+        F.size("toks").alias("n_tok"),
+        F.size(
+            F.filter("toks", lambda t: ~F.array_contains(F.col("common"), t))
+        ).alias("n_kept"),
+    )
+    return stripped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok") - F.col("n_kept")).alias("tokens_removed"),
+        F.round(
+            F.avg(F.col("n_kept").cast("double") / F.col("n_tok")), 4
+        ).alias("avg_keep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# geo_nearest_hub — broadcast argmin snap
+# ---------------------------------------------------------------------------
+
+# Hubs in the same (value, props.k) coordinate space as the other geo
+# operators (testdata has no lat/lon — SURVEY §2.9: same algebra,
+# different units). Fixed small dim, like _ZONES in geo.py.
+_HUBS = [
+    # (hub_id, x, y)
+    (0, 50.0, 12.0),
+    (1, 150.0, 40.0),
+    (2, 280.0, 75.0),
+    (3, 60.0, 88.0),
+    (4, 420.0, 30.0),
+]
+
+
+def _hub_dist_sql(x: str, y: str, hx: float, hy: float) -> str:
+    return f"(({x} - {hx}) * ({x} - {hx}) + ({y} - {hy}) * ({y} - {hy}))"
+
+
+@query(
+    "geo_nearest_hub",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             value AS x,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS y,
+             value
+      FROM events
+    ), hubs(hub_id, hx, hy) AS (
+      VALUES {", ".join(f"({h}, {x}, {y})" for h, x, y in _HUBS)}
+    ), ranked AS (
+      SELECT pts.value, hubs.hub_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY pts.event_id
+               ORDER BY (pts.x - hx) * (pts.x - hx)
+                      + (pts.y - hy) * (pts.y - hy), hub_id
+             ) AS rn
+      FROM pts CROSS JOIN hubs
+    )
+    SELECT hub_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM ranked WHERE rn = 1
+    GROUP BY hub_id
+    """,
+)
+def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-hub assignment: snap each event point to the closest of
+    a small fixed hub set (squared euclidean, hub_id tie-break) and
+    aggregate per hub — the dockless-mobility "assign trip endpoint to
+    nearest station / district centroid" shape ([P high], SURVEY
+    §3.1 privacy binning), and the k=1 special case of a kNN join.
+
+    Plan shape: the hub set is baked into a per-row array of
+    (dist, hub_id) structs and reduced with ``array_min`` — struct
+    ordering gives the deterministic (dist, hub_id) argmin entirely
+    MAP-SIDE (zero joins, zero extra shuffles; the only exchange is
+    the final per-hub agg). The oracle computes the same assignment
+    via a genuinely different algorithm (cross join + row_number).
+    Distances are exact IEEE doubles in both engines — same products,
+    same sums — so the compare is exact, no rounding gate needed. At
+    100 TB this scales as pure map work; with thousands of hubs you
+    would swap in the IVF/LSH pre-prune (llm_ann_ivf) before the
+    exact argmin.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("int").alias("y"),
+        "value",
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    (F.col("x") - F.lit(hx)) * (F.col("x") - F.lit(hx))
+                    + (F.col("y") - F.lit(hy)) * (F.col("y") - F.lit(hy))
+                ).alias("dist"),
+                F.lit(hid).alias("hub_id"),
+            )
+            for hid, hx, hy in _HUBS
+        ]
+    )
+    snapped = ev.select(
+        F.array_min(cands).getField("hub_id").alias("hub_id"), "value"
+    )
+    return snapped.groupBy("hub_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_markov_transitions — event-type transition matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 4) AS p_next
+    FROM trans
+    """,
+)
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count (prev_type -> next_type) adjacencies ordered by
+    (ts, event_id) within user, and the conditional probability
+    P(next | prev) — the product-analytics "what do users do after X"
+    operator and the input to behavioral-cloning/session-model
+    features.
+
+    Plan shape: one window lag (exchange on user_id) -> partial-agg
+    groupBy on the 5x5 transition key -> a second tiny window over
+    ~25 rows for row-normalization. The heavy exchange is the first
+    one only; the normalization windows over the aggregated matrix,
+    not the events. At 100 TB user_id partitioning is the natural
+    key (millions of small groups — no skew; a power user's history
+    still fits a partition).
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 4).alias("p_next"),
+    )

@@ -192,3 +192,13 @@ def test_events_loader_dispatches_on_physical_ts_encoding(spark, tmp_path, unit)
     assert df.schema["ts"].dataType.typeName() == "timestamp"
     got = [r["ts"] for r in df.orderBy("event_id").select("ts").collect()]
     assert got == want
+
+
+def test_nearest_hub_is_map_side_argmin(spark, sf_dir):
+    """geo_nearest_hub must snap points WITHOUT any join: the hub set
+    is baked into a per-row struct array reduced by array_min, so the
+    only exchange in the plan is the final per-hub aggregation."""
+    df = QUERIES["geo_nearest_hub"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "hub snap should not join"
+    assert plan.count("Exchange") == 1, "expected exactly the agg exchange"
