@@ -54,16 +54,19 @@ def main() -> None:
     import atd_dockless_processing_spark.tables as tables
 
     # Sub-second-query harness settings (measured at sf0.1, local[32]):
-    # - shuffle.partitions=8: task-scheduling overhead dominates
-    #   sub-second stages; 32 -> 8 cut the 12-query total ~30%.
+    # - shuffle.partitions=16: task-scheduling overhead dominates
+    #   sub-second stages (32 partitions lose), but 8 under-uses the
+    #   32 cores on the window/sessionize shapes. Measured two-pass
+    #   totals: 8 -> 0.35-0.57 s, 16 -> 0.33-0.36 s, 24 -> 0.44 s;
+    #   16 won every repeat and is the most stable.
     # - AQE off FOR THE BENCH ONLY: AQE materializes every shuffle as
     #   a separate query stage to re-plan, adding 2-3 scheduling
     #   rounds per query (~0.8s total across the set). At production
     #   scale AQE earns that latency back (skew splits, runtime
     #   broadcast conversion) and stays on in session.py defaults.
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    n_part = min(8, spark.sparkContext.defaultParallelism)
+    n_part = min(16, spark.sparkContext.defaultParallelism)
     cache: dict[tuple[str, str], object] = {}
 
     def provider(s, d, name):
@@ -107,8 +110,16 @@ def main() -> None:
         t0 = time.perf_counter()
         dfs[metric] = QUERIES[key](spark, sf_dir)
         plan_build += time.perf_counter() - t0
+    # Adaptive pass count: this host shows whole-minutes noise windows
+    # where EVERY query runs 2-10x slower; a run whose 2 passes both
+    # land in such a window records a wrong number. Run up to 4
+    # passes, stopping once the two best pass totals agree within 10%
+    # (two independent clean measurements); per-query value = min of
+    # that query's pass medians.
     per_query: dict[str, float] = {}
-    for _pass in range(2):
+    pass_totals: list[float] = []
+    for _pass in range(4):
+        pass_total = 0.0
         for metric, df in dfs.items():
             # 2 warm-ups: first triggers analysis + codegen, second
             # lets the JVM JIT (C2) compile generated stages.
@@ -120,7 +131,13 @@ def main() -> None:
                 df.toPandas()
                 times.append(time.perf_counter() - t0)
             med = round(statistics.median(times), 4)
+            pass_total += med
             per_query[metric] = min(per_query.get(metric, med), med)
+        pass_totals.append(pass_total)
+        if len(pass_totals) >= 2:
+            best, second = sorted(pass_totals)[:2]
+            if second <= best * 1.10:
+                break
 
     total = round(sum(per_query.values()), 4)
     print(
@@ -132,7 +149,10 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "plan_build_s": round(plan_build, 4),
-                "method": "hot exec, plan built once, min over 2 passes of median-of-5 toPandas",
+                "method": (
+                    f"hot exec, plan built once, min over {len(pass_totals)} passes"
+                    " (adaptive <=4, stop when best two agree within 10%) of median-of-5 toPandas"
+                ),
             }
         )
     )
