@@ -1,0 +1,126 @@
+"""LLM-pipeline scale rehearsal: engine-path scaling on replicated docs.
+
+The dedup/pipeline operators cannot be rehearsed like the SQL shapes
+in scale_rehearsal.py — their DuckDB oracles are deliberately O(n^2)
+all-pairs (fine at 500 docs, impossible at x100). What matters for
+the 100 TB story is that the ENGINE path (MinHash-banded / df-
+threshold / window-packing) scales ~linearly in corpus size. This
+script measures exactly that: replicate sf0.1's documents xN with
+
+- shifted doc_ids (disjoint id spaces), and
+- per-replica token suffixes (`tok` -> `tok_rN`), so cross-replica
+  Jaccard is 0: each replica keeps the original within-replica
+  near-dup structure and contributes a LINEAR number of dup pairs
+  (naive replication would create groups of N identical docs and a
+  QUADRATIC pair blowup that no dedup design could survive).
+
+Then run the engine QUERIES (not the oracles) scan-based at each
+multiplier and print a markdown row per shape with the x-factor
+between successive scales (1.0x per 10x data = perfectly linear;
+sublinear factors mean fixed overhead still amortizing).
+
+Usage: python scripts/scale_rehearsal_llm.py [--mults 1,10,100] [--runs 3]
+           [--shapes key1,key2]  (registry keys; default all)
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from atd_dockless_processing_spark import QUERIES  # noqa: E402
+from atd_dockless_processing_spark.session import get_spark  # noqa: E402
+from atd_dockless_processing_spark.tables import load  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+SHAPES = {
+    "minhash near-dup (banded LSH)": "llm_dedup_near_minhash",
+    "exact dedup (groupBy text)": "llm_dedup_exact",
+    "boilerplate strip (df-threshold)": "txt_boilerplate_strip",
+    "sequence packing (window cumsum)": "llm_pack_sequences",
+    "corpus funnel (one-pass gates)": "llm_corpus_funnel",
+}
+
+
+def build(spark, mult: int) -> str:
+    out = REPO / ".scratch" / f"scale_llm_x{mult}"
+    dst = out / "documents.parquet"
+    if not (dst / "_SUCCESS").exists():
+        docs = load(spark, BASE_SF, "documents").withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        )
+        docs = (
+            docs.withColumn("doc_id", F.col("doc_id") + F.col("_rep").cast("long") * 10_000_000)
+            .withColumn(
+                "text",
+                F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda t: F.concat_ws("_", t, F.col("_rep").cast("string")),
+                        ),
+                        " ",
+                    )
+                ),
+            )
+            .drop("_rep")
+        )
+        n_files = max(8, min(64, mult))
+        docs.repartition(n_files).write.mode("overwrite").parquet(str(dst))
+    return str(out)
+
+
+def timed(fn, runs: int) -> float:
+    fn()  # warm-up
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    mults = (
+        [int(x) for x in argv[argv.index("--mults") + 1].split(",")]
+        if "--mults" in argv
+        else [1, 10, 100]
+    )
+    runs = int(argv[argv.index("--runs") + 1]) if "--runs" in argv else 3
+    shapes = SHAPES
+    if "--shapes" in argv:
+        keep = set(argv[argv.index("--shapes") + 1].split(","))
+        shapes = {lbl: k for lbl, k in SHAPES.items() if k in keep}
+    spark = get_spark("scale-rehearsal-llm")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")  # production config
+
+    dirs = {m: build(spark, m) for m in mults}
+    hdr = " | ".join(f"x{m}" for m in mults)
+    print(f"| shape | {hdr} | step factors (per 10x data) |")
+    print("|---|" + "---|" * (len(mults) + 1))
+    for label, key in shapes.items():
+        ts = []
+        for m in mults:
+            sf_dir = dirs[m]
+
+            def run():
+                QUERIES[key](spark, sf_dir).toPandas()
+
+            ts.append(timed(run, runs))
+        cells = " | ".join(f"{t:.2f} s" for t in ts)
+        steps = " ".join(
+            f"{ts[i + 1] / ts[i]:.1f}x" for i in range(len(ts) - 1)
+        )
+        print(f"| {label} | {cells} | {steps} |")
+
+
+if __name__ == "__main__":
+    main()
