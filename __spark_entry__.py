@@ -41,8 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (scripts/profile_keys.py, 2026-08-13). Keys missing from the list
 # (added after the last reorder) sort last, preserving completeness.
 _KEY_ORDER = [
-    # --- tier 1: never driver-tested (66 + the 4 round-3 additions) ---
+    # --- tier 1: never driver-tested (66 + the 7 round-3 additions) ---
     "llm_pack_sequences", "txt_boilerplate_strip", "geo_nearest_hub", "evt_markov_transitions",
+    "evt_attribution_last_touch", "src_schema_merge",
     "set_intersect", "evt_sessionize_lag", "set_except_all", "set_union_all",
     "fn_bitwise", "llm_centroid_per_label", "llm_dataset_mixture", "mm_frame_sample",
     "set_except", "sql_lateral_topn", "llm_dedup_exact", "set_intersect_all",
@@ -59,7 +60,7 @@ _KEY_ORDER = [
     "snk_bucketed_join", "stm_stateful_session", "llm_dedup_near_minhash", "llm_dedup_simhash",
     "fn_url_parse", "mm_decode_stub", "geo_bbox_join", "txt_repetition_filter",
     "llm_ann_hyperplane", "llm_kmeans_step", "llm_dedup_embedding", "llm_ann_ivf",
-    "llm_dedup_clusters", "llm_dedup_ngram",
+    "llm_dedup_clusters", "llm_dedup_ngram", "llm_dedup_keep_list",
     # --- tier 2: driver-tested, never hash-passed (4) ---
     "win_lag_lead", "fn_try_arith", "agg_collect_sorted", "agg_approx_distinct",
     # --- tier 3: ever hash-passed (75) ---

@@ -104,6 +104,43 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFram
     return cand.where(inter / union >= threshold).select("doc_a", "doc_b")
 
 
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected (doc_a, doc_b) pair
+    frame via iterative min-label propagation; returns (node, label)
+    with label = min doc_id in the component. ``localCheckpoint`` per
+    superstep cuts lineage; the only driver-side work is one bounded
+    convergence count per iteration (the canonical iterative-graph
+    shape — at 100 TB swap in large-star/small-star, SoCC'14, same
+    join+agg primitive, O(log n) supersteps)."""
+    edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t")).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
+    )
+    edges = edges.localCheckpoint(eager=True)  # pairs computed once, not per superstep
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(32):  # >= diameter of any plausible dup cluster
+        msgs = edges.join(labels, edges["s"] == labels["node"]).select(
+            F.col("t").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # cut lineage per superstep
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 @query(
     "llm_dedup_clusters",
     oracle=_PAIR_SQL
@@ -136,32 +173,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle is DuckDB's recursive-CTE transitive closure — a genuinely
     different algorithm computing the same fixpoint."""
     pairs = _ngram_pairs(spark, sf_dir, _CLUSTER_T)
-    edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t")).unionByName(
-        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
-    )
-    edges = edges.localCheckpoint(eager=True)  # pairs computed once, not per superstep
-    labels = (
-        edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
-    for _ in range(32):  # >= diameter of any plausible dup cluster
-        msgs = edges.join(labels, edges["s"] == labels["node"]).select(
-            F.col("t").alias("node"), "label"
-        )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)  # cut lineage per superstep
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = min_label_components(pairs)
     # member_ids serialized with array_join (mirrored by the oracle's
     # array_to_string): pandas-based comparison harnesses cannot hash
     # array cells (numpy arrays are unhashable)

@@ -1,6 +1,6 @@
 """Round-3 extensions — SURVEY.md §2.17.
 
-Four first-class operators rounding out the training-data-pipeline
+Seven first-class operators rounding out the training-data-pipeline
 and product-analytics surface (reference parity per SURVEY §0: the
 checkout was empty, so each row cites the public capability it
 generalizes):
@@ -14,6 +14,10 @@ generalizes):
   centroid" shape.
 - ``evt_markov_transitions`` — event-type transition matrix
   (first-order Markov counts + conditional probabilities).
+- ``llm_dedup_keep_list`` — fuzzy-dedup cluster-representative
+  selection (the step that actually shrinks a corpus).
+- ``evt_attribution_last_touch`` — last-touch purchase attribution.
+- ``src_schema_merge`` — schema-evolution read via mergeSchema.
 
 All are hash-checked against DuckDB oracles; all hot paths are
 JVM-side expressions (no Python UDFs).
@@ -21,11 +25,14 @@ JVM-side expressions (no Python UDFs).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, scratch_dir
 
 # ---------------------------------------------------------------------------
 # llm_pack_sequences — concat-and-chunk packing
@@ -324,4 +331,202 @@ def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_type",
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 4).alias("p_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_keep_list — cluster-representative selection
+# ---------------------------------------------------------------------------
+
+
+def _keep_list_oracle() -> str:
+    from .pipeline_ext import _CLUSTER_T, _PAIR_SQL  # noqa: PLC0415
+
+    del _CLUSTER_T
+    return (
+        _PAIR_SQL
+        + """,
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+    dropped AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    SELECT documents.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE dropped.doc_id IS NULL) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN dropped.doc_id IS NULL THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM documents LEFT JOIN dropped USING (doc_id)
+    GROUP BY documents.lang
+    """
+    )
+
+
+@query("llm_dedup_keep_list", oracle=_keep_list_oracle())
+def llm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup KEEP LIST — the step that actually shrinks a
+    training corpus: resolve near-dup pairs (char-3-gram Jaccard >=
+    0.7, lang-blocked) into connected components, keep ONE canonical
+    doc per cluster (the min doc_id — the component label itself, so
+    no extra argmin pass) plus every singleton, and report per-lang
+    survivor counts and kept characters.
+
+    Plan shape: the pair plan is llm_dedup_ngram's slim self-join;
+    components via min_label_components (bounded label propagation);
+    the keep decision is a LEFT ANTI-shaped join of the corpus
+    against the dropped set (clustered docs whose id != label) —
+    corpus passes once. The oracle resolves the same fixpoint with a
+    recursive CTE. At 100 TB the dropped set is the small side
+    (dup fraction of the corpus) and broadcasts."""
+    from .pipeline_ext import _CLUSTER_T, _ngram_pairs, min_label_components
+
+    pairs = _ngram_pairs(spark, sf_dir, _CLUSTER_T)
+    labels = min_label_components(pairs)
+    dropped = labels.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id"), F.lit(True).alias("is_dropped")
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    marked = docs.join(dropped, "doc_id", "left")
+    kept = F.col("is_dropped").isNull()
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(kept).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_attribution_last_touch — marketing-style attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_attribution_last_touch",
+    oracle="""
+    WITH touched AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+      FROM events
+    )
+    SELECT COALESCE(touch_type, '(none)') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 4) AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the user's most
+    recent preceding NON-purchase event (last_value IGNORE NULLS over
+    an unbounded-preceding frame, (ts, event_id)-ordered; purchases
+    with no prior touch fall into '(none)') — the standard
+    marketing/product attribution operator.
+
+    Plan shape: one window exchange on user_id carries the whole
+    computation (the conditional projection rides inside the window
+    stage), then a 5-row agg. Identical IGNORE NULLS frame semantics
+    on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch_type"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("(none)")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# src_schema_merge — schema-evolution source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_schema_merge",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT COALESCE(o_orderpriority, '(pre-evolution)') AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 4) AS sum_price
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: one dataset directory whose files were
+    written under two schema versions (v1 lacks ``o_orderpriority``;
+    v2 added it), read back in a single scan with
+    ``mergeSchema=true`` — missing columns surface as NULLs. This is
+    the 100 TB data-lake reality (columns get added over months of
+    ingest; readers must not require a rewrite), and this round's
+    events.ts encoding flip is the same failure class.
+
+    Staged once per sf_dir with a source-mtime freshness marker (the
+    same pattern as the streaming stagings). Parquet footer schemas
+    differ per file, so the scan demonstrably reconciles them — not
+    a single-schema read."""
+    base = scratch_dir("src_schema_merge", sf_dir.strip("/").replace("/", "_"))
+    indir = f"{base}/in"
+    marker = f"{base}/src_mtime"
+    src_sig = str(os.stat(f"{sf_dir}/orders.parquet").st_mtime_ns)
+    stale = True
+    if os.path.isdir(indir) and os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read().strip() != src_sig
+    if stale:
+        shutil.rmtree(indir, ignore_errors=True)
+        os.makedirs(indir)
+        orders = load(spark, sf_dir, "orders")
+        v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        for i, part in enumerate([v1, v2]):
+            tmp = f"{base}/tmp{i}"
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+            )
+            shutil.move(os.path.join(tmp, src), os.path.join(indir, f"v{i}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write(src_sig)
+    merged = spark.read.option("mergeSchema", "true").parquet(indir)
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("(pre-evolution)")).alias("o_orderpriority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
     )
