@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _KEY_ORDER = [
     # --- tier 1: never driver-tested (66 + the 7 round-3 additions) ---
     "llm_pack_sequences", "txt_boilerplate_strip", "geo_nearest_hub", "evt_markov_transitions",
-    "evt_attribution_last_touch", "src_schema_merge",
+    "evt_attribution_last_touch", "src_schema_merge", "evt_session_window_native", "evt_time_weighted_avg",
     "set_intersect", "evt_sessionize_lag", "set_except_all", "set_union_all",
     "fn_bitwise", "llm_centroid_per_label", "llm_dataset_mixture", "mm_frame_sample",
     "set_except", "sql_lateral_topn", "llm_dedup_exact", "set_intersect_all",

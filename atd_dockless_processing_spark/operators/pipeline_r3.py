@@ -1,6 +1,6 @@
 """Round-3 extensions — SURVEY.md §2.17.
 
-Seven first-class operators rounding out the training-data-pipeline
+Nine first-class operators rounding out the training-data-pipeline
 and product-analytics surface (reference parity per SURVEY §0: the
 checkout was empty, so each row cites the public capability it
 generalizes):
@@ -18,6 +18,8 @@ generalizes):
   selection (the step that actually shrinks a corpus).
 - ``evt_attribution_last_touch`` — last-touch purchase attribution.
 - ``src_schema_merge`` — schema-evolution read via mergeSchema.
+- ``evt_session_window_native`` — Spark's native session_window agg.
+- ``evt_time_weighted_avg`` — TSDB-style time-weighted mean.
 
 All are hash-checked against DuckDB oracles; all hot paths are
 JVM-side expressions (no Python UDFs).
@@ -529,4 +531,121 @@ def src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_session_window_native — Spark's native session_window aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_session_window_native",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def evt_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregate
+    (30-minute gap): the engine merges per-user event-time sessions
+    inside the aggregation operator itself — no lag/cumsum window
+    pass, one exchange, and the same primitive works unchanged in
+    Structured Streaming with state eviction at the watermark (the
+    scale story: session state is bounded by the gap horizon, not the
+    stream length). Complements evt_sessionize_lag (window-function
+    formulation) and stm_stateful_session (explicit GroupState):
+    three formulations, one semantics.
+
+    Spark defines a session as [min ts, max ts + gap); the oracle
+    reproduces exactly that from the lag/cumsum formulation. Session
+    identity depends only on ts gaps, so no tie-break ordering is
+    needed (equal timestamps always co-session)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_time_weighted_avg — TSDB-style time-weighted mean
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t_us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(SUM(value * (next_us - t_us)) / SUM(next_us - t_us), 4)
+             AS time_weighted_avg,
+           ROUND(SUM(next_us - t_us) / 1000000.0 / 3600.0, 4) AS span_hours
+    FROM stepped
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def evt_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (step-function/LOCF semantics):
+    each event's value holds until the next event, weighted by the
+    exact microsecond interval — the TSDB aggregate where plain AVG
+    is wrong whenever sampling is irregular (a value held for 2 hours
+    must count 120x more than one held for a minute).
+
+    Plan shape: one window exchange on user_id (lead), then a
+    combinable agg on the same key — AQE collapses the second
+    exchange since partitioning is preserved. Weights are exact
+    integer microsecond deltas (unix_micros / epoch_us on both
+    engines); the double sums divide out, rounded to 4 decimals."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    dur = F.col("next_us") - F.col("t_us")
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum(F.col("value") * dur) / F.sum(dur), 4).alias("time_weighted_avg"),
+        F.round(F.sum(dur) / 1000000.0 / 3600.0, 4).alias("span_hours"),
     )
