@@ -41,29 +41,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # (scripts/profile_keys.py, 2026-08-13). Keys missing from the list
 # (added after the last reorder) sort last, preserving completeness.
 _KEY_ORDER = [
-    # --- tier 1: never driver-tested (66 + the 7 round-3 additions) ---
-    "llm_pack_sequences", "txt_boilerplate_strip", "geo_nearest_hub", "evt_markov_transitions",
-    "evt_attribution_last_touch", "src_schema_merge", "evt_session_window_native", "evt_time_weighted_avg",
-    "set_intersect", "evt_sessionize_lag", "set_except_all", "set_union_all",
-    "fn_bitwise", "llm_centroid_per_label", "llm_dataset_mixture", "mm_frame_sample",
-    "set_except", "sql_lateral_topn", "llm_dedup_exact", "set_intersect_all",
-    "evt_time_spine", "geo_grid_bin", "llm_term_topk", "txt_lang_id",
-    "set_union_distinct", "sql_correlated_subquery", "evt_anomaly_zscore", "evt_gap_islands",
-    "llm_unigram_logprob", "udf_scalar_python", "src_json_roundtrip", "src_text_log_parse",
-    "snk_parquet", "snk_upsert_merge", "llm_corpus_funnel", "evt_tumbling_hour",
-    "udaf_grouped_map", "evt_sliding_window", "llm_cosine_topk", "llm_vector_quantize",
-    "srt_topk_global", "llm_knn_join", "geo_hex_bin", "src_csv_roundtrip",
-    "llm_tfidf_topk", "evt_session_batch", "snk_partitioned", "geo_point_in_polygon",
-    "evt_cohort_retention", "src_orc_roundtrip", "stm_stateful_running", "stm_tumbling_availablenow",
-    "agg_minmax_by", "evt_funnel", "llm_contamination_ngram", "stm_sliding_watermark",
-    "stm_foreachbatch_sink", "stm_join_stream_static", "stm_late_data_drop", "stm_watermark_dedup",
-    "snk_bucketed_join", "stm_stateful_session", "llm_dedup_near_minhash", "llm_dedup_simhash",
-    "fn_url_parse", "mm_decode_stub", "geo_bbox_join", "txt_repetition_filter",
-    "llm_ann_hyperplane", "llm_kmeans_step", "llm_dedup_embedding", "llm_ann_ivf",
-    "llm_dedup_clusters", "llm_dedup_ngram", "llm_dedup_keep_list",
-    # --- tier 2: driver-tested, never hash-passed (4) ---
+    # --- tier 1: never driver-tested, cheapest-first (re-profiled) ---
+    "llm_dataset_mixture", "src_schema_merge", "evt_sessionize_lag", "llm_centroid_per_label",
+    "fn_bitwise", "evt_time_spine", "txt_repetition_filter", "set_union_all",
+    "evt_anomaly_zscore", "llm_corpus_funnel", "set_intersect", "geo_grid_bin",
+    "evt_tumbling_hour", "set_except", "evt_gap_islands", "llm_pack_sequences",
+    "set_except_all", "set_intersect_all", "sql_lateral_topn", "evt_time_weighted_avg",
+    "evt_session_window_native", "llm_term_topk", "evt_sliding_window", "mm_frame_sample",
+    "llm_dedup_exact", "src_text_log_parse", "llm_cosine_topk", "set_union_distinct",
+    "src_json_roundtrip", "txt_lang_id", "snk_parquet", "llm_unigram_logprob",
+    "udf_scalar_python", "evt_markov_transitions", "sql_correlated_subquery", "geo_nearest_hub",
+    "srt_topk_global", "evt_session_batch", "snk_upsert_merge", "udaf_grouped_map",
+    "geo_hex_bin", "geo_point_in_polygon", "txt_boilerplate_strip", "llm_contamination_ngram",
+    "evt_cohort_retention", "llm_tfidf_topk", "src_csv_roundtrip", "llm_vector_quantize",
+    "stm_stateful_running", "evt_attribution_last_touch", "llm_knn_join", "agg_minmax_by",
+    "src_orc_roundtrip", "evt_funnel", "stm_tumbling_availablenow", "snk_partitioned",
+    "stm_sliding_watermark", "stm_join_stream_static", "stm_foreachbatch_sink", "stm_late_data_drop",
+    "stm_stateful_session", "fn_url_parse", "snk_bucketed_join", "geo_bbox_join",
+    "stm_watermark_dedup", "llm_ann_hyperplane", "llm_ann_ivf", "llm_dedup_simhash",
+    "llm_dedup_near_minhash", "mm_decode_stub", "llm_dedup_embedding", "llm_kmeans_step",
+    "llm_dedup_keep_list", "llm_dedup_clusters", "llm_dedup_ngram",
+    # --- tier 2: driver-tested, never hash-passed ---
     "win_lag_lead", "fn_try_arith", "agg_collect_sorted", "agg_approx_distinct",
-    # --- tier 3: ever hash-passed (75) ---
+    # --- tier 3: ever hash-passed ---
     "prj_select_rename", "win_running_sum", "win_moving_avg", "win_rank_dense",
     "prj_derived_expr", "src_parquet_scan", "win_first_last", "win_ntile_pct",
     "win_percent_rank", "win_ratio_to_report", "prj_case_when", "win_range_frame",
