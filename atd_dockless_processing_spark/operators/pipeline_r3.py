@@ -1,6 +1,6 @@
 """Round-3 extensions — SURVEY.md §2.17.
 
-Nine first-class operators rounding out the training-data-pipeline
+Eleven first-class operators rounding out the training-data-pipeline
 and product-analytics surface (reference parity per SURVEY §0: the
 checkout was empty, so each row cites the public capability it
 generalizes):
@@ -20,6 +20,8 @@ generalizes):
 - ``src_schema_merge`` — schema-evolution read via mergeSchema.
 - ``evt_session_window_native`` — Spark's native session_window agg.
 - ``evt_time_weighted_avg`` — TSDB-style time-weighted mean.
+- ``txt_entropy_filter`` — token-entropy quality floor (map-side).
+- ``evt_rfm_segments`` — RFM quintile segmentation.
 
 All are hash-checked against DuckDB oracles; all hot paths are
 JVM-side expressions (no Python UDFs).
@@ -648,4 +650,137 @@ def evt_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_intervals"),
         F.round(F.sum(F.col("value") * dur) / F.sum(dur), 4).alias("time_weighted_avg"),
         F.round(F.sum(dur) / 1000000.0 / 3600.0, 4).alias("span_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_entropy_filter — token-distribution entropy quality screen
+# ---------------------------------------------------------------------------
+
+_ENTROPY_MIN = 3.0  # bits; low-entropy docs are repetitive/degenerate
+
+
+@query(
+    "txt_entropy_filter",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split(text, ' ') AS toks,
+             list_distinct(string_split(text, ' ')) AS uniq
+      FROM documents
+    ), ent AS (
+      SELECT doc_id, lang,
+             -list_sum(list_transform(uniq, u ->
+               (CAST(len(list_filter(toks, t -> t = u)) AS DOUBLE) / len(toks))
+               * log2(CAST(len(list_filter(toks, t -> t = u)) AS DOUBLE) / len(toks))
+             )) AS entropy_bits
+      FROM d
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE entropy_bits >= {_ENTROPY_MIN}) AS BIGINT)
+             AS n_pass,
+           ROUND(AVG(entropy_bits), 4) AS avg_entropy
+    FROM ent
+    GROUP BY lang
+    """,
+)
+def txt_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution entropy quality screen: per-doc Shannon
+    entropy (bits) of the document's own token frequencies; docs
+    below {t} bits are repetitive/degenerate (keyboard mash, template
+    spam) — an entropy floor is a published LLM-corpus quality rule
+    alongside the Gopher repetition fractions. Emits per-lang doc
+    counts, pass counts, and mean entropy.
+
+    Plan shape: entirely MAP-SIDE — the per-doc distribution is
+    computed with nested HOFs over the token array (O(uniq·n) per
+    doc, trivially small and embarrassingly parallel), so the only
+    exchange is the final per-lang agg. No explode, no per-token
+    shuffle, at any corpus size. Both engines evaluate the same
+    lambda algebra; the log2 sums are rounded to 4 decimals.
+    """.format(t=_ENTROPY_MIN)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("toks"),
+        F.array_distinct(F.split("text", " ")).alias("uniq"),
+    )
+    n = F.size("toks").cast("double")
+    p_of = lambda u: F.size(F.filter("toks", lambda t: t == u)).cast("double") / n  # noqa: E731
+    entropy = -F.aggregate(
+        F.transform("uniq", lambda u: p_of(u) * F.log2(p_of(u))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ent = docs.select("lang", entropy.alias("entropy_bits"))
+    return ent.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("entropy_bits") >= _ENTROPY_MIN).alias("n_pass"),
+        F.round(F.avg("entropy_bits"), 4).alias("avg_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_rfm_segments — recency/frequency/monetary segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(ts) AS last_seen,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(value) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), scored AS (
+      SELECT user_id, frequency, monetary,
+             NTILE(5) OVER (ORDER BY last_seen, user_id) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+      FROM per_user
+    )
+    SELECT CONCAT(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+                  CAST(m_score AS VARCHAR)) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(monetary), 4) AS segment_value
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics operator:
+    per user, recency (last purchase), frequency (purchase count),
+    monetary (purchase value); each scored into quintiles (NTILE(5),
+    user_id tie-break for determinism) and concatenated into a
+    '555'-style segment; emits users and value per segment.
+
+    Plan shape: one agg exchange to per-user rows, then three ntile
+    windows over the (small) user dimension — the windows are over
+    users, not events, so the corpus-size exchange happens exactly
+    once. At 100 TB the user table is the ~millions-row side and the
+    global NTILE becomes a range-partitioned sort (or approx-quantile
+    bucketing, documented trade)."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("value").alias("monetary"),
+    )
+    scored = per_user.select(
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_seen", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
+    )
+    return scored.groupBy(
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("monetary"), 4).alias("segment_value"),
     )
