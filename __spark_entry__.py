@@ -56,9 +56,10 @@ _KEY_ORDER = [
     "geo_hex_bin", "geo_point_in_polygon", "txt_boilerplate_strip", "llm_contamination_ngram",
     "evt_cohort_retention", "llm_tfidf_topk", "src_csv_roundtrip", "llm_vector_quantize",
     "stm_stateful_running", "evt_attribution_last_touch", "llm_knn_join", "agg_minmax_by",
+    "llm_bm25_topk",
     "src_orc_roundtrip", "evt_funnel", "stm_tumbling_availablenow", "snk_partitioned",
     "stm_sliding_watermark", "stm_join_stream_static", "stm_foreachbatch_sink", "stm_late_data_drop",
-    "stm_stateful_session", "fn_url_parse", "snk_bucketed_join", "geo_bbox_join",
+    "stm_stateful_session", "stm_session_window", "fn_url_parse", "snk_bucketed_join", "geo_bbox_join",
     "stm_watermark_dedup", "llm_ann_hyperplane", "llm_ann_ivf", "llm_dedup_simhash",
     "llm_dedup_near_minhash", "mm_decode_stub", "llm_dedup_embedding", "llm_kmeans_step",
     "llm_dedup_keep_list", "llm_dedup_clusters", "llm_dedup_ngram",

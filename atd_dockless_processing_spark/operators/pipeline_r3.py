@@ -784,3 +784,112 @@ def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.sum("monetary"), 4).alias("segment_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_bm25_topk — BM25 retrieval scoring for a fixed query
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ["spark", "join", "window"]  # fixed query terms
+_BM25_TOPK = 20
+
+
+@query(
+    "llm_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d
+    ), q(term) AS (
+      VALUES {", ".join(f"('{t}')" for t in _BM25_QUERY)}
+    ), tf AS (
+      SELECT d.doc_id, d.dl, q.term,
+             len(list_filter(d.toks, t -> t = q.term)) AS f
+      FROM d CROSS JOIN q
+    ), df AS (
+      SELECT term, COUNT(*) FILTER (WHERE f > 0) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.f * ({_BM25_K1} + 1))
+               / (tf.f + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * tf.dl / stats.avgdl))
+             ) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck Jones) of the corpus
+    against a fixed query, top-{k} by score — the lexical-retrieval
+    operator used for training-data curation (finding domain-relevant
+    documents) and RAG pipelines beside the cosine/ANN family.
+
+    Plan shape: term frequencies are computed MAP-SIDE with an array
+    HOF per query term (the query is a literal — no explode of the
+    corpus, no per-token shuffle); document frequencies and corpus
+    stats (N, avgdl) are two tiny aggregates broadcast back via 1-row
+    crossJoins; final ranking is TakeOrderedAndProject, never a
+    global sort. Score ties break on doc_id. At 100 TB this is one
+    corpus pass + two scalar broadcasts — embarrassingly parallel.
+
+    idf uses the +1-inside-the-log BM25+ variant (always positive, no
+    negative-idf edge for terms in >half the corpus — this synthetic
+    corpus has exactly that property).""".format(k=_BM25_TOPK)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # per-term tf columns, map-side (query is a literal). NB: the
+    # lambda must be single-arg — a two-arg lambda is interpreted by
+    # F.filter as the (element, index) form.
+    def _tf(term):
+        return F.size(F.filter("toks", lambda t: t == F.lit(term)))
+
+    tf_cols = [_tf(term).alias(f"f_{i}") for i, term in enumerate(_BM25_QUERY)]
+    tfd = docs.select("doc_id", "dl", *tf_cols)
+    # per-term document frequencies: one tiny agg row, broadcast back
+    df_row = tfd.agg(
+        *[
+            F.count_if(F.col(f"f_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(_BM25_QUERY))
+        ]
+    )
+    joined = tfd.crossJoin(F.broadcast(df_row)).crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_QUERY)):
+        f, dfi = F.col(f"f_{i}"), F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+        )
+        term_score = (
+            idf
+            * (f * (_BM25_K1 + 1))
+            / (
+                f
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        joined.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )

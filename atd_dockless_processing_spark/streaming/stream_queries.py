@@ -471,3 +471,65 @@ def stm_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, name, "complete")
     return spark.table(name)
+
+
+@query(
+    "stm_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stm_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING native session windows: the same
+    ``session_window('ts', '30 minutes')`` aggregate as the batch twin
+    (evt_session_window_native), but running inside a micro-batch
+    stream with a watermark — the state store merges/extends open
+    sessions across events and evicts sessions older than the
+    watermark horizon (the 100 TB story: session state is bounded by
+    the lateness bound, not the stream length). availableNow over one
+    snapshot + complete mode keeps the result equal to the batch
+    lag/cumsum sessionization, so the key is hash-checked — the
+    strongest check the driver supports for a stateful stream.
+
+    Emits (user_id, session_start, n_events, sum_value); session_end
+    is omitted because complete-mode merge timing makes end = max ts
+    + gap the only engine-defined column — start/count/sum are
+    engine-invariant."""
+    name = f"stm_sesswin_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    _run_to_memory(agg, name, "complete")
+    return spark.table(name)

@@ -111,8 +111,14 @@ def main() -> None:
         for m in mults:
             sf_dir = dirs[m]
 
+            # Materialize via count(), not toPandas(): the dedup
+            # shapes emit output proportional to the true near-dup
+            # pair count (~30M pairs at x100), and collecting that to
+            # one driver OOMs an 8g heap — at scale, pair output goes
+            # to a sink, never to the driver. count() still executes
+            # the full plan (the verify filter cannot be pruned).
             def run():
-                QUERIES[key](spark, sf_dir).toPandas()
+                QUERIES[key](spark, sf_dir).count()
 
             ts.append(timed(run, runs))
         cells = " | ".join(f"{t:.2f} s" for t in ts)
