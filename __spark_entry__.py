@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (added after the last reorder) sort last, preserving completeness.
 _KEY_ORDER = [
     # --- tier 1: never driver-tested, cheapest-first (re-profiled) ---
-    "evt_rfm_segments", "txt_entropy_filter",
+    "evt_rfm_segments", "txt_entropy_filter", "geo_trip_length", "evt_dau_wau_rolling",
     "llm_dataset_mixture", "src_schema_merge", "evt_sessionize_lag", "llm_centroid_per_label",
     "fn_bitwise", "evt_time_spine", "txt_repetition_filter", "set_union_all",
     "evt_anomaly_zscore", "llm_corpus_funnel", "set_intersect", "geo_grid_bin",

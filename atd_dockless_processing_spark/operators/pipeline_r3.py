@@ -893,3 +893,130 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_TOPK)
         .select("doc_id", F.round("score", 4).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_trip_length — per-user path length over consecutive points
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "geo_trip_length",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             value AS x,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS y
+      FROM events
+    ), legs AS (
+      SELECT user_id,
+             sqrt(power(x - LAG(x) OVER w, 2) + power(y - LAG(y) OVER w, 2))
+               AS leg
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(leg) AS BIGINT) AS n_legs,
+           ROUND(SUM(leg), 4) AS total_dist,
+           ROUND(MAX(leg), 4) AS max_leg
+    FROM legs
+    WHERE leg IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def geo_trip_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user path length: euclidean distance between consecutive
+    event points ((value, props.k) space, (ts, event_id)-ordered),
+    summed per user with leg count and longest leg — the reference's
+    core trip-telemetry shape (route length from breadcrumb points,
+    [P high] SURVEY §3.1) on the declared numeric coordinate plane.
+
+    Plan shape: one window exchange on user_id (two lags ride the
+    same sort), distances map-side, then a combinable agg on the same
+    key — AQE elides the second exchange. sqrt/power on identical
+    doubles agree cross-engine; sums rounded to 4."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("int").alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    leg = F.sqrt(
+        F.pow(F.col("x") - F.lag("x").over(w), 2)
+        + F.pow(F.col("y") - F.lag("y").over(w), 2)
+    )
+    legs = ev.select("user_id", leg.alias("leg")).where(F.col("leg").isNotNull())
+    return legs.groupBy("user_id").agg(
+        F.count("leg").alias("n_legs"),
+        F.round(F.sum("leg"), 4).alias("total_dist"),
+        F.round(F.max("leg"), 4).alias("max_leg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_dau_wau_rolling — rolling active-user counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_dau_wau_rolling",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), spine AS (
+      SELECT DISTINCT day FROM pairs
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY day
+    ), contrib AS (
+      SELECT pairs.day + CAST(o.off AS INTEGER) AS target, pairs.user_id
+      FROM pairs CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS off) o
+    ), wau AS (
+      SELECT target AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib
+      WHERE target IN (SELECT day FROM spine)
+      GROUP BY target
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def evt_dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user metrics: daily active users (DAU), 7-day
+    rolling distinct actives (WAU, window ending on the day), and the
+    DAU/WAU stickiness ratio — the standard growth dashboard triple.
+    Distinct-over-sliding-window does NOT decompose into per-day
+    partials, so the engine fans each (day, user) pair out to the 7
+    target days it supports (explode of a 7-element literal range —
+    bounded, map-side) and distinct-counts per target day; days
+    outside the observed spine are dropped on both engines.
+
+    Plan shape: dedup to (day, user) pairs (1 exchange, the only
+    corpus-sized one), 7x map-side fan-out of the PAIRS (not the
+    events), then a distinct-agg per day over the small pair set.
+    At 100 TB the pair set is |users|x|days| — orders of magnitude
+    under the event count."""
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    spine = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = pairs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+        "user_id",
+    ).select(F.date_add("day", F.col("off")).alias("day"), "user_id")
+    wau = (
+        contrib.join(spine, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
+    )
