@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _KEY_ORDER = [
     # --- tier 1: never driver-tested, cheapest-first (re-profiled) ---
     "evt_rfm_segments", "txt_entropy_filter", "geo_trip_length", "evt_dau_wau_rolling",
+    "dq_dp_noise_counts",
     "llm_dataset_mixture", "src_schema_merge", "evt_sessionize_lag", "llm_centroid_per_label",
     "fn_bitwise", "evt_time_spine", "txt_repetition_filter", "set_union_all",
     "evt_anomaly_zscore", "llm_corpus_funnel", "set_intersect", "geo_grid_bin",

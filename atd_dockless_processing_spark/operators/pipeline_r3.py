@@ -1020,3 +1020,67 @@ def evt_dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_dp_noise_counts — deterministic differential-privacy publication
+# ---------------------------------------------------------------------------
+
+_DP_EPSILON = 1.0  # Laplace scale b = sensitivity/epsilon = 1/epsilon
+
+
+@query(
+    "dq_dp_noise_counts",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CONCAT(CAST(CAST(FLOOR(value / 50) AS BIGINT) AS VARCHAR), '_',
+                    CAST(CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25.0)
+                         AS BIGINT) AS VARCHAR)) AS cell_id,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY 1
+    ), noised AS (
+      SELECT cell_id, n,
+             (CAST(('0x' || substr(md5(cell_id), 1, 15)) AS BIGINT)
+              / 1152921504606846976.0) - 0.5 AS u
+      FROM cells
+    )
+    SELECT cell_id,
+           ROUND(n + (-1.0 / {_DP_EPSILON}) * sign(u) * ln(1 - 2 * abs(u)), 4)
+             AS noisy_count
+    FROM noised
+    """,
+)
+def dq_dp_noise_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy style noisy publication of per-cell trip
+    counts — the reference's privacy mandate (publish aggregated
+    dockless counts without exposing individual trips, [P high]
+    SURVEY §3.1) as an operator: grid-cell counts + Laplace(1/ε)
+    noise via inverse-CDF sampling.
+
+    The noise draw is DETERMINISTIC: u = hash60(cell_id)/2^60 - 0.5
+    (the cross-engine md5-derived hash), noise = -(1/ε)·sign(u)·
+    ln(1-2|u|) — both engines compute bit-identical u and the same
+    closed-form inverse CDF, so the key is hash-checkable. A
+    production deployment swaps the hash for a seeded RNG (or the
+    hash of a secret salt || cell_id, which keeps idempotent
+    re-publication — the same release never emits two different
+    counts for one cell, a real DP-deployment property).
+
+    Plan shape: one agg exchange (the grid groupBy); the noise is a
+    scalar projection over the aggregated cells."""
+    from ..functions.hashing import portable_hash60
+
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    cell = F.concat_ws(
+        "_",
+        F.floor(F.col("value") / 50).cast("string"),
+        F.floor(k / 25.0).cast("string"),
+    )
+    cells = ev.groupBy(cell.alias("cell_id")).agg(F.count(F.lit(1)).alias("n"))
+    u = (portable_hash60("cell_id") / F.lit(float(2**60))) - F.lit(0.5)
+    noise = (F.lit(-1.0 / _DP_EPSILON)) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    return cells.select(
+        "cell_id", F.round(F.col("n") + noise, 4).alias("noisy_count")
+    )

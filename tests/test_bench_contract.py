@@ -31,3 +31,20 @@ def test_bench_emits_contract_json():
     assert isinstance(doc["value"], (int, float)) and doc["value"] > 0
     assert len(doc["queries"]) == 12
     assert abs(sum(doc["queries"].values()) - doc["value"]) < 0.01
+
+
+def test_key_order_matches_registry():
+    """_KEY_ORDER must stay a permutation of the registry: a key
+    implemented but left out of the order would silently sort last
+    (still swept), but a typo'd name in the order would rank a
+    nonexistent key — both should fail loudly here."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+    from atd_dockless_processing_spark import ORACLES, QUERIES
+
+    assert set(entry._KEY_ORDER) == set(QUERIES)
+    assert len(entry._KEY_ORDER) == len(set(entry._KEY_ORDER))
+    assert set(ORACLES) <= set(QUERIES)
+    assert list(entry.queries()) == entry._KEY_ORDER
