@@ -707,11 +707,17 @@ def txt_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.split("text", " ")).alias("uniq"),
     )
     n = F.size("toks").cast("double")
-    p_of = lambda u: F.size(F.filter("toks", lambda t: t == u)).cast("double") / n  # noqa: E731
+    # compute each token's probability ONCE (transform to a p array),
+    # then fold p*log2(p) — duplicating the O(n) count subexpression
+    # inside log2 would double the dominant per-doc scan (Catalyst
+    # does not CSE duplicated lambda subtrees)
+    p_arr = F.transform(
+        "uniq", lambda u: F.size(F.filter("toks", lambda t: t == u)).cast("double") / n
+    )
     entropy = -F.aggregate(
-        F.transform("uniq", lambda u: p_of(u) * F.log2(p_of(u))),
+        p_arr,
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, p: acc + p * F.log2(p),
     )
     ent = docs.select("lang", entropy.alias("entropy_bits"))
     return ent.groupBy("lang").agg(

@@ -39,9 +39,13 @@ _RAW_SCHEMA_CACHE: dict = {}
 
 
 def _events_raw_schema(spark: SparkSession, path: str) -> T.StructType:
-    if path not in _RAW_SCHEMA_CACHE:
-        _RAW_SCHEMA_CACHE[path] = spark.read.parquet(path).schema
-    return _RAW_SCHEMA_CACHE[path]
+    # cache key includes mtime: an in-place rewrite of the source file
+    # (same inode, so the hard-linked staging sees the new bytes
+    # immediately) must also invalidate the cached schema
+    key = (path, os.stat(path).st_mtime_ns)
+    if key not in _RAW_SCHEMA_CACHE:
+        _RAW_SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _RAW_SCHEMA_CACHE[key]
 
 
 class _stream_partitions:
@@ -101,7 +105,6 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh = d.st_ino == s.st_ino or (d.st_size, d.st_mtime) == (s.st_size, s.st_mtime)
         if not fresh:
             os.remove(dst)
-            _RAW_SCHEMA_CACHE.pop(dst, None)
     if not os.path.exists(dst):
         try:
             os.link(src, dst)

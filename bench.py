@@ -111,11 +111,13 @@ def main() -> None:
         dfs[metric] = QUERIES[key](spark, sf_dir)
         plan_build += time.perf_counter() - t0
     # Adaptive pass count: this host shows whole-minutes noise windows
-    # where EVERY query runs 2-10x slower; a run whose 2 passes both
-    # land in such a window records a wrong number. Run up to 4
-    # passes, stopping once the two best pass totals agree within 10%
-    # (two independent clean measurements); per-query value = min of
-    # that query's pass medians.
+    # where EVERY query runs 2-10x slower; a run whose passes all land
+    # in such a window records a wrong number. Run at least 3 and up
+    # to 4 passes (a ~15 s pass means 3 passes span ~45 s — longer
+    # than most noise windows, so back-to-back correlated noise can't
+    # satisfy the stop rule alone), stopping once the two best pass
+    # totals agree within 10%; per-query value = min of that query's
+    # pass medians.
     per_query: dict[str, float] = {}
     pass_totals: list[float] = []
     for _pass in range(4):
@@ -134,7 +136,7 @@ def main() -> None:
             pass_total += med
             per_query[metric] = min(per_query.get(metric, med), med)
         pass_totals.append(pass_total)
-        if len(pass_totals) >= 2:
+        if len(pass_totals) >= 3:
             best, second = sorted(pass_totals)[:2]
             if second <= best * 1.10:
                 break

@@ -50,9 +50,20 @@ SHAPES = {
 
 
 def build(spark, mult: int) -> str:
+    import os
+
     out = REPO / ".scratch" / f"scale_llm_x{mult}"
     dst = out / "documents.parquet"
-    if not (dst / "_SUCCESS").exists():
+    # source-freshness marker: rebuild replicas when the base corpus
+    # regenerates (same staleness class as the stream stagings)
+    marker = out / "src_mtime"
+    src_sig = str(os.stat(f"{BASE_SF}/documents.parquet").st_mtime_ns)
+    fresh = (
+        (dst / "_SUCCESS").exists()
+        and marker.exists()
+        and marker.read_text().strip() == src_sig
+    )
+    if not fresh:
         docs = load(spark, BASE_SF, "documents").withColumn(
             "_rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
         )
@@ -74,6 +85,7 @@ def build(spark, mult: int) -> str:
         )
         n_files = max(8, min(64, mult))
         docs.repartition(n_files).write.mode("overwrite").parquet(str(dst))
+        marker.write_text(src_sig)
     return str(out)
 
 
