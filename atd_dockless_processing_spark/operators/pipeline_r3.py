@@ -541,6 +541,10 @@ def src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# NB: the oracle's "> 1800" gap rule must stay in lockstep with Spark's
+# merge-at-exactly-gap session semantics; the same rule appears in the
+# sessionization oracles in events.py, stream_queries.py and pipeline_r3.py —
+# change all or none (oracle SQL is newline-collapsed, so no -- comments).
 @query(
     "evt_session_window_native",
     oracle="""

@@ -254,6 +254,10 @@ def stm_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# NB: the oracle's "> 1800" gap rule must stay in lockstep with Spark's
+# merge-at-exactly-gap session semantics; the same rule appears in the
+# sessionization oracles in events.py, stream_queries.py and pipeline_r3.py —
+# change all or none (oracle SQL is newline-collapsed, so no -- comments).
 @query(
     "stm_stateful_session",
     oracle="""
@@ -476,6 +480,10 @@ def stm_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# NB: the oracle's "> 1800" gap rule must stay in lockstep with Spark's
+# merge-at-exactly-gap session semantics; the same rule appears in the
+# sessionization oracles in events.py, stream_queries.py and pipeline_r3.py —
+# change all or none (oracle SQL is newline-collapsed, so no -- comments).
 @query(
     "stm_session_window",
     oracle="""
