@@ -1,6 +1,6 @@
 """Round-3 extensions — SURVEY.md §2.17.
 
-Eleven first-class operators rounding out the training-data-pipeline
+Fifteen first-class operators rounding out the training-data-pipeline
 and product-analytics surface (reference parity per SURVEY §0: the
 checkout was empty, so each row cites the public capability it
 generalizes):
@@ -22,6 +22,13 @@ generalizes):
 - ``evt_time_weighted_avg`` — TSDB-style time-weighted mean.
 - ``txt_entropy_filter`` — token-entropy quality floor (map-side).
 - ``evt_rfm_segments`` — RFM quintile segmentation.
+- ``llm_bm25_topk`` — BM25 lexical retrieval top-k.
+- ``geo_trip_length`` — per-user breadcrumb path length.
+- ``evt_dau_wau_rolling`` — DAU / rolling WAU / stickiness.
+- ``dq_dp_noise_counts`` — deterministic DP-noisy count publication.
+
+(The sixteenth round-3 key, ``stm_session_window``, lives with the
+other streaming operators in ``streaming/stream_queries.py``.)
 
 All are hash-checked against DuckDB oracles; all hot paths are
 JVM-side expressions (no Python UDFs).
