@@ -143,7 +143,8 @@ def snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(o_totalprice), 4) AS sum_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_price
     FROM ranked WHERE rn = 1
     GROUP BY o_orderstatus
     """,
@@ -168,9 +169,17 @@ def snk_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
     )
+    # exact DECIMAL(18,4) aggregation: a double sum reaches ~2e10 at
+    # sf0.1, where engine summation-order differences exceed the
+    # round-4 margin (measured: .2449 vs .245 at sf0.1). The
+    # double->decimal cast of each 4-decimal row value is
+    # deterministic and engine-identical, and the decimal sum is
+    # exact, so both engines produce the same digits at ANY scale.
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_price"),
     )
 
 
