@@ -32,53 +32,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver sweeps queries() in dict order under a per-round time
-# budget (~50 keys/round). Keys are ordered by EVIDENCE PRIORITY
-# (round-2 verdict item 4): first the keys never swept by the driver
-# in any round (r01 ∪ r02), then keys swept but never hash-passed,
-# then the ever-green keys last — so each round's budget yields new
-# scoreboard evidence instead of re-proving old keys. Within each
-# tier keys stay CHEAPEST-FIRST by measured warm latency at sf0.01
-# (scripts/profile_keys.py, 2026-08-13). Keys missing from the list
-# (added after the last reorder) sort last, preserving completeness.
+# budget (~50 keys/round). Keys are ordered by EVIDENCE PRIORITY,
+# re-tiered each round from the union of all CORRECTNESS_r*.json
+# evidence (round-3 verdict item 1; this ordering is from r01∪r02∪r03):
+# tier 1 = keys the driver has NEVER swept in any round, tier 2 =
+# keys whose LATEST driver evidence is an error (all six were broken
+# by the r2 events.ts encoding flip / r1 array canonicalizer and are
+# fixed in tree, selfcheck-green), tier 3 = keys whose latest driver
+# evidence is green. Within each tier keys stay CHEAPEST-FIRST by
+# measured warm latency at sf0.01 (scripts/profile_keys.py). Keys
+# missing from the list (added after the last reorder) sort FIRST —
+# a brand-new operator has no driver evidence, so it must land
+# inside the sweep budget, not after 161 known keys.
+# tests/test_engine_units.py guards this tiering against going stale.
 _KEY_ORDER = [
-    # --- tier 1: never driver-tested, cheapest-first (re-profiled) ---
-    "evt_rfm_segments", "txt_entropy_filter", "geo_trip_length", "evt_dau_wau_rolling",
-    "dq_dp_noise_counts",
-    "llm_dataset_mixture", "src_schema_merge", "evt_sessionize_lag", "llm_centroid_per_label",
-    "fn_bitwise", "evt_time_spine", "txt_repetition_filter", "set_union_all",
-    "evt_anomaly_zscore", "llm_corpus_funnel", "set_intersect", "geo_grid_bin",
-    "evt_tumbling_hour", "set_except", "evt_gap_islands", "llm_pack_sequences",
-    "set_except_all", "set_intersect_all", "sql_lateral_topn", "evt_time_weighted_avg",
-    "evt_session_window_native", "llm_term_topk", "evt_sliding_window", "mm_frame_sample",
-    "llm_dedup_exact", "src_text_log_parse", "llm_cosine_topk", "set_union_distinct",
-    "src_json_roundtrip", "txt_lang_id", "snk_parquet", "llm_unigram_logprob",
-    "udf_scalar_python", "evt_markov_transitions", "sql_correlated_subquery", "geo_nearest_hub",
-    "srt_topk_global", "evt_session_batch", "snk_upsert_merge", "udaf_grouped_map",
-    "geo_hex_bin", "geo_point_in_polygon", "txt_boilerplate_strip", "llm_contamination_ngram",
-    "evt_cohort_retention", "llm_tfidf_topk", "src_csv_roundtrip", "llm_vector_quantize",
-    "stm_stateful_running", "evt_attribution_last_touch", "llm_knn_join", "agg_minmax_by",
-    "llm_bm25_topk",
+    # --- tier 1: never driver-swept (r01–r03), cheapest-first ---
+    "llm_tfidf_topk", "src_csv_roundtrip", "llm_vector_quantize", "stm_stateful_running",
+    "evt_attribution_last_touch", "llm_knn_join", "agg_minmax_by", "llm_bm25_topk",
     "src_orc_roundtrip", "evt_funnel", "stm_tumbling_availablenow", "snk_partitioned",
     "stm_sliding_watermark", "stm_join_stream_static", "stm_foreachbatch_sink", "stm_late_data_drop",
-    "stm_stateful_session", "stm_session_window", "fn_url_parse", "snk_bucketed_join", "geo_bbox_join",
-    "stm_watermark_dedup", "llm_ann_hyperplane", "llm_ann_ivf", "llm_dedup_simhash",
-    "llm_dedup_near_minhash", "mm_decode_stub", "llm_dedup_embedding", "llm_kmeans_step",
-    "llm_dedup_keep_list", "llm_dedup_clusters", "llm_dedup_ngram",
-    # --- tier 2: driver-tested, never hash-passed ---
-    "win_lag_lead", "fn_try_arith", "agg_collect_sorted", "agg_approx_distinct",
-    # --- tier 3: ever hash-passed ---
-    "prj_select_rename", "win_running_sum", "win_moving_avg", "win_rank_dense",
-    "prj_derived_expr", "src_parquet_scan", "win_first_last", "win_ntile_pct",
-    "win_percent_rank", "win_ratio_to_report", "prj_case_when", "win_range_frame",
-    "win_cume_dist", "fn_regexp_extract", "txt_pii_mask", "fn_split_tokens",
-    "llm_token_stats", "srt_multi_nulls", "fn_date_arith", "fn_date_interval",
-    "fn_epoch_ts", "prj_unpivot", "snk_scd2", "srt_limit_offset",
-    "udtf_posexplode", "fn_string_core", "txt_chunk_docs", "sql_tpch_q6",
-    "txt_fingerprint", "txt_token_bpe", "fn_array_ops", "fn_math_core",
-    "fn_cast_coercion", "fn_surrogate_key", "fn_json_extract", "llm_text_classify",
-    "flt_null_coalesce", "llm_stratified_sample", "fn_struct_nested", "llm_vector_norm_filter",
-    "udf_pandas_vectorized", "fn_date_derive", "txt_quality_score", "flt_range",
-    "win_topk_per_group", "flt_in_set", "flt_like_regex", "fn_map_ops",
+    "stm_stateful_session", "stm_session_window", "fn_url_parse", "snk_bucketed_join",
+    "geo_bbox_join", "stm_watermark_dedup", "llm_ann_hyperplane", "llm_ann_ivf",
+    "llm_dedup_simhash", "llm_dedup_near_minhash", "mm_decode_stub", "llm_dedup_embedding",
+    "llm_kmeans_step", "llm_dedup_keep_list", "llm_dedup_clusters", "llm_dedup_ngram",
+    # --- tier 2: swept, latest evidence is a stale r1/r2 error (fixed in tree) ---
+    "win_lag_lead", "fn_try_arith", "agg_collect_sorted", "fn_json_extract",
+    "fn_date_derive", "fn_map_ops",
+    # --- tier 3: latest driver evidence green ---
+    "evt_rfm_segments", "txt_entropy_filter", "geo_trip_length", "evt_dau_wau_rolling",
+    "dq_dp_noise_counts", "llm_dataset_mixture", "src_schema_merge", "evt_sessionize_lag",
+    "llm_centroid_per_label", "fn_bitwise", "evt_time_spine", "txt_repetition_filter",
+    "set_union_all", "evt_anomaly_zscore", "llm_corpus_funnel", "set_intersect",
+    "geo_grid_bin", "evt_tumbling_hour", "set_except", "evt_gap_islands",
+    "llm_pack_sequences", "set_except_all", "set_intersect_all", "sql_lateral_topn",
+    "evt_time_weighted_avg", "evt_session_window_native", "llm_term_topk", "evt_sliding_window",
+    "mm_frame_sample", "llm_dedup_exact", "src_text_log_parse", "llm_cosine_topk",
+    "set_union_distinct", "src_json_roundtrip", "txt_lang_id", "snk_parquet",
+    "llm_unigram_logprob", "udf_scalar_python", "evt_markov_transitions", "sql_correlated_subquery",
+    "geo_nearest_hub", "srt_topk_global", "evt_session_batch", "snk_upsert_merge",
+    "udaf_grouped_map", "geo_hex_bin", "geo_point_in_polygon", "txt_boilerplate_strip",
+    "llm_contamination_ngram", "evt_cohort_retention", "agg_approx_distinct", "prj_select_rename",
+    "win_running_sum", "win_moving_avg", "win_rank_dense", "prj_derived_expr",
+    "src_parquet_scan", "win_first_last", "win_ntile_pct", "win_percent_rank",
+    "win_ratio_to_report", "prj_case_when", "win_range_frame", "win_cume_dist",
+    "fn_regexp_extract", "txt_pii_mask", "fn_split_tokens", "llm_token_stats",
+    "srt_multi_nulls", "fn_date_arith", "fn_date_interval", "fn_epoch_ts",
+    "prj_unpivot", "snk_scd2", "srt_limit_offset", "udtf_posexplode",
+    "fn_string_core", "txt_chunk_docs", "sql_tpch_q6", "txt_fingerprint",
+    "txt_token_bpe", "fn_array_ops", "fn_math_core", "fn_cast_coercion",
+    "fn_surrogate_key", "llm_text_classify", "flt_null_coalesce", "llm_stratified_sample",
+    "fn_struct_nested", "llm_vector_norm_filter", "udf_pandas_vectorized", "txt_quality_score",
+    "flt_range", "win_topk_per_group", "flt_in_set", "flt_like_regex",
     "agg_stats", "agg_pivot", "agg_percentiles", "join_anti",
     "join_inner", "fn_explode", "fn_levenshtein", "join_semi",
     "join_left_outer", "join_full_outer", "join_skew_salted", "join_broadcast_dim",
@@ -100,7 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     rank = {k: i for i, k in enumerate(_KEY_ORDER)}
-    ordered = sorted(QUERIES, key=lambda k: (rank.get(k, len(rank)), k))
+    ordered = sorted(QUERIES, key=lambda k: (rank.get(k, -1), k))
     return {key: wrap(QUERIES[key]) for key in ordered}
 
 

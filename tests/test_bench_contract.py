@@ -48,3 +48,39 @@ def test_key_order_matches_registry():
     assert len(entry._KEY_ORDER) == len(set(entry._KEY_ORDER))
     assert set(ORACLES) <= set(QUERIES)
     assert list(entry.queries()) == entry._KEY_ORDER
+
+
+def test_key_order_not_stale():
+    """Evidence-priority tiering regression guard (round-3 verdict
+    item 2): every registry key WITHOUT a green row in its latest
+    CORRECTNESS_r*.json evidence must sort before every key WITH
+    one, so the driver's ~50-key sweep budget always buys new
+    scoreboard evidence. This test fails the moment a new
+    CORRECTNESS round lands and _KEY_ORDER isn't re-tiered."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+    from atd_dockless_processing_spark import QUERIES
+
+    latest: dict[str, dict] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        for key, row in json.loads(path.read_text()).items():
+            latest[key] = row
+
+    def is_green(row: dict) -> bool:
+        if row.get("err") == "no_oracle":
+            return (row.get("spark_rows") or 0) > 0
+        return row.get("err") is None and bool(row.get("hash_match"))
+
+    rank = {k: i for i, k in enumerate(entry._KEY_ORDER)}
+    needs_evidence = [k for k in QUERIES if k not in latest or not is_green(latest[k])]
+    has_green = [k for k in QUERIES if k in latest and is_green(latest[k])]
+    if not needs_evidence or not has_green:
+        return  # nothing to order between
+    worst_needy = max(rank[k] for k in needs_evidence)
+    best_green = min(rank[k] for k in has_green)
+    stragglers = sorted(k for k in needs_evidence if rank[k] > best_green)
+    assert worst_needy < best_green, (
+        f"_KEY_ORDER is stale: evidence-lacking keys rank after green keys: {stragglers}"
+    )
