@@ -206,10 +206,6 @@ _HUBS = [
 ]
 
 
-def _hub_dist_sql(x: str, y: str, hx: float, hy: float) -> str:
-    return f"(({x} - {hx}) * ({x} - {hx}) + ({y} - {hy}) * ({y} - {hy}))"
-
-
 @query(
     "geo_nearest_hub",
     oracle=f"""
@@ -488,7 +484,8 @@ def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(o_orderpriority, '(pre-evolution)') AS o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(o_totalprice), 4) AS sum_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_price
     FROM unioned
     GROUP BY 1
     """,
@@ -535,11 +532,17 @@ def src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write(src_sig)
     merged = spark.read.option("mergeSchema", "true").parquet(indir)
+    # exact DECIMAL(18,4) aggregation, same rationale as snk_upsert_merge:
+    # the '(pre-evolution)' group sums half of all orders (~1e10 at
+    # sf0.1), where double summation-order differences between engines
+    # can cross the round-4 margin; the decimal sum is order-independent.
     return merged.groupBy(
         F.coalesce("o_orderpriority", F.lit("(pre-evolution)")).alias("o_orderpriority")
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_price"),
     )
 
 
@@ -628,7 +631,8 @@ def evt_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
-           ROUND(SUM(value * (next_us - t_us)) / SUM(next_us - t_us), 4)
+           ROUND(SUM(value * (next_us - t_us))
+                 / NULLIF(SUM(next_us - t_us), 0), 4)
              AS time_weighted_avg,
            ROUND(SUM(next_us - t_us) / 1000000.0 / 3600.0, 4) AS span_hours
     FROM stepped
@@ -657,9 +661,15 @@ def evt_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
     ).where(F.col("next_us").isNotNull())
     dur = F.col("next_us") - F.col("t_us")
+    # nullif guard on the divisor: a user whose >=2 events all share one
+    # microsecond has sum(dur)=0, where Spark's non-ANSI divide yields
+    # NULL but DuckDB's IEEE float divide yields NaN — nullif makes both
+    # engines return NULL on that degenerate input.
     return stepped.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
-        F.round(F.sum(F.col("value") * dur) / F.sum(dur), 4).alias("time_weighted_avg"),
+        F.round(
+            F.sum(F.col("value") * dur) / F.nullif(F.sum(dur), F.lit(0)), 4
+        ).alias("time_weighted_avg"),
         F.round(F.sum(dur) / 1000000.0 / 3600.0, 4).alias("span_hours"),
     )
 

@@ -35,17 +35,20 @@ from ..tables import events_ts_to_timestamp, load, scratch_dir
 # the ts dtype is normalized post-read by events_ts_to_timestamp,
 # exactly like the batch loader. A hard-coded schema here cost round
 # 2 three streaming keys when the testdata encoding flipped.
-_RAW_SCHEMA_CACHE: dict = {}
+_RAW_SCHEMA_CACHE: dict = {}  # path -> (mtime_ns, schema)
 
 
 def _events_raw_schema(spark: SparkSession, path: str) -> T.StructType:
-    # cache key includes mtime: an in-place rewrite of the source file
-    # (same inode, so the hard-linked staging sees the new bytes
-    # immediately) must also invalidate the cached schema
-    key = (path, os.stat(path).st_mtime_ns)
-    if key not in _RAW_SCHEMA_CACHE:
-        _RAW_SCHEMA_CACHE[key] = spark.read.parquet(path).schema
-    return _RAW_SCHEMA_CACHE[key]
+    # one entry per path, overwritten on mtime change: an in-place
+    # rewrite of the source file (same inode, so the hard-linked
+    # staging sees the new bytes immediately) invalidates the cached
+    # schema without accumulating stale entries across regenerations
+    mtime = os.stat(path).st_mtime_ns
+    hit = _RAW_SCHEMA_CACHE.get(path)
+    if hit is None or hit[0] != mtime:
+        hit = (mtime, spark.read.parquet(path).schema)
+        _RAW_SCHEMA_CACHE[path] = hit
+    return hit[1]
 
 
 class _stream_partitions:
