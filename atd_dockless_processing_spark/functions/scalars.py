@@ -109,6 +109,51 @@ def fn_date_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_date_derive_tz",
+    oracle="""
+    WITH local_ts AS (
+      SELECT event_id,
+             timezone('America/Chicago',
+                      timezone('UTC', CAST(ts AS TIMESTAMP))) AS lts
+      FROM events
+    )
+    SELECT event_id,
+           CAST(EXTRACT(year  FROM lts) AS INTEGER) AS local_year,
+           CAST(EXTRACT(month FROM lts) AS INTEGER) AS local_month,
+           CAST(EXTRACT(hour  FROM lts) AS INTEGER) AS local_hour,
+           CAST(EXTRACT(dow   FROM lts) AS INTEGER) AS local_dow,
+           CAST(lts AS DATE) AS local_date
+    FROM local_ts
+    """,
+)
+def fn_date_derive_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-timezone calendar derivation (America/Chicago): the
+    reference's actual publication semantics — Austin trips are
+    published with year/month/hour/day_of_week in local wall-clock
+    time, not UTC ([P high], SURVEY §3.1 step 2; round-3 verdict
+    missing-list item 1). The engine pins the session timezone to
+    UTC for oracle parity, so local fields go through an explicit
+    ``from_utc_timestamp`` shift; both engines resolve the shift from
+    the IANA tzdata (Spark: JVM ZoneId; DuckDB: ICU), so DST
+    transitions (CST -6 / CDT -5) agree, which the sf data exercises
+    on both sides of the March/November boundaries.
+
+    dow convention aligned as in fn_date_derive: Spark dayofweek()
+    is 1=Sun..7=Sat, DuckDB dow is 0=Sun..6=Sat, so emit -1. Pure
+    map-side expression work — whole-stage codegen, zero shuffles,
+    scales linearly at 100 TB."""
+    lts = F.from_utc_timestamp("ts", "America/Chicago")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.year(lts).alias("local_year"),
+        F.month(lts).alias("local_month"),
+        F.hour(lts).alias("local_hour"),
+        (F.dayofweek(lts) - 1).alias("local_dow"),
+        lts.cast("date").alias("local_date"),
+    )
+
+
+@query(
     "fn_date_arith",
     oracle="""
     SELECT o_orderkey,
