@@ -40,16 +40,31 @@ SHAPES = {
     # replica is a fresh user cohort with realistic session lengths
     "sessionize window+agg": "evt_sessionize_lag",
 }
+# Shapes whose oracle SQL is DuckDB-specific (list_*/string_split):
+# Spark runs the ENGINE DataFrame path (QUERIES[key]) against the
+# scaled dir while DuckDB runs the oracle — the same engine-vs-oracle
+# comparison bench.py/BASELINE.md makes, at xN data. These are the
+# four bench queries whose sf0.1 ratio is >=1.5x (round-3 verdict
+# item 6): each must show its at-scale trajectory.
+ENGINE_SHAPES = {
+    "tumbling window agg": "evt_tumbling_hour",
+    "text token stats": "llm_token_stats",
+    "exact dedup (groupBy text)": "llm_dedup_exact",
+    "cosine top-k (1 query vs all)": "llm_cosine_topk",
+}
 # (table, [key columns to shift per replica])
 REPL = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "events": ["user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 SPANS = {"l_orderkey": 10_000_000, "o_orderkey": 10_000_000,
          "o_custkey": 10_000_000, "c_custkey": 10_000_000,
-         "user_id": 10_000_000}
+         "user_id": 10_000_000, "doc_id": 10_000_000,
+         "vec_id": 10_000_000}
 
 
 def build(spark, mult: int) -> Path:
@@ -111,6 +126,43 @@ def main() -> None:
         d = timed(duck_run, runs)
         s = timed(spark_run, runs)
         print(f"| {label} | {d:.3f} s | {s:.3f} s | {s / d:.2f}x |")
+
+    from atd_dockless_processing_spark import QUERIES  # noqa: E402
+
+    # Two methods for the engine shapes (BASELINE.md "per-query floor"
+    # decomposition): default = fresh DataFrame per run, which charges
+    # Spark's per-plan-instance ONE-TIME cost (py4j build + analysis +
+    # physical planning + codegen compile, ~0.5-0.8 s regardless of
+    # data size) to every run; --hot = plan built once + AQE off so
+    # every run fully re-executes (bench.py's method — the steady
+    # state of a production query, where that one-time cost amortizes
+    # over a minutes-long 100 TB execution).
+    hot = "--hot" in sys.argv
+    if hot:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    for label, key in ENGINE_SHAPES.items():
+        sql = ORACLES[key]
+
+        def duck_run():
+            con.execute(sql).fetchall()
+
+        if hot:
+            df = QUERIES[key](spark, str(out))
+            df.toPandas()  # pay the one-time cost outside the loop
+
+            def spark_run():
+                df.toPandas()
+        else:
+
+            def spark_run():
+                # fresh DataFrame per run: AQE reuses materialized shuffle
+                # stages on a re-collected DataFrame (BASELINE.md finding 2)
+                QUERIES[key](spark, str(out)).toPandas()
+
+        d = timed(duck_run, runs)
+        s = timed(spark_run, runs)
+        tag = "engine path vs oracle, hot exec" if hot else "engine path vs oracle"
+        print(f"| {label} | {d:.3f} s | {s:.3f} s | {s / d:.2f}x | ({tag})")
 
 
 if __name__ == "__main__":
