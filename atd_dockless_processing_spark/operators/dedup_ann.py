@@ -303,51 +303,19 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-@query(
-    "llm_dedup_embedding",
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-      FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_dot_product(a.ve, b.ve)
-                 / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 4)
-             AS cos_sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.ve, b.ve)
-          / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= {_COS_T}
-    """,
-)
-def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.45; this
-    synthetic corpus' max pairwise cosine is ~0.51, so the threshold
-    selects the genuine near-dup tail).
+def ball_cover_stages(v: DataFrame, cos_t: float, dim: int):
+    """The ball-cover near-dup machinery, reusable at any threshold
+    (the scale rehearsal drives it at a production T=0.9 — see
+    scripts/rehearsal_embedding_gate.py and BASELINE.md §LLM).
 
-    Scale plan — CELL-BLOCKED with a ball-cover recall-1.0 bound, not
-    all-pairs. cos(x,y) >= T on the unit sphere is Euclidean
-    d(x̂,ŷ) <= R = sqrt(2-2T). Cells = the label column (the same
-    coarse quantizer ``llm_ann_ivf`` uses); per cell we take the
-    centroid c and radius(c) = max member distance. Triangle
-    inequality: a qualifying pair (x,y) has
-    d(x̂, c_cell(y)) <= d(x̂,ŷ) + d(ŷ, c_cell(y)) <= R + radius(c),
-    so replicating every vector to each cell within R + radius(c)
-    (+1e-6 FP slack — widening only, so recall stays exactly 1.0 and
-    precision is restored by the exact verify) makes the candidate
-    join an EQUI-JOIN on cell id: replicated probes x members, a<b,
-    exact cosine verify. Each qualifying pair is emitted exactly once
-    (only via x -> cell(y) under a.vec_id < b.vec_id), so no dedup
-    pass. On this dense synthetic corpus (T=0.45 => R~1.05, cells
-    wide) the gate degenerates to near-full replication — but the
-    plan SHAPE is the 100 TB one: at a production dedup threshold
-    (T>=0.9 => R<=0.45) replication ~1 and each vector meets only
-    its neighborhood cells' posting lists. The oracle stays the
-    O(n^2) exact join — recall 1.0 means identical output."""
+    Input ``v``: (vec_id, label, ve) where ``label`` is the cell
+    assignment (any coarse quantizer). Returns (probes, candidates,
+    pairs): the gated probe replicas, the candidate pairs BEFORE the
+    exact cosine verify (for pruning-factor measurement), and the
+    verified qualifying pairs.
+    """
     import math
 
-    v = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("ve")
-    )
     # Norms per VECTOR (n rows), not per PAIR; unit-normalized copy
     # vh drives the geometric gate, raw ve drives the exact cosine
     # (identical expression to the oracle for FP-rounding parity).
@@ -357,9 +325,8 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "ve", "nrm",
         F.transform("ve", lambda x: x / F.col("nrm")).alias("vh"),
     )
-    radius_gate = math.sqrt(2.0 - 2.0 * _COS_T)  # R on the unit sphere
+    radius_gate = math.sqrt(2.0 - 2.0 * cos_t)  # R on the unit sphere
 
-    dim = _EMB_DIM
     cent = (
         v.groupBy("label")
         .agg(*[F.avg(F.col("vh")[i]).alias(f"c{i}") for i in range(dim)])
@@ -403,16 +370,67 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cell"),
     )
     cos = _dot(F.col("a_ve"), F.col("b_ve")) / (F.col("a_nrm") * F.col("b_nrm"))
-    return (
-        probes.join(members, ["cell"])  # shuffle equi-join on cell id
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(cos >= _COS_T)
-        .select(
-            F.col("a_id").alias("vec_a"),
-            F.col("b_id").alias("vec_b"),
-            F.round(cos, 4).alias("cos_sim"),
-        )
+    candidates = probes.join(members, ["cell"]).where(  # equi-join on cell id
+        F.col("a_id") < F.col("b_id")
     )
+    pairs = candidates.where(cos >= cos_t).select(
+        F.col("a_id").alias("vec_a"),
+        F.col("b_id").alias("vec_b"),
+        F.round(cos, 4).alias("cos_sim"),
+    )
+    return probes, candidates, pairs
+
+
+@query(
+    "llm_dedup_embedding",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.ve, b.ve)
+                 / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 4)
+             AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ve, b.ve)
+          / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= {_COS_T}
+    """,
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.45; this
+    synthetic corpus' max pairwise cosine is ~0.51, so the threshold
+    selects the genuine near-dup tail).
+
+    Scale plan — CELL-BLOCKED with a ball-cover recall-1.0 bound, not
+    all-pairs. cos(x,y) >= T on the unit sphere is Euclidean
+    d(x̂,ŷ) <= R = sqrt(2-2T). Cells = the label column (the same
+    coarse quantizer ``llm_ann_ivf`` uses); per cell we take the
+    centroid c and radius(c) = max member distance. Triangle
+    inequality: a qualifying pair (x,y) has
+    d(x̂, c_cell(y)) <= d(x̂,ŷ) + d(ŷ, c_cell(y)) <= R + radius(c),
+    so replicating every vector to each cell within R + radius(c)
+    (+1e-6 FP slack — widening only, so recall stays exactly 1.0 and
+    precision is restored by the exact verify) makes the candidate
+    join an EQUI-JOIN on cell id: replicated probes x members, a<b,
+    exact cosine verify. Each qualifying pair is emitted exactly once
+    (only via x -> cell(y) under a.vec_id < b.vec_id), so no dedup
+    pass. On this dense synthetic corpus (T=0.45 => R~1.05, cells
+    wide) the gate degenerates to near-full replication — but the
+    plan SHAPE is the 100 TB one: at a production dedup threshold
+    (T>=0.9 => R<=0.45) on cluster-structured data, replication ~1
+    and each vector meets only its neighborhood cells' posting lists
+    (MEASURED at ×10 with T=0.9: see BASELINE.md §LLM — replication
+    1.000×, 62× candidate pruning vs all-pairs, recall 1.0 against a
+    cluster-blocked exact truth). The oracle stays the O(n^2) exact
+    join —
+    recall 1.0 means identical output. Machinery shared via
+    :func:`ball_cover_stages`."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("ve")
+    )
+    _, _, pairs = ball_cover_stages(v, _COS_T, _EMB_DIM)
+    return pairs
 
 
 @query(
