@@ -1,17 +1,28 @@
 """Round-4 extensions — SURVEY.md §2.18.
 
-Operators closing the round-3 verdict's remaining fidelity gaps vs
-the public reference capabilities (reference parity per SURVEY §0:
-the checkout was empty, so each row cites the public capability it
+Operators closing the round-3 verdict's remaining fidelity gaps, plus
+further scale-pattern breadth (reference parity per SURVEY §0: the
+checkout was empty, so each row cites the public capability it
 generalizes):
 
 - ``fn_geojson_route`` — parse a nested GeoJSON ``FeatureCollection``
   route column (the MDS trips ``route`` shape: array-of-Point-features
   with per-feature properties) into per-point rows and aggregate per
   trip, entirely with ``from_json`` + ``posexplode`` — no Python UDF.
+- ``agg_corr_cov`` — distributed correlation/covariance via one-pass
+  exact-decimal power sums (map-side combinable; no Welford merge).
+- ``join_interval_overlap`` — interval-overlap (range) join via the
+  bucket-blocked equi-join rewrite.
+- ``src_partition_prune`` — read-side partition pruning over a
+  date-partitioned staged dataset (``PartitionFilters`` in the plan).
+- ``llm_dedup_url_canon`` — URL-canonicalization dedup (the crawl
+  pipeline's exact-dup-by-canonical-URL step).
+- ``src_incremental_extract`` — high-watermark incremental ingest
+  (two scheduled pulls, exactly-once across the boundary) — the
+  reference's paginated provider-pull semantics in batch form.
 
-(The other round-4 key, ``fn_date_derive_tz``, lives with the rest of
-the calendar derivation surface in ``functions/scalars.py``.)
+(The remaining round-4 key, ``fn_date_derive_tz``, lives with the
+rest of the calendar derivation surface in ``functions/scalars.py``.)
 """
 
 from __future__ import annotations
@@ -188,4 +199,409 @@ def fn_geojson_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("pos") == 0, F.col("x"))).alias("first_x"),
         F.round(F.sum("x"), 4).alias("sum_x"),
         F.max("y").alias("max_y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_cov — distributed correlation via exact power sums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_corr_cov",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity      AS DECIMAL(18,4))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+             SUM(CAST(l_quantity      AS DECIMAL(19,4))
+               * CAST(l_quantity      AS DECIMAL(19,4))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+               * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+             SUM(CAST(l_quantity      AS DECIMAL(19,4))
+               * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr_qty_price,
+           ROUND((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE), 4) AS covar_pop,
+           ROUND((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n - 1 AS DOUBLE), 4) AS covar_samp
+    FROM sums
+    """,
+)
+def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + covariance of (l_quantity, l_extendedprice) per
+    return flag via ONE-PASS power sums in exact DECIMAL arithmetic:
+    n, Σx, Σy, Σx², Σy², Σxy as map-side-combinable aggregates, with
+    the closed-form corr/covariance derived from the sums afterward.
+
+    This is the scale-correct distributed form: the six sums merge
+    associatively across any partitioning (one agg exchange, partial
+    aggregation upstream), and the decimal accumulation makes the
+    pre-division state EXACT — no summation-order drift, no Welford
+    merge-state concerns, cross-engine bit-identical inputs to the
+    final double math (the same exact→double cast and expression on
+    both engines). Built-in corr()/covar_samp() would hide the sums
+    inside engine-specific accumulation orders and could not be
+    hash-checked at 4-6 decimals. Generalizes telemetry correlation
+    screens ([P med], product analytics)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_num = sxy - sx * sy / nd
+    return sums.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round(cov_num / nd, 4).alias("covar_pop"),
+        F.round(cov_num / (F.col("n") - 1).cast("double"), 4).alias("covar_samp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_interval_overlap — bucket-blocked range join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS a_id, CAST(o_orderdate AS DATE) AS a_s,
+             CAST(o_orderdate AS DATE) + 7 AS a_e
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), b AS (
+      SELECT o_orderkey AS b_id, CAST(o_orderdate AS DATE) AS b_s,
+             CAST(o_orderdate AS DATE) + 10 AS b_e
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT a_id, b_id,
+           CAST(date_diff('day', GREATEST(a_s, b_s), LEAST(a_e, b_e)) + 1
+                AS INTEGER) AS overlap_days
+    FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: order subset A (7-day windows) x subset
+    B (10-day windows), emit overlapping (a, b) pairs with the
+    overlap length — the promotion-window / maintenance-window /
+    session-overlap analytics shape, and the published bin-bucketing
+    range-join rewrite.
+
+    Scale plan: each interval EXPLODES to the 7-day buckets it
+    touches (<=2 for A, <=3 for B — bounded, data-independent), the
+    candidate join is an EQUI-join on bucket id, duplicates from
+    multi-bucket co-occurrence collapse with one distinct, and the
+    exact overlap predicate verifies. Correctness: any overlapping
+    pair shares at least one calendar day, and that day's bucket is
+    touched by both — recall 1.0 by construction. Cost is
+    sum-over-buckets of |A_b| x |B_b| instead of |A| x |B|: the same
+    locality argument as the ball-cover gate, on the time axis. The
+    oracle runs the genuine O(|A||B|) theta join."""
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    a = o.where(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("a_id"),
+        od.alias("a_s"),
+        F.date_add(od, 7).alias("a_e"),
+    )
+    b = o.where(F.col("o_orderkey") % 101 == 0).select(
+        F.col("o_orderkey").alias("b_id"),
+        od.alias("b_s"),
+        F.date_add(od, 10).alias("b_e"),
+    )
+
+    def bucketed(df, s, e):
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_date(F.col(s)) / 7),
+                    F.floor(F.unix_date(F.col(e)) / 7),
+                )
+            ),
+        )
+
+    cand = (
+        bucketed(a, "a_s", "a_e")
+        .join(bucketed(b, "b_s", "b_e"), "bucket")
+        .drop("bucket")
+        .distinct()  # a pair can meet in up to min(2,3) shared buckets
+    )
+    return cand.where(
+        (F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e"))
+    ).select(
+        "a_id",
+        "b_id",
+        (
+            F.datediff(
+                F.least("a_e", "b_e"), F.greatest("a_s", "b_s")
+            )
+            + 1
+        ).alias("overlap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# src_partition_prune — read-side partition pruning
+# ---------------------------------------------------------------------------
+
+
+def _stage_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events date-partitioned (``event_date=YYYY-MM-DD/`` dirs,
+    mtime-markered like src_schema_merge) — the 100 TB lake layout
+    where time-ranged queries touch only their partitions' files."""
+    base = scratch_dir("src_partition_prune", sf_dir.strip("/").replace("/", "_"))
+    indir = f"{base}/in"
+    marker = f"{base}/src_mtime"
+    src_sig = str(os.stat(f"{sf_dir}/events.parquet").st_mtime_ns)
+    if os.path.isdir(indir) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == src_sig:
+                return indir
+    shutil.rmtree(indir, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(indir)
+    with open(marker, "w") as fh:
+        fh.write(src_sig)
+    return indir
+
+
+@query(
+    "src_partition_prune",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events, bounds
+    WHERE CAST(ts AS DATE) IN (d0 + 3, d0 + 10)
+    GROUP BY event_type
+    """,
+)
+def src_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: events staged date-PARTITIONED (one
+    directory per day), queried for two specific days with literal
+    partition filters — the executed plan reads 2 of ~30 partition
+    directories (``PartitionFilters: [event_date IN (...)]``, zero
+    data files from other days touched). This is THE dominant 100 TB
+    scan pattern: a year-partitioned lake serves a 2-day query at
+    1/180th of the scan cost, before any row-level pushdown.
+
+    The two literal dates derive from the partition catalog (here: a
+    min() over the staged partition VALUES — metadata-only, the
+    listing the production catalog serves); the oracle recomputes
+    from the unpartitioned base table with the same day arithmetic,
+    so the check proves repartitioned staging + pruned read is
+    lossless."""
+    indir = _stage_partitioned_events(spark, sf_dir)
+    part = spark.read.parquet(indir)
+    # metadata-only: min over the ~30 distinct partition values (the
+    # scan for this aggregate reads no data columns)
+    d0 = part.select(F.min("event_date").alias("d0")).collect()[0]["d0"]
+    days = [str(d0 + __import__("datetime").timedelta(days=k)) for k in (3, 10)]
+    return (
+        part.where(F.col("event_date").isin(days))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_url_canon — URL-canonicalization dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_url_canon",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Src' ELSE 'https://www.src' END)
+             || CAST(doc_id % 5 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '.Example.COM' ELSE '.example.com' END)
+             || '/p/' || CAST(doc_id % 500 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&utm_campaign=y' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   lower(regexp_extract(url, '^([^/]+//[^/?#]+)', 1))
+                     || regexp_extract(url, '^[^/]+//[^/?#]+(.*)$', 1),
+                   '#.*$', '', 'g'),
+                 'utm_[^&#]*&?', '', 'g'),
+               '[?&/]+$', '', 'g') AS curl
+      FROM u
+    )
+    SELECT regexp_extract(curl, '^https://([^/]+)', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM (
+      SELECT curl, doc_id = MIN(doc_id) OVER (PARTITION BY curl) AS keep
+      FROM canon
+    )
+    GROUP BY 1
+    """,
+)
+def llm_dedup_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-pipeline step before
+    any content dedup: the same page arrives as HTTP/HTTPS, cased
+    hosts, trailing slashes, utm_* tracking params and fragments;
+    canonicalize (lowercase scheme+authority, drop fragment, strip
+    utm_* params, trim trailing separators) and keep the min-doc_id
+    representative per canonical URL. Synthetic messy URLs are built
+    deterministically from doc_id (the corpus has no URL column), so
+    each canonical group collapses case/slash/param/fragment variants.
+
+    All codegen regexp (Java regex and DuckDB RE2 agree on this
+    subset, 'g'-flagged in the oracle to match Spark's replace-all);
+    dedup itself is the keep-min window over canonical URL — at
+    100 TB you'd groupBy(curl) with min_by exactly like
+    llm_dedup_exact; survivors + distinct counts per host."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.Src")).otherwise(
+            F.lit("https://www.src")
+        ),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".Example.COM")).otherwise(
+            F.lit(".example.com")
+        ),
+        F.lit("/p/"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=x&utm_campaign=y")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.concat(
+                    F.lower(F.regexp_extract(url, r"^([^/]+//[^/?#]+)", 1)),
+                    F.regexp_extract(url, r"^[^/]+//[^/?#]+(.*)$", 1),
+                ),
+                r"#.*$",
+                "",
+            ),
+            r"utm_[^&#]*&?",
+            "",
+        ),
+        r"[?&/]+$",
+        "",
+    )
+    from pyspark.sql import Window
+
+    canon = d.select("doc_id", curl.alias("curl"))
+    w = Window.partitionBy("curl")
+    return (
+        canon.withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .groupBy(F.regexp_extract("curl", r"^https://([^/]+)", 1).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("curl").alias("n_canonical"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_survivors"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# src_incremental_extract — high-watermark incremental ingest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_incremental_extract",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events
+    GROUP BY 1
+    """,
+)
+def src_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental ingest: the reference's scheduled
+    provider pulls fetch "rows newer than the last run's watermark"
+    ([P high], SURVEY §3.1 step 0 — paginated time-windowed API
+    pulls; missing-list item 3's sandbox-testable core). Simulated as
+    two pulls over the same source:
+
+    - pull 1 takes everything up to a mid-range cut (min date + 15d)
+      and records wm = max(ts) it saw — the persisted watermark;
+    - pull 2 takes strictly ts > wm.
+
+    The union must reproduce the source EXACTLY-ONCE across the
+    boundary: rows at ts == wm are all in pull 1 (wm is pull 1's own
+    max), and no row falls in (wm, cut] by wm's definition — the
+    classic off-by-one that silently drops or duplicates boundary
+    rows in naive >=-based extracts. The oracle aggregates the source
+    directly, so any loss or duplication breaks count and id-sum.
+
+    Both the cut and the watermark flow RELATIONALLY (1-row aggs
+    broadcast via crossJoin — no driver collect), so at 100 TB the
+    watermark computation is a metadata-cheap agg and the pulls are
+    pushed-down range scans on the ingest-time column."""
+    ev = load(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.date_add(F.min(F.to_date("ts")), 15).cast("timestamp").alias("cut")
+    )
+    p1 = (
+        ev.crossJoin(F.broadcast(cut))
+        .where(F.col("ts") <= F.col("cut"))
+        .select("event_id", "ts")
+    )
+    wm = p1.agg(F.max("ts").alias("wm"))
+    p2 = (
+        ev.crossJoin(F.broadcast(wm))
+        .where(F.col("ts") > F.col("wm"))
+        .select("event_id", "ts")
+    )
+    return (
+        p1.unionAll(p2)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
     )
