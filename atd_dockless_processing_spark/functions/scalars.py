@@ -135,8 +135,10 @@ def fn_date_derive_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     UTC for oracle parity, so local fields go through an explicit
     ``from_utc_timestamp`` shift; both engines resolve the shift from
     the IANA tzdata (Spark: JVM ZoneId; DuckDB: ICU), so DST
-    transitions (CST -6 / CDT -5) agree, which the sf data exercises
-    on both sides of the March/November boundaries.
+    transitions (CST -6 / CDT -5) agree. The sf events span January
+    only (CST); the CDT side and both 2024 transition edges are
+    pinned by the parametrized DST unit test in
+    tests/test_engine_units.py.
 
     dow convention aligned as in fn_date_derive: Spark dayofweek()
     is 1=Sun..7=Sat, DuckDB dow is 0=Sun..6=Sat, so emit -1. Pure

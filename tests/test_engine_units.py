@@ -202,3 +202,54 @@ def test_nearest_hub_is_map_side_argmin(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, "hub snap should not join"
     assert plan.count("Exchange") == 1, "expected exactly the agg exchange"
+
+
+@pytest.mark.parametrize(
+    "utc_ts",
+    [
+        # 2024 US DST edges for America/Chicago (transitions at 2am
+        # local = 08:00/07:00 UTC): one instant each side of the
+        # spring-forward (Mar 10) and fall-back (Nov 3) boundaries,
+        # plus deep-winter CST and mid-summer CDT controls and a
+        # UTC-midnight date-rollover case.
+        "2024-03-10 07:59:59",  # last CST second before spring-forward
+        "2024-03-10 08:00:00",  # first CDT second
+        "2024-11-03 06:59:59",  # last CDT second before fall-back
+        "2024-11-03 07:00:00",  # first repeated-hour CST second
+        "2024-01-15 03:30:00",  # deep winter (CST, -6)
+        "2024-07-01 03:30:00",  # mid summer (CDT, -5)
+        "2024-06-01 04:59:59",  # UTC early morning -> previous local day
+    ],
+)
+def test_chicago_tz_derivation_matches_duckdb(spark, utc_ts):
+    """fn_date_derive_tz's shift must agree with DuckDB/ICU at the DST
+    transition edges — the sf events span January only (CST), so the
+    CDT side and both 2024 boundaries are pinned here with literal
+    instants through the same from_utc_timestamp expression."""
+    lts = F.from_utc_timestamp(F.col("ts").cast("timestamp"), "America/Chicago")
+    row = (
+        spark.createDataFrame([(utc_ts,)], ["ts"])
+        .select(
+            F.year(lts).alias("y"),
+            F.month(lts).alias("m"),
+            F.dayofmonth(lts).alias("d"),
+            F.hour(lts).alias("h"),
+            (F.dayofweek(lts) - 1).alias("dow"),
+        )
+        .collect()[0]
+    )
+    want = duckdb.connect().execute(
+        """
+        WITH l AS (
+          SELECT timezone('America/Chicago', timezone('UTC', CAST(? AS TIMESTAMP))) AS lts
+        )
+        SELECT EXTRACT(year FROM lts), EXTRACT(month FROM lts),
+               EXTRACT(day FROM lts), EXTRACT(hour FROM lts),
+               EXTRACT(dow FROM lts)
+        FROM l
+        """,
+        [utc_ts],
+    ).fetchone()
+    assert (row["y"], row["m"], row["d"], row["h"], row["dow"]) == tuple(
+        int(x) for x in want
+    ), utc_ts
