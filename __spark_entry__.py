@@ -49,6 +49,7 @@ _KEY_ORDER = [
     # --- tier 0: new this round, no evidence at all ---
     "fn_date_derive_tz", "fn_geojson_route", "agg_corr_cov", "join_interval_overlap",
     "src_partition_prune", "llm_dedup_url_canon", "src_incremental_extract",
+    "stm_join_stream_stream",
     # --- tier 1: never driver-swept (r01–r03), cheapest-first ---
     "llm_tfidf_topk", "src_csv_roundtrip", "llm_vector_quantize", "stm_stateful_running",
     "evt_attribution_last_touch", "llm_knn_join", "agg_minmax_by", "llm_bm25_topk",

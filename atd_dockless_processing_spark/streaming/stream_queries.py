@@ -547,3 +547,69 @@ def stm_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, name, "complete")
     return spark.table(name)
+
+
+@query(
+    "stm_join_stream_stream",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS c_ts, value AS c_val
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(p_ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(c_val), 4) AS sum_click_value
+    FROM p JOIN c ON p.user_id = c.user_id
+               AND c_ts >= p_ts - INTERVAL 30 MINUTE
+               AND c_ts <= p_ts
+    GROUP BY 1
+    """,
+)
+def stm_join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — the one streaming join shape the
+    static-side twin (stm_join_stream_static) cannot express: clicks
+    and purchases arrive as two independent streams; each purchase
+    joins the same user's clicks from its trailing 30-minute window.
+    Both sides carry watermarks, so at 100 TB the join STATE is
+    bounded: a buffered click is evicted once the purchase-side
+    watermark passes its 30-minute join horizon — without the time
+    bound in the join condition, stream-stream state grows forever
+    (the canonical unbounded-state bug). Inner join emits in append
+    mode as matches become possible; the availableNow drain then
+    batch-aggregates the emitted pairs per purchase day.
+
+    The oracle is the same interval join + aggregate in plain SQL —
+    micro-batch join vs batch join must agree exactly (inner join
+    output is arrival-order-independent)."""
+    name = f"stm_ssj_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_val"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_ts", "c_val")
+    _run_to_memory(joined, name, "append")
+    return (
+        spark.table(name)
+        .groupBy(F.to_date("p_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("c_val"), 4).alias("sum_click_value"),
+        )
+    )
