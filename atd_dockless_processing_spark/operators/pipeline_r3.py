@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, scratch_dir
+from ..tables import load, stage_scratch
 
 # ---------------------------------------------------------------------------
 # llm_pack_sequences — concat-and-chunk packing
@@ -499,20 +499,12 @@ def src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest; readers must not require a rewrite), and this round's
     events.ts encoding flip is the same failure class.
 
-    Staged once per sf_dir with a source-mtime freshness marker (the
-    same pattern as the streaming stagings). Parquet footer schemas
-    differ per file, so the scan demonstrably reconciles them — not
-    a single-schema read."""
-    base = scratch_dir("src_schema_merge", sf_dir.strip("/").replace("/", "_"))
-    indir = f"{base}/in"
-    marker = f"{base}/src_mtime"
-    src_sig = str(os.stat(f"{sf_dir}/orders.parquet").st_mtime_ns)
-    stale = True
-    if os.path.isdir(indir) and os.path.exists(marker):
-        with open(marker) as fh:
-            stale = fh.read().strip() != src_sig
-    if stale:
-        shutil.rmtree(indir, ignore_errors=True)
+    Staged once per sf_dir via the shared freshness-markered
+    stage_scratch helper. Parquet footer schemas differ per file, so
+    the scan demonstrably reconciles them — not a single-schema
+    read."""
+
+    def build(indir: str) -> None:
         os.makedirs(indir)
         orders = load(spark, sf_dir, "orders")
         v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
@@ -522,15 +514,15 @@ def src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_totalprice", "o_orderpriority"
         )
         for i, part in enumerate([v1, v2]):
-            tmp = f"{base}/tmp{i}"
+            tmp = f"{indir}.tmp{i}"
             part.coalesce(1).write.mode("overwrite").parquet(tmp)
             src = next(
                 p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
             )
             shutil.move(os.path.join(tmp, src), os.path.join(indir, f"v{i}.parquet"))
             shutil.rmtree(tmp, ignore_errors=True)
-        with open(marker, "w") as fh:
-            fh.write(src_sig)
+
+    indir = stage_scratch("src_schema_merge", sf_dir, "orders", build)
     merged = spark.read.option("mergeSchema", "true").parquet(indir)
     # exact DECIMAL(18,4) aggregation, same rationale as snk_upsert_merge:
     # the '(pre-evolution)' group sums half of all orders (~1e10 at

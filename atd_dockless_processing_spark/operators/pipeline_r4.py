@@ -27,15 +27,12 @@ rest of the calendar derivation surface in ``functions/scalars.py``.)
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import query
-from ..tables import load, scratch_dir
+from ..tables import load, stage_scratch
 
 # ---------------------------------------------------------------------------
 # fn_geojson_route — nested FeatureCollection parsing
@@ -89,62 +86,55 @@ def _stage_routes(spark: SparkSession, sf_dir: str) -> str:
     (ts, event_id) order, x = value, y = props.k — the same synthetic
     coordinate space as the geo operators (testdata has no lat/lon).
 
-    Materializing to parquet (mtime-markered, same pattern as
-    src_schema_merge) guarantees the query genuinely PARSES strings at
-    runtime — an in-plan to_json∘from_json pair would be simplified
-    away by Catalyst's OptimizeJsonExprs rule and prove nothing.
+    Materializing to parquet (freshness-markered via stage_scratch)
+    guarantees the query genuinely PARSES strings at runtime — an
+    in-plan to_json∘from_json pair would be simplified away by
+    Catalyst's OptimizeJsonExprs rule and prove nothing.
     """
-    base = scratch_dir("fn_geojson_route", sf_dir.strip("/").replace("/", "_"))
-    indir = f"{base}/in"
-    marker = f"{base}/src_mtime"
-    src_sig = str(os.stat(f"{sf_dir}/events.parquet").st_mtime_ns)
-    if os.path.isdir(indir) and os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read().strip() == src_sig:
-                return indir
-    shutil.rmtree(indir, ignore_errors=True)
-    ev = load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("trip_id"),
-        F.struct(
-            F.col("ts"),
-            F.col("event_id"),
-            F.col("value").alias("x"),
-            F.get_json_object("props", "$.k").cast("double").alias("y"),
-        ).alias("pt"),
-    )
-    # one shuffle: collect each trip's points, sort in-memory (struct
-    # ordering = (ts, event_id) lexicographic), then emit the nested
-    # FeatureCollection via to_json — all JVM-side expressions.
-    routes = (
-        ev.groupBy("trip_id")
-        .agg(F.array_sort(F.collect_list("pt")).alias("pts"))
-        .select(
-            "trip_id",
-            F.to_json(
-                F.struct(
-                    F.lit("FeatureCollection").alias("type"),
-                    F.transform(
-                        "pts",
-                        lambda p, i: F.struct(
-                            F.lit("Feature").alias("type"),
-                            F.struct(
-                                i.cast("int").alias("seq"),
-                                F.unix_micros(p["ts"]).alias("t_us"),
-                            ).alias("properties"),
-                            F.struct(
-                                F.lit("Point").alias("type"),
-                                F.array(p["x"], p["y"]).alias("coordinates"),
-                            ).alias("geometry"),
-                        ),
-                    ).alias("features"),
-                )
-            ).alias("route_json"),
+
+    def build(indir: str) -> None:
+        ev = load(spark, sf_dir, "events").select(
+            F.col("user_id").alias("trip_id"),
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.col("value").alias("x"),
+                F.get_json_object("props", "$.k").cast("double").alias("y"),
+            ).alias("pt"),
         )
-    )
-    routes.write.mode("overwrite").parquet(indir)
-    with open(marker, "w") as fh:
-        fh.write(src_sig)
-    return indir
+        # one shuffle: collect each trip's points, sort in-memory (struct
+        # ordering = (ts, event_id) lexicographic), then emit the nested
+        # FeatureCollection via to_json — all JVM-side expressions.
+        (
+            ev.groupBy("trip_id")
+            .agg(F.array_sort(F.collect_list("pt")).alias("pts"))
+            .select(
+                "trip_id",
+                F.to_json(
+                    F.struct(
+                        F.lit("FeatureCollection").alias("type"),
+                        F.transform(
+                            "pts",
+                            lambda p, i: F.struct(
+                                F.lit("Feature").alias("type"),
+                                F.struct(
+                                    i.cast("int").alias("seq"),
+                                    F.unix_micros(p["ts"]).alias("t_us"),
+                                ).alias("properties"),
+                                F.struct(
+                                    F.lit("Point").alias("type"),
+                                    F.array(p["x"], p["y"]).alias("coordinates"),
+                                ).alias("geometry"),
+                            ),
+                        ).alias("features"),
+                    )
+                ).alias("route_json"),
+            )
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    return stage_scratch("fn_geojson_route", sf_dir, "events", build)
 
 
 @query(
@@ -378,22 +368,14 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stage_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage events date-partitioned (``event_date=YYYY-MM-DD/`` dirs,
-    mtime-markered like src_schema_merge) — the 100 TB lake layout
+    freshness-markered via stage_scratch) — the 100 TB lake layout
     where time-ranged queries touch only their partitions' files."""
-    base = scratch_dir("src_partition_prune", sf_dir.strip("/").replace("/", "_"))
-    indir = f"{base}/in"
-    marker = f"{base}/src_mtime"
-    src_sig = str(os.stat(f"{sf_dir}/events.parquet").st_mtime_ns)
-    if os.path.isdir(indir) and os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read().strip() == src_sig:
-                return indir
-    shutil.rmtree(indir, ignore_errors=True)
-    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-    ev.write.mode("overwrite").partitionBy("event_date").parquet(indir)
-    with open(marker, "w") as fh:
-        fh.write(src_sig)
-    return indir
+
+    def build(indir: str) -> None:
+        ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(indir)
+
+    return stage_scratch("src_partition_prune", sf_dir, "events", build)
 
 
 @query(
@@ -472,12 +454,13 @@ def src_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     )
     SELECT regexp_extract(curl, '^https://([^/]+)', 1) AS host,
-           CAST(COUNT(*) AS BIGINT) AS n_urls,
-           CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
-           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+           CAST(SUM(n_dups) AS BIGINT) AS n_urls,
+           CAST(COUNT(*) AS BIGINT) AS n_canonical,
+           CAST(SUM(survivor_id) AS BIGINT) AS survivor_id_sum
     FROM (
-      SELECT curl, doc_id = MIN(doc_id) OVER (PARTITION BY curl) AS keep
+      SELECT curl, COUNT(*) AS n_dups, MIN(doc_id) AS survivor_id
       FROM canon
+      GROUP BY curl
     )
     GROUP BY 1
     """,
@@ -494,9 +477,11 @@ def llm_dedup_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All codegen regexp (Java regex and DuckDB RE2 agree on this
     subset, 'g'-flagged in the oracle to match Spark's replace-all);
-    dedup itself is the keep-min window over canonical URL — at
-    100 TB you'd groupBy(curl) with min_by exactly like
-    llm_dedup_exact; survivors + distinct counts per host."""
+    dedup is a two-level aggregate — groupBy(curl) keeps the min-doc_id
+    representative (map-side combinable, same shape as llm_dedup_exact),
+    then per-host rollup. ``survivor_id_sum`` pins WHICH doc survives
+    each group, not merely how many (a count alone is derivable from
+    n_canonical and would add no oracle power)."""
     d = load(spark, sf_dir, "documents")
     url = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.Src")).otherwise(
@@ -530,18 +515,17 @@ def llm_dedup_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         r"[?&/]+$",
         "",
     )
-    from pyspark.sql import Window
-
     canon = d.select("doc_id", curl.alias("curl"))
-    w = Window.partitionBy("curl")
-    return (
-        canon.withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
-        .groupBy(F.regexp_extract("curl", r"^https://([^/]+)", 1).alias("host"))
-        .agg(
-            F.count(F.lit(1)).alias("n_urls"),
-            F.countDistinct("curl").alias("n_canonical"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_survivors"),
-        )
+    groups = canon.groupBy("curl").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("doc_id").alias("survivor_id"),
+    )
+    return groups.groupBy(
+        F.regexp_extract("curl", r"^https://([^/]+)", 1).alias("host")
+    ).agg(
+        F.sum("n_dups").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum("survivor_id").alias("survivor_id_sum"),
     )
 
 

@@ -91,3 +91,36 @@ def scratch_dir(*parts: str) -> str:
     p = SCRATCH.joinpath(*parts)
     p.parent.mkdir(parents=True, exist_ok=True)
     return str(p)
+
+
+def stage_scratch(name: str, sf_dir: str, src_table: str, build_fn) -> str:
+    """Source-freshness-markered scratch staging, shared by every
+    operator that derives a staged input dataset from a driver table
+    (src_schema_merge, fn_geojson_route, src_partition_prune, …).
+
+    ``build_fn(indir)`` materializes the staged dataset into ``indir``
+    (cleared beforehand); the staging is reused until the source
+    ``{sf_dir}/{src_table}.parquet`` changes (mtime_ns marker —
+    testdata regenerations re-stage, repeat runs don't). Keeping ONE
+    copy of the stat/marker/clear/build sequence means a staleness-
+    rule fix lands everywhere at once instead of drifting per
+    operator. (The streaming stager ``_stream_events`` keeps its own
+    inode-based freshness check: it hard-links the source rather than
+    deriving from it.)
+    """
+    import os
+    import shutil
+
+    base = scratch_dir(name, sf_dir.strip("/").replace("/", "_"))
+    indir = f"{base}/in"
+    marker = f"{base}/src_mtime"
+    src_sig = str(os.stat(f"{sf_dir}/{src_table}.parquet").st_mtime_ns)
+    if os.path.isdir(indir) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == src_sig:
+                return indir
+    shutil.rmtree(indir, ignore_errors=True)
+    build_fn(indir)
+    with open(marker, "w") as fh:
+        fh.write(src_sig)
+    return indir

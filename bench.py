@@ -69,6 +69,13 @@ def main() -> None:
     n_part = min(16, spark.sparkContext.defaultParallelism)
     cache: dict[tuple[str, str], object] = {}
 
+    def table_rows(d: str, name: str) -> int:
+        # exact row count from the parquet footer (metadata-only — no
+        # Spark scan job just to size the cache partitioning)
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f"{d}/{name}.parquet").metadata.num_rows
+
     def provider(s, d, name):
         key = (d, name)
         if key not in cache:
@@ -79,8 +86,11 @@ def main() -> None:
                 # sf0.1) / embeddings (2k) across 16 partitions means
                 # 16 tasks of ~300 rows — pure scheduling overhead.
                 # 4 partitions measured ~1.3-1.8x faster on the
-                # document/embedding queries; big tables keep n_part.
-                parts = 4 if df.count() < 32768 else n_part
+                # document/embedding queries. Threshold 8192 so ONLY
+                # those two reclassify — customer (15k at sf0.1) and
+                # every other TPC-H table keep n_part, leaving the
+                # q3/q5 join plans untouched by this change.
+                parts = 4 if table_rows(d, name) < 8192 else n_part
                 df = df.repartition(parts).cache()
                 df.count()
                 cache[key] = df
@@ -128,11 +138,16 @@ def main() -> None:
         if metric in SMALL_INPUT:
             spark.conf.set("spark.sql.shuffle.partitions", "4")
             dfs[metric] = QUERIES[key](spark, sf_dir)
+            plan_build += time.perf_counter() - t0  # keep plan_build's
+            # composition comparable across rounds: DataFrame
+            # construction only — the eager physical-planning pin below
+            # is NOT counted (the other 9 queries plan lazily inside
+            # their first warm-up run)
             dfs[metric]._jdf.queryExecution().executedPlan()
             spark.conf.set("spark.sql.shuffle.partitions", "16")
         else:
             dfs[metric] = QUERIES[key](spark, sf_dir)
-        plan_build += time.perf_counter() - t0
+            plan_build += time.perf_counter() - t0
     # Adaptive pass count: this host shows whole-minutes noise windows
     # where EVERY query runs 2-10x slower; a run whose passes all land
     # in such a window records a wrong number. Run at least 3 and up

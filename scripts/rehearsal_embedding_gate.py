@@ -136,8 +136,13 @@ def main() -> None:
     )
     t_truth = time.perf_counter() - t0
 
-    # ... plus the no-cross-cluster-pair certificate (numeric, 64x64)
-    vh = v.select("label", F.transform("ve", lambda x: x / nrm(F.col("ve"))).alias("vh"))
+    # ... plus the no-cross-cluster-pair certificate (numeric, 64x64).
+    # Materialize the norm as a column first so the per-element divide
+    # doesn't re-evaluate the O(dim) norm aggregate dim times per row
+    # (the same cheap form ball_cover_stages uses).
+    vh = v.withColumn("nrm", nrm(F.col("ve"))).select(
+        "label", F.transform("ve", lambda x: x / F.col("nrm")).alias("vh")
+    )
     cent_rows = (
         vh.groupBy("label")
         .agg(*[F.avg(F.col("vh")[i]).alias(f"c{i}") for i in range(DIM)])

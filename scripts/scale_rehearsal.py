@@ -140,6 +140,11 @@ def main() -> None:
     hot = "--hot" in sys.argv
     if hot:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        print(
+            "(engine shapes below: HOT method — plan built once, AQE OFF "
+            "so every run fully re-executes; the header's 'AQE on' does "
+            "not apply to them)"
+        )
     for label, key in ENGINE_SHAPES.items():
         sql = ORACLES[key]
 
@@ -162,7 +167,9 @@ def main() -> None:
         d = timed(duck_run, runs)
         s = timed(spark_run, runs)
         tag = "engine path vs oracle, hot exec" if hot else "engine path vs oracle"
-        print(f"| {label} | {d:.3f} s | {s:.3f} s | {s / d:.2f}x | ({tag})")
+        # tag folded into the ratio cell so every row keeps the
+        # header's 4 columns (valid markdown either way)
+        print(f"| {label} | {d:.3f} s | {s:.3f} s | {s / d:.2f}x ({tag}) |")
 
 
 if __name__ == "__main__":

@@ -73,14 +73,16 @@ def test_key_order_not_stale():
             return (row.get("spark_rows") or 0) > 0
         return row.get("err") is None and bool(row.get("hash_match"))
 
+    # mirror queries(): a key missing from _KEY_ORDER ranks first
+    # (new operator, no evidence) rather than KeyError-ing this test
     rank = {k: i for i, k in enumerate(entry._KEY_ORDER)}
     needs_evidence = [k for k in QUERIES if k not in latest or not is_green(latest[k])]
     has_green = [k for k in QUERIES if k in latest and is_green(latest[k])]
     if not needs_evidence or not has_green:
         return  # nothing to order between
-    worst_needy = max(rank[k] for k in needs_evidence)
-    best_green = min(rank[k] for k in has_green)
-    stragglers = sorted(k for k in needs_evidence if rank[k] > best_green)
+    worst_needy = max(rank.get(k, -1) for k in needs_evidence)
+    best_green = min(rank.get(k, -1) for k in has_green)
+    stragglers = sorted(k for k in needs_evidence if rank.get(k, -1) > best_green)
     assert worst_needy < best_green, (
         f"_KEY_ORDER is stale: evidence-lacking keys rank after green keys: {stragglers}"
     )
