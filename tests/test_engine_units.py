@@ -253,3 +253,37 @@ def test_chicago_tz_derivation_matches_duckdb(spark, utc_ts):
     assert (row["y"], row["m"], row["d"], row["h"], row["dow"]) == tuple(
         int(x) for x in want
     ), utc_ts
+
+
+def test_stage_scratch_reuse_and_rebuild(tmp_path, monkeypatch):
+    """stage_scratch must rebuild exactly when the source table file
+    changes (mtime_ns marker) and reuse the staging otherwise — the
+    staleness class that cost round 2 its scoreboard is now handled in
+    ONE shared helper, so this pins its contract."""
+    import os
+
+    from atd_dockless_processing_spark import tables
+
+    monkeypatch.setattr(tables, "SCRATCH", tmp_path / "scratch")
+    src_dir = tmp_path / "sf"
+    src_dir.mkdir()
+    src = src_dir / "events.parquet"
+    src.write_bytes(b"v1")
+
+    builds = []
+
+    def build(indir: str) -> None:
+        os.makedirs(indir, exist_ok=True)
+        builds.append(indir)
+
+    d1 = tables.stage_scratch("t", str(src_dir), "events", build)
+    d2 = tables.stage_scratch("t", str(src_dir), "events", build)
+    assert d1 == d2 and len(builds) == 1  # reused, not rebuilt
+
+    # in-place source change (new mtime) must invalidate
+    os.utime(src, ns=(1, 1))
+    tables.stage_scratch("t", str(src_dir), "events", build)
+    assert len(builds) == 2
+    # and the new marker must make the rebuild stick
+    tables.stage_scratch("t", str(src_dir), "events", build)
+    assert len(builds) == 2
