@@ -60,7 +60,8 @@ _KEY_ORDER = [
     "src_orc_roundtrip", "src_incremental_extract", "stm_join_stream_static", "llm_tfidf_topk",
     "src_csv_roundtrip", "llm_vector_quantize", "stm_session_window", "agg_corr_cov",
     "snk_partitioned", "stm_sliding_watermark", "stm_tumbling_availablenow", "join_interval_overlap",
-    "snk_bucketed_join", "stm_late_data_drop", "fn_geojson_route", "stm_watermark_dedup",
+    "snk_bucketed_join", "snk_jdbc_derby", "stm_late_data_drop", "fn_geojson_route",
+    "stm_watermark_dedup",
     "llm_ann_hyperplane", "llm_ann_ivf", "stm_stateful_running", "stm_join_stream_stream",
     "llm_dedup_simhash", "geo_bbox_join", "llm_dedup_near_minhash", "llm_dedup_url_canon",
     "stm_stateful_session", "llm_kmeans_step", "llm_dedup_embedding", "llm_dedup_clusters",

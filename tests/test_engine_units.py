@@ -114,10 +114,10 @@ def test_jdbc_upsert_merge_sql_and_url_guard(spark, sf_dir):
 
     sql = _merge_sql("pub", "pub_stage_ab", ["id", "v", "w"], ["id"])
     assert sql == (
-        "MERGE INTO pub t USING pub_stage_ab s ON t.id = s.id "
-        "WHEN MATCHED THEN UPDATE SET v = s.v, w = s.w "
-        "WHEN NOT MATCHED THEN INSERT (id, v, w) "
-        "VALUES (s.id, s.v, s.w)"
+        'MERGE INTO pub t USING pub_stage_ab s ON t."id" = s."id" '
+        'WHEN MATCHED THEN UPDATE SET "v" = s."v", "w" = s."w" '
+        'WHEN NOT MATCHED THEN INSERT ("id", "v", "w") '
+        'VALUES (s."id", s."v", s."w")'
     )
     df = QUERIES["agg_global"](spark, sf_dir)
     with pytest.raises(ValueError, match="not a jdbc url"):
