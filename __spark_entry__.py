@@ -53,6 +53,7 @@ _KEY_ORDER = [
     # cheap keys first maximizes new scoreboard rows wherever the
     # budget cliff lands (whole block ≈ 70 s warm; the slow dedup /
     # stream tail sits last on purpose) ---
+    "fn_variant_json", "sql_recursive_cte",
     "fn_date_derive", "agg_collect_sorted", "fn_json_extract", "win_lag_lead",
     "fn_try_arith", "fn_date_derive_tz", "fn_map_ops", "evt_attribution_last_touch",
     "agg_minmax_by", "fn_url_parse", "mm_decode_stub", "llm_bm25_topk",

@@ -589,3 +589,107 @@ def src_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").alias("sum_event_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_recursive_cte — WITH RECURSIVE hierarchy traversal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id = 0 THEN 0
+                  ELSE CAST(FLOOR(LOG2(user_id)) AS INTEGER) + 1 END AS depth
+      FROM events
+    )
+    SELECT d.depth,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e JOIN d ON e.user_id = d.user_id
+    GROUP BY 1
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's ``WITH RECURSIVE``): traverse the
+    implicit referral tree parent(u) = u DIV 2 rooted at user 0 and
+    compute each user's GENERATION DEPTH iteratively — the
+    hierarchy/graph-reachability query class (org charts, referral
+    chains, BOM explosions) that previously needed the driver-side
+    iteration llm_dedup_clusters hand-rolls. The engine unrolls the
+    recursion into iterative joins; state per step is one generation
+    of the tree, so depth bounds the iteration count (log2 of the
+    user space here).
+
+    The oracle computes the SAME depths via the closed form
+    floor(log2(u)) + 1 — a genuinely different (non-iterative)
+    algorithm agreeing on the fixpoint, which is exactly what a
+    recursive-query check should pin. Per-depth user/event/value
+    rollup joins the events fact back on the derived dimension."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_rcte")
+    ev.select("user_id").distinct().createOrReplaceTempView("users_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE d(user_id, depth) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT u.user_id, d.depth + 1
+          FROM users_rcte u JOIN d ON u.user_id DIV 2 = d.user_id
+          WHERE u.user_id > 0
+        )
+        SELECT d.depth,
+               COUNT(DISTINCT e.user_id) AS n_users,
+               COUNT(*) AS n_events,
+               ROUND(SUM(e.value), 4) AS sum_value
+        FROM ev_rcte e JOIN d ON e.user_id = d.user_id
+        GROUP BY d.depth
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_variant_json — Spark 4 VARIANT semi-structured type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+                AS INTEGER) AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.missing') IS NULL)
+                AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY 1
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    ``parse_json`` decodes the props JSON ONCE into the binary
+    variant encoding, then typed paths come out with ``variant_get``
+    (and ``try_variant_get`` for absent paths, which yields NULL
+    instead of erroring) — the modern engine answer to repeated
+    ``get_json_object`` string re-parsing: at 100 TB the parse
+    happens once per row at ingest and every later extraction is a
+    cheap binary traversal, with shredding/pushdown landing in the
+    parquet variant spec. The oracle does the same typed extraction
+    via DuckDB's JSON functions, proving the variant path
+    value-identical to a classic JSON-string pipeline."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    kk = F.try_variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "int")
+    return ev.select(
+        kk.alias("k"), missing.alias("m")
+    ).groupBy((F.col("k") % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
