@@ -33,18 +33,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver sweeps queries() in dict order under a per-round time
 # budget (~50 keys/round). Keys are ordered by EVIDENCE PRIORITY,
-# re-tiered each round from the union of all CORRECTNESS_r*.json
-# evidence (round-3 verdict item 1; this ordering is from r01∪r02∪r03):
-# tier 1 = keys the driver has NEVER swept in any round, tier 2 =
-# keys whose LATEST driver evidence is an error (all six were broken
-# by the r2 events.ts encoding flip / r1 array canonicalizer and are
-# fixed in tree, selfcheck-green), tier 3 = keys whose latest driver
-# evidence is green. Within each tier keys stay CHEAPEST-FIRST by
-# measured warm latency at sf0.01 (scripts/profile_keys.py). Keys
-# missing from the list (added after the last reorder) sort FIRST —
-# a brand-new operator has no driver evidence, so it must land
-# inside the sweep budget, not after 161 known keys.
-# tests/test_engine_units.py guards this tiering against going stale.
+# re-computed each round from the union of all CORRECTNESS_r*.json
+# files (this ordering is from r01∪r02∪r03): every key WITHOUT green
+# latest driver evidence — new this round, never swept, stale-error,
+# or check-type changed — sorts before every key WITH it, and the
+# whole evidence-needed block is packed cheapest-first by measured
+# warm sf0.01 latency so a time-budget cliff costs the fewest rows.
+# Keys missing from the list sort FIRST (a brand-new operator has no
+# driver evidence, so it must land inside the sweep budget).
+# tests/test_bench_contract.py guards this ordering against going
+# stale when the next CORRECTNESS file lands.
 _KEY_ORDER = [
     # --- evidence-needed block (tiers 0-2 MERGED, cheapest-first by
     # measured warm sf0.01 latency): new-this-round keys, never-swept
@@ -53,7 +51,7 @@ _KEY_ORDER = [
     # cheap keys first maximizes new scoreboard rows wherever the
     # budget cliff lands (whole block ≈ 70 s warm; the slow dedup /
     # stream tail sits last on purpose) ---
-    "fn_variant_json", "sql_recursive_cte",
+    "fn_variant_json", "sql_recursive_cte", "snk_parquet",
     "fn_date_derive", "agg_collect_sorted", "fn_json_extract", "win_lag_lead",
     "fn_try_arith", "fn_date_derive_tz", "fn_map_ops", "evt_attribution_last_touch",
     "agg_minmax_by", "fn_url_parse", "mm_decode_stub", "llm_bm25_topk",
@@ -76,7 +74,7 @@ _KEY_ORDER = [
     "llm_pack_sequences", "set_except_all", "set_intersect_all", "sql_lateral_topn",
     "evt_time_weighted_avg", "evt_session_window_native", "llm_term_topk", "evt_sliding_window",
     "mm_frame_sample", "llm_dedup_exact", "src_text_log_parse", "llm_cosine_topk",
-    "set_union_distinct", "src_json_roundtrip", "txt_lang_id", "snk_parquet",
+    "set_union_distinct", "src_json_roundtrip", "txt_lang_id",
     "llm_unigram_logprob", "udf_scalar_python", "evt_markov_transitions", "sql_correlated_subquery",
     "geo_nearest_hub", "srt_topk_global", "evt_session_batch", "snk_upsert_merge",
     "udaf_grouped_map", "geo_hex_bin", "geo_point_in_polygon", "txt_boilerplate_strip",

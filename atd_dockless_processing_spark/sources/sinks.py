@@ -90,15 +90,33 @@ def write_jdbc_upsert(
         conn.close()
 
 
-@query("snk_parquet")  # rows-only per SURVEY §2.1 (no oracle)
+@query(
+    "snk_parquet",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write an aggregate to parquet, read it back. Rows-only check."""
+    """Write an aggregate to parquet, read it back — the sink
+    round-trip must be lossless, so the oracle is simply the same
+    aggregate computed directly from orders (hash-checked since
+    round 4; was rows-only out of early-round caution). Exact
+    DECIMAL(18,4) summation on both sides: the per-status sum
+    reaches ~2e10 at sf0.1, the measured summation-order hazard
+    (see snk_upsert_merge)."""
     agg = (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_price"),
         )
     )
     path = scratch_dir("snk_parquet", sf_dir.strip("/").replace("/", "_"))

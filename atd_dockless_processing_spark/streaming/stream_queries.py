@@ -343,11 +343,24 @@ def stm_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("stm_stateful_running")  # rows-only: complete-mode running totals
+@query(
+    "stm_stateful_running",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def stm_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming running totals per event type in complete output
     mode — the stateful-aggregation surface without custom state
-    ([P low]: running totals)."""
+    ([P low]: running totals). Hash-checked since round 4: the
+    availableNow drain's FINAL complete-mode snapshot equals the
+    batch aggregate exactly (count/sum state is arrival-order
+    independent), so the plain batch SQL is a valid oracle — this
+    was rows-only out of early-round caution, not semantics."""
     name = f"stm_running_{uuid.uuid4().hex[:8]}"
     agg = (
         _stream_events(spark, sf_dir)

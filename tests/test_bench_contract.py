@@ -61,23 +61,26 @@ def test_key_order_not_stale():
 
     sys.path.insert(0, str(REPO))
     import __spark_entry__ as entry
-    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark import ORACLES, QUERIES
 
     latest: dict[str, dict] = {}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         for key, row in json.loads(path.read_text()).items():
             latest[key] = row
 
-    def is_green(row: dict) -> bool:
+    def is_green(key: str, row: dict) -> bool:
         if row.get("err") == "no_oracle":
-            return (row.get("spark_rows") or 0) > 0
+            # a rows-only pass is only current evidence while the key
+            # is STILL rows-only; once an oracle exists the key needs
+            # a fresh hash-checked row (check type changed)
+            return key not in ORACLES and (row.get("spark_rows") or 0) > 0
         return row.get("err") is None and bool(row.get("hash_match"))
 
     # mirror queries(): a key missing from _KEY_ORDER ranks first
     # (new operator, no evidence) rather than KeyError-ing this test
     rank = {k: i for i, k in enumerate(entry._KEY_ORDER)}
-    needs_evidence = [k for k in QUERIES if k not in latest or not is_green(latest[k])]
-    has_green = [k for k in QUERIES if k in latest and is_green(latest[k])]
+    needs_evidence = [k for k in QUERIES if k not in latest or not is_green(k, latest[k])]
+    has_green = [k for k in QUERIES if k in latest and is_green(k, latest[k])]
     if not needs_evidence or not has_green:
         return  # nothing to order between
     worst_needy = max(rank.get(k, -1) for k in needs_evidence)
