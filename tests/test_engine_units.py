@@ -287,3 +287,60 @@ def test_stage_scratch_reuse_and_rebuild(tmp_path, monkeypatch):
     # and the new marker must make the rebuild stick
     tables.stage_scratch("t", str(src_dir), "events", build)
     assert len(builds) == 2
+
+
+def test_interval_overlap_join_is_bucket_blocked(spark, sf_dir):
+    """join_interval_overlap's candidate stage must be an EQUI-join on
+    the week bucket (hash join / broadcast hash join), never a
+    CartesianProduct or nested-loop theta join — the whole point of
+    the bin-bucketing rewrite. (The oracle keeps the true theta
+    join.)"""
+    df = QUERIES["join_interval_overlap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan, "bucket key missing from the candidate join"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    s1=st.integers(min_value=0, max_value=5000),
+    len1=st.integers(min_value=0, max_value=40),
+    s2=st.integers(min_value=0, max_value=5000),
+    len2=st.integers(min_value=0, max_value=40),
+    width=st.integers(min_value=1, max_value=14),
+)
+def test_interval_bucket_cover_property(s1, len1, s2, len2, width):
+    """Property behind join_interval_overlap's recall-1.0 claim: for
+    ANY two overlapping integer intervals and ANY bucket width, the
+    bucket ranges [floor(s/w), floor(e/w)] intersect — an overlapping
+    pair always shares at least one bucket, so the equi-join candidate
+    set is a superset of the true pairs."""
+    e1, e2 = s1 + len1, s2 + len2
+    overlaps = s1 <= e2 and s2 <= e1
+    if not overlaps:
+        return
+    b1 = set(range(s1 // width, e1 // width + 1))
+    b2 = set(range(s2 // width, e2 // width + 1))
+    assert b1 & b2, (s1, e1, s2, e2, width)
+
+
+def test_partition_prune_reads_only_selected_partitions(spark, sf_dir):
+    """src_partition_prune's scan must carry literal PartitionFilters
+    and no row-level DataFilters — the partition directories ARE the
+    filter, which is what makes the 100 TB time-ranged scan cheap."""
+    df = QUERIES["src_partition_prune"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [event_date" in scan
+    assert "DataFilters: []" in scan
+
+
+def test_geojson_route_parses_with_jackson_not_python(spark, sf_dir):
+    """fn_geojson_route must do its JSON work JVM-side: from_json in
+    the plan, and no Python evaluation nodes anywhere."""
+    df = QUERIES["fn_geojson_route"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "from_json" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python evaluation node {marker} in plan"
