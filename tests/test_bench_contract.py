@@ -89,3 +89,41 @@ def test_key_order_not_stale():
     assert worst_needy < best_green, (
         f"_KEY_ORDER is stale: evidence-lacking keys rank after green keys: {stragglers}"
     )
+
+
+def test_green_tier_rotates_oldest_evidence_first():
+    """Round-4 verdict item 7: the tree keeps changing every round,
+    so the sweep budget left over after the evidence-needed block
+    must re-validate the STALEST green keys first. Within the green
+    tier, _KEY_ORDER must be non-decreasing in the round number of
+    each key's latest green evidence — re-tiering is required the
+    moment a new CORRECTNESS round makes the rotation stale."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+    from atd_dockless_processing_spark import ORACLES, QUERIES
+
+    latest: dict[str, tuple[int, dict]] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.stem.split("_r")[1])
+        for key, row in json.loads(path.read_text()).items():
+            latest[key] = (rnd, row)
+
+    def is_green(key: str, row: dict) -> bool:
+        if row.get("err") == "no_oracle":
+            return key not in ORACLES and (row.get("spark_rows") or 0) > 0
+        return row.get("err") is None and bool(row.get("hash_match"))
+
+    green_rounds = [
+        latest[k][0]
+        for k in entry._KEY_ORDER
+        if k in QUERIES and k in latest and is_green(k, latest[k][1])
+    ]
+    out_of_order = [
+        (a, b) for a, b in zip(green_rounds, green_rounds[1:]) if a > b
+    ]
+    assert not out_of_order, (
+        f"green tier not oldest-evidence-first: {len(out_of_order)} inversions, "
+        f"first={out_of_order[:3]}"
+    )
