@@ -313,8 +313,8 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_urls,
            CAST(COUNT(DISTINCT regexp_extract(url, 'pri=(.)', 1)) AS BIGINT)
              AS n_priorities,
-           SUM(CAST(regexp_extract(url, 'id=([0-9]+)', 1) AS BIGINT)
-               - o_orderkey) AS id_check
+           CAST(SUM(CAST(regexp_extract(url, 'id=([0-9]+)', 1) AS BIGINT)
+               - o_orderkey) AS BIGINT) AS id_check
     FROM u
     GROUP BY 1, 2
     """,

@@ -228,7 +228,7 @@ def fn_geojson_route(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(n AS DOUBLE), 4) AS covar_pop,
            ROUND((CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                 / CAST(n - 1 AS DOUBLE), 4) AS covar_samp
+                 / CAST(NULLIF(n - 1, 0) AS DOUBLE), 4) AS covar_samp
     FROM sums
     """,
 )
@@ -273,7 +273,13 @@ def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_qty_price"),
         F.round(cov_num / nd, 4).alias("covar_pop"),
-        F.round(cov_num / (F.col("n") - 1).cast("double"), 4).alias("covar_samp"),
+        # nullif guard on (n-1): a 1-row group must yield NULL on BOTH
+        # engines — Spark's non-ANSI x/0 is NULL but DuckDB's IEEE
+        # double division gives ±inf/NaN (same divergence class fixed
+        # in evt_time_weighted_avg)
+        F.round(
+            cov_num / F.nullif((F.col("n") - F.lit(1)).cast("double"), F.lit(0.0)), 4
+        ).alias("covar_samp"),
     )
 
 
@@ -628,7 +634,16 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(log2(u)) + 1 — a genuinely different (non-iterative)
     algorithm agreeing on the fixpoint, which is exactly what a
     recursive-query check should pin. Per-depth user/event/value
-    rollup joins the events fact back on the derived dimension."""
+    rollup joins the events fact back on the derived dimension.
+
+    PRECONDITION (tested in test_engine_units.py): the recursion
+    assigns a depth only to users whose FULL parent chain
+    (u DIV 2 repeatedly) exists in events, while the closed form
+    covers every distinct user unconditionally — the two agree iff
+    the user_id space is DENSE (every u DIV 2 ancestor present).
+    The driver testdata generates user_id as dense 0..N-1 at every
+    sf; on gappy data the recursive side would silently drop
+    orphaned subtrees and the check would (correctly) go red."""
     ev = load(spark, sf_dir, "events")
     ev.createOrReplaceTempView("ev_rcte")
     ev.select("user_id").distinct().createOrReplaceTempView("users_rcte")

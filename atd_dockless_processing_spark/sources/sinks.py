@@ -84,8 +84,17 @@ def write_jdbc_upsert(
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         st = conn.createStatement()
-        st.execute(merge)
-        st.execute(f"DROP TABLE {staging}")
+        try:
+            st.execute(merge)
+        finally:
+            # drop staging even when the MERGE throws (dialect without
+            # MERGE, constraint violation): otherwise the uuid table
+            # leaks permanently and accumulates across failed runs.
+            # Best-effort — a drop error must not mask the MERGE error.
+            try:
+                st.execute(f"DROP TABLE {staging}")
+            except Exception:  # noqa: BLE001
+                pass
     finally:
         conn.close()
 

@@ -124,7 +124,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -140,7 +140,7 @@ def stm_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("sum_value"),
         )
         .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
     )
@@ -348,7 +348,7 @@ def stm_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -358,16 +358,18 @@ def stm_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode — the stateful-aggregation surface without custom state
     ([P low]: running totals). Hash-checked since round 4: the
     availableNow drain's FINAL complete-mode snapshot equals the
-    batch aggregate exactly (count/sum state is arrival-order
-    independent), so the plain batch SQL is a valid oracle — this
-    was rows-only out of early-round caution, not semantics."""
+    batch aggregate exactly. Counts are arrival-order independent;
+    IEEE double sums are NOT (micro-batch vs DuckDB accumulation
+    order can flip the 4th decimal), so the value is cast to
+    DECIMAL(18,4) inside SUM on BOTH sides — exact, order-free
+    addition, same pattern as snk_parquet/src_schema_merge."""
     name = f"stm_running_{uuid.uuid4().hex[:8]}"
     agg = (
         _stream_events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("sum_value"),
         )
     )
     _run_to_memory(agg, name, "complete")
@@ -379,7 +381,7 @@ def stm_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -400,7 +402,7 @@ def stm_join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("sum_value"),
         )
     )
     _run_to_memory(enriched, name, "complete")
@@ -412,7 +414,7 @@ def stm_join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -449,7 +451,7 @@ def stm_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("sum_value"),
     )
 
 
@@ -462,7 +464,7 @@ def stm_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
     FROM events CROSS JOIN offs
     GROUP BY 1, 2
     """,
@@ -483,7 +485,7 @@ def stm_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -521,7 +523,7 @@ def stm_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            MIN(ts) AS session_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
     FROM sess
     GROUP BY user_id, sid
     """,
@@ -549,7 +551,7 @@ def stm_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -574,7 +576,7 @@ def stm_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(p_ts AS DATE) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(SUM(c_val), 4) AS sum_click_value
+           ROUND(CAST(SUM(CAST(c_val AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_click_value
     FROM p JOIN c ON p.user_id = c.user_id
                AND c_ts >= p_ts - INTERVAL 30 MINUTE
                AND c_ts <= p_ts
@@ -623,6 +625,6 @@ def stm_join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("p_ts").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.sum("c_val"), 4).alias("sum_click_value"),
+            F.round(F.sum(F.col("c_val").cast("decimal(18,4)")).cast("double"), 4).alias("sum_click_value"),
         )
     )

@@ -3,12 +3,21 @@ query on Spark AND its DuckDB oracle at sf0.01; compare row count,
 column names, and order-insensitive values — a strictly-stricter
 local mirror of the driver's correctness gate.
 
-Usage: python scripts/selfcheck.py [key ...] [--sf DIR]
+Both sides are fetched THROUGH PANDAS (Spark ``toPandas()``, DuckDB
+``.df()``) and every cell is normalized dtype-sensitively, because
+that is what the driver's canonicalizer hashes. Three canonicalizer
+divergences were found across rounds by being laxer than the driver
+(r2 array cells, r4 DECIMAL sums, r4 DuckDB HUGEINT→float64 while
+Spark SUM(long)→int64 on `fn_url_parse`): a numpy int64 0 and a
+float64 0.0 must NOT normalize equal here, ever.
+
+Usage: python scripts/selfcheck.py [key ...] [--sf=DIR]
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 import sys
 import time
@@ -18,35 +27,78 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 from atd_dockless_processing_spark import ORACLES, QUERIES, TABLES  # noqa: E402
 from atd_dockless_processing_spark.session import get_spark  # noqa: E402
 
 
 def _norm_val(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # exact compare after the query's own rounding; normalize -0.0
-        return repr(v + 0.0)
+    """Dtype-sensitive canonical repr of one pandas cell.
+
+    int-family and float-family values get DISTINCT prefixes even for
+    equal magnitudes (i:0 vs f:0.0) — the driver's pandas value-hash
+    distinguishes an int64 column from a float64 column, so an oracle
+    whose SUM comes back HUGEINT→float64 must fail here when the
+    Spark column is int64."""
+    if v is None:
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "f:NaN"
+        return f"f:{repr(f + 0.0)}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
-        return v.isoformat()
+        # DuckDB DATE surfaces in pandas as datetime64 (midnight) while
+        # Spark toPandas gives datetime.date objects — the driver's
+        # hash treats them as equal (date-typed keys are green), so
+        # normalize a date to its midnight-datetime isoformat
+        return dt.datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_norm_val(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_val(x) for x in v) + "]"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, int):
-        return f"i:{v}"
+    if isinstance(v, dict):
+        items = sorted(v.items(), key=lambda kv: str(kv[0]))
+        return "{" + ",".join(f"{k}:{_norm_val(x)}" for k, x in items) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
     return repr(v)
 
 
-def norm_result(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_val(r[i]) for i in order) for r in rows]
-    out.sort()
-    return sorted(c.lower() for c in cols), out
+def _is_null(v) -> bool:
+    """Scalar null test matching what the driver's pandas frames see:
+    a Spark NULL in a double column and a DuckDB NULL both surface as
+    NaN after pandas conversion, so scalar None/NaN/NaT all normalize
+    to "null". Containers are never null (pd.isna vectorizes)."""
+    if isinstance(v, (np.ndarray, list, tuple, dict, bytes, bytearray)):
+        return False
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def norm_pdf(pdf: pd.DataFrame):
+    """Driver-shaped canonical form: sort columns by name, normalize
+    every cell dtype-sensitively, sort rows."""
+    cols = sorted(pdf.columns, key=lambda c: c.lower())
+    rows = []
+    for rec in pdf[cols].itertuples(index=False, name=None):
+        rows.append(tuple("null" if _is_null(v) else _norm_val(v) for v in rec))
+    rows.sort()
+    return [c.lower() for c in cols], rows
 
 
 def duck_con(sf_dir: str):
@@ -83,26 +135,23 @@ def main():
         t0 = time.time()
         try:
             df = QUERIES[key](spark, sf_dir)
-            s_cols = df.columns
-            s_rows = [tuple(r) for r in df.collect()]
-        except Exception as e:
+            s_pdf = df.toPandas()
+        except Exception as e:  # noqa: BLE001
             print(f"FAIL {key}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         if key not in ORACLES:
-            print(f"ok   {key}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            print(f"ok   {key}: rows-only ({len(s_pdf)} rows, {time.time()-t0:.1f}s)")
             n_rows_only += 1
             continue
         try:
-            res = con.execute(ORACLES[key])
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
-        except Exception as e:
+            o_pdf = con.execute(ORACLES[key]).df()
+        except Exception as e:  # noqa: BLE001
             print(f"FAIL {key}: oracle error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
-        sc, sr = norm_result(s_cols, s_rows)
-        oc, orr = norm_result(o_cols, o_rows)
+        sc, sr = norm_pdf(s_pdf)
+        oc, orr = norm_pdf(o_pdf)
         if sc != oc:
             print(f"FAIL {key}: columns {sc} != {oc}")
             n_fail += 1

@@ -12,7 +12,7 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
-from selfcheck import norm_result  # noqa: E402
+from selfcheck import norm_pdf  # noqa: E402
 
 from atd_dockless_processing_spark import ORACLES, QUERIES  # noqa: E402
 
@@ -36,10 +36,13 @@ def test_inventory_complete():
 
 @pytest.mark.parametrize("key", HASH_KEYS)
 def test_hash_parity(key, spark, sf_dir, duck):
+    # both sides go THROUGH PANDAS, dtype-sensitively — the driver's
+    # canonicalizer hashes pandas frames, so an int64-vs-float64
+    # divergence (e.g. DuckDB HUGEINT from an un-cast SUM) must fail
+    # here exactly as it fails the driver (round-4 fn_url_parse bug)
     df = QUERIES[key](spark, sf_dir)
-    s_cols, s_rows = norm_result(df.columns, [tuple(r) for r in df.collect()])
-    res = duck.execute(ORACLES[key])
-    o_cols, o_rows = norm_result([d[0] for d in res.description], res.fetchall())
+    s_cols, s_rows = norm_pdf(df.toPandas())
+    o_cols, o_rows = norm_pdf(duck.execute(ORACLES[key]).df())
     assert s_cols == o_cols, f"{key}: column names differ"
     assert len(s_rows) == len(o_rows), f"{key}: row counts differ"
     assert s_rows == o_rows, f"{key}: values differ"
