@@ -51,7 +51,7 @@ _KEY_ORDER = [
     # --- evidence-needed block: fn_url_parse is r04's one red row
     # (oracle HUGEINT cast bug, fixed this round); new round-5 keys
     # are prepended here as they land ---
-    "fn_url_parse",
+    "fn_url_parse", "geo_point_in_polygon_table", "mm_decode_wav",
     # --- ever-green tail, oldest evidence first: r1 → r2 → r3 → r4 ---
     "agg_approx_distinct", "agg_stats", "agg_pivot",
     "agg_percentiles", "join_anti", "join_inner", "fn_explode",

@@ -1,0 +1,399 @@
+"""Round-5 extensions — SURVEY.md §2.19.
+
+Operators closing the round-4 verdict's remaining fidelity gaps
+(reference parity per SURVEY §0: the checkout was empty, so each row
+cites the public capability it generalizes):
+
+- ``geo_point_in_polygon_table`` — point-in-polygon against a staged
+  polygon TABLE (60 non-convex polygons) via a grid-cell-index
+  candidate join + exact PNPOLY verify. The reference's production
+  spatial step assigns trip endpoints to ~hundreds of council-district
+  / census-tract polygons loaded from data files ([P high], SURVEY
+  §2.9); the literal-compiled ``geo_point_in_polygon`` has the right
+  algebra but wrong cardinality — THIS is the shape that scales to a
+  real polygon table.
+- ``mm_decode_wav`` — REAL audio decode of PCM WAV bytes (RIFF header
+  parse + int16 sample decode in Arrow ``mapInPandas``), staged via
+  ``struct.pack`` encoding so the oracle can recompute duration/RMS/
+  peak from the pre-encode closed form. Converts the multimodal area
+  from rows-only stubs to a hash-checked key (round-4 verdict
+  missing-list item 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load, stage_scratch
+
+# ---------------------------------------------------------------------------
+# geo_point_in_polygon_table — PIP against a staged polygon table
+# ---------------------------------------------------------------------------
+
+# 8-vertex star offsets (unit lattice, scaled per polygon): alternating
+# radius-3 / radius-~2.2 vertices => NON-convex for every polygon. No
+# consecutive pair shares a y, so no horizontal-edge inf/nan terms.
+_PIPT_OFF = [(3, 0), (1, 2), (0, 3), (-1, 2), (-3, 0), (-1, -2), (0, -3), (1, -2)]
+_PIPT_N_POLY = 60
+_PIPT_CELL = 0.02  # grid-index cell size (degrees)
+
+# SQL fragments shared verbatim between the Spark staging expressions
+# and the DuckDB oracle so every vertex double is bit-identical.
+_PIPT_CX = "-97.93e0 + ({i} % 10) * 0.04e0"
+_PIPT_CY = "30.12e0 + ({i} // 10) * 0.06e0"
+_PIPT_S = "0.004e0 + ({i} % 4) * 0.002e0"
+
+
+def _stage_polygons(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the polygon dimension TABLE: 60 deterministic non-convex
+    star polygons tiling the synthetic coordinate space, one row per
+    polygon with its vertex array — the council-district/census-tract
+    file the reference loads, in staged-parquet form. Vertices are
+    computed with Spark SQL expressions textually mirroring the
+    oracle's so both engines derive bit-identical doubles."""
+
+    def build(indir: str) -> None:
+        i = F.col("id").cast("int")
+        cx = F.expr(_PIPT_CX.format(i="CAST(id AS INT)"))
+        cy = F.expr(_PIPT_CY.format(i="CAST(id AS INT)").replace("//", "DIV"))
+        s = F.expr(_PIPT_S.format(i="CAST(id AS INT)"))
+        verts = F.array(
+            *[
+                F.struct(
+                    (F.col("cx") + F.lit(float(dx)) * F.col("s")).alias("x"),
+                    (F.col("cy") + F.lit(float(dy)) * F.col("s")).alias("y"),
+                )
+                for dx, dy in _PIPT_OFF
+            ]
+        )
+        (
+            spark.range(_PIPT_N_POLY)
+            .select(
+                i.alias("zone_id"),
+                cx.alias("cx"),
+                cy.alias("cy"),
+                s.alias("s"),
+            )
+            .select("zone_id", "cx", "cy", "s", verts.alias("verts"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    # marker on events: the polygon set is fixed, but staging follows
+    # the shared freshness protocol keyed on the point source
+    return stage_scratch("geo_pip_table", sf_dir, "events", build)
+
+
+def _pipt_inside(verts: Column, px: Column, py: Column) -> Column:
+    """Exact PNPOLY crossing-parity test of (px, py) against the
+    8-vertex polygon ``verts`` — one F.aggregate over the edge list,
+    pure codegen HOF (no explode, no Python)."""
+    nv = len(_PIPT_OFF)
+
+    def crossings(acc: Column, k: Column) -> Column:
+        v1 = F.element_at(verts, k + 1)
+        v2 = F.element_at(verts, ((k + 1) % nv) + 1)
+        crosses = ((v1["y"] > py) != (v2["y"] > py)) & (
+            px < (v2["x"] - v1["x"]) * (py - v1["y"]) / (v2["y"] - v1["y"]) + v1["x"]
+        )
+        return acc + F.when(crosses, 1).otherwise(0)
+
+    total = F.aggregate(F.sequence(F.lit(0), F.lit(nv - 1)), F.lit(0), crossings)
+    return total % 2 == 1
+
+
+@query(
+    "geo_point_in_polygon_table",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             (-97.95e0) + (abs(value) % 40.0e0) / 100.0e0 AS px,
+             30.10e0 + (user_id % 40) / 100.0e0 AS py,
+             value
+      FROM events
+    ), off(k, dx, dy) AS (
+      VALUES {", ".join(f"({k}, {dx}, {dy})" for k, (dx, dy) in enumerate(_PIPT_OFF))}
+    ), polys AS (
+      SELECT i AS zone_id,
+             {_PIPT_CX.format(i="i")} AS cx,
+             {_PIPT_CY.format(i="i")} AS cy,
+             {_PIPT_S.format(i="i")} AS s
+      FROM range({_PIPT_N_POLY}) t(i)
+    ), verts AS (
+      SELECT zone_id, k, cx + dx * s AS vx, cy + dy * s AS vy
+      FROM polys CROSS JOIN off
+    ), edges AS (
+      SELECT a.zone_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+      FROM verts a JOIN verts b
+        ON a.zone_id = b.zone_id AND b.k = (a.k + 1) % {len(_PIPT_OFF)}
+    ), hits AS (
+      SELECT p.event_id, e.zone_id, p.value,
+             SUM(CASE WHEN (y1 > py) <> (y2 > py)
+                       AND px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                  THEN 1 ELSE 0 END) AS crossings
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.event_id, e.zone_id, p.value
+    )
+    SELECT zone_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_value
+    FROM hits
+    WHERE crossings % 2 = 1
+    GROUP BY zone_id
+    """,
+)
+def geo_point_in_polygon_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon against a polygon TABLE at real cardinality:
+    60 staged non-convex star polygons (council-district/census-tract
+    shape, [P high] — the reference's production spatial assignment
+    loads polygon files, it does not inline literals), points from
+    events via the same deterministic synthesis as
+    ``geo_point_in_polygon``.
+
+    Scale plan — the many-polygon shape the literal-compiled twin
+    cannot express:
+    1. CANDIDATE GENERATION by grid-cell index: each polygon's bbox
+       expands to its covering 0.02° cells (≤16 cells/polygon, 960
+       slim rows total); each point maps to exactly ONE cell. The
+       equi-join on (cell_x, cell_y) broadcasts the tiny cell index —
+       NO CartesianProduct, and the 100 TB point table is never
+       shuffled (plan-asserted in test_engine_units.py).
+    2. EXACT VERIFY: PNPOLY crossing parity over the candidate's
+       vertex array via one F.aggregate HOF — pure codegen, no
+       explode, no Python. Bit-identical to the oracle's edge-table
+       formulation because every arithmetic step is the same IEEE
+       expression on both engines.
+    3. One combinable agg shuffle on zone_id; exact DECIMAL(18,4)
+       value summation (order-free, the round-4 house pattern).
+
+    At 1000 executors this is: broadcast 960-row index, map-side
+    cell hash + 16-edge parity check per candidate, one partial agg —
+    the canonical spatial-join-by-grid-blocking design (same family
+    as geo_bbox_join / join_interval_overlap bucket blocking)."""
+    polys = spark.read.parquet(_stage_polygons(spark, sf_dir))
+    g = float(_PIPT_CELL)
+    rad = 3.0  # max |offset| in lattice units
+
+    # polygon -> covering grid cells (bbox cover; slim (cell, zone) rows)
+    cells = polys.select(
+        "zone_id",
+        "verts",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("cx") - rad * F.col("s")) / g).cast("int"),
+                F.floor((F.col("cx") + rad * F.col("s")) / g).cast("int"),
+            )
+        ).alias("cell_x"),
+        F.col("cy"),
+        F.col("s"),
+    ).select(
+        "zone_id",
+        "verts",
+        "cell_x",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("cy") - rad * F.col("s")) / g).cast("int"),
+                F.floor((F.col("cy") + rad * F.col("s")) / g).cast("int"),
+            )
+        ).alias("cell_y"),
+    )
+
+    ev = load(spark, sf_dir, "events")
+    px = F.lit(-97.95) + (F.abs(F.col("value")) % F.lit(40.0)) / F.lit(100.0)
+    py = F.lit(30.10) + (F.col("user_id") % 40) / F.lit(100.0)
+    pts = ev.select(
+        px.alias("px"),
+        py.alias("py"),
+        F.col("value"),
+        F.floor(px / g).cast("int").alias("cell_x"),
+        F.floor(py / g).cast("int").alias("cell_y"),
+    )
+
+    cand = pts.join(F.broadcast(cells), ["cell_x", "cell_y"])
+    inside = cand.where(_pipt_inside(F.col("verts"), F.col("px"), F.col("py")))
+    return inside.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_decode_wav — real PCM WAV decode through Arrow mapInPandas
+# ---------------------------------------------------------------------------
+
+_WAV_SCHEMA = (
+    "clip_id long, sample_rate long, n_samples long, "
+    "duration_ms double, rms double, peak long"
+)
+
+
+def _wav_params(clip_id: int) -> tuple[int, int]:
+    """Deterministic per-clip (n_samples, sample_rate) — closed form
+    shared with the oracle SQL."""
+    return 400 + (clip_id % 7) * 160, 8000 * (1 + clip_id % 3)
+
+
+def _wav_amps(clip_id: int, n: int):
+    """Deterministic int16 sample stream for one clip (closed form
+    shared with the oracle SQL): amp(k) in [-10000, 10000]."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.int64)
+    return ((clip_id * 7919 + k * 104729) % 20001 - 10000).astype("<i2")
+
+
+def _stage_wavs(spark: SparkSession, sf_dir: str) -> str:
+    """Stage one REAL RIFF/WAVE PCM file per clip (clip list = the
+    distinct user_id % 200 buckets present in events): 44-byte
+    canonical header via struct.pack + little-endian int16 mono
+    samples. The encode runs DISTRIBUTED through mapInPandas — the
+    same code path that would write millions of clips at 100 TB —
+    and parquet carries (clip_id, wav binary) only: every downstream
+    value must come out of the DECODE."""
+
+    def build(indir: str) -> None:
+        import struct
+
+        import pandas as pd
+
+        def encode(batches):
+            for pdf in batches:
+                out = []
+                for cid in pdf["clip_id"]:
+                    cid = int(cid)
+                    n, rate = _wav_params(cid)
+                    data = _wav_amps(cid, n).tobytes()
+                    hdr = (
+                        b"RIFF"
+                        + struct.pack("<I", 36 + len(data))
+                        + b"WAVE"
+                        + b"fmt "
+                        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                        + b"data"
+                        + struct.pack("<I", len(data))
+                    )
+                    out.append((cid, hdr + data))
+                yield pd.DataFrame(out, columns=["clip_id", "wav"])
+
+        clips = (
+            load(spark, sf_dir, "events")
+            .select((F.col("user_id") % 200).alias("clip_id"))
+            .distinct()
+        )
+        (
+            clips.mapInPandas(encode, "clip_id long, wav binary")
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    return stage_scratch("mm_wav", sf_dir, "events", build)
+
+
+@query(
+    "mm_decode_wav",
+    oracle="""
+    WITH clips AS (
+      SELECT DISTINCT user_id % 200 AS clip_id FROM events
+    ), params AS (
+      SELECT clip_id,
+             400 + (clip_id % 7) * 160 AS n_samples,
+             8000 * (1 + clip_id % 3) AS sample_rate
+      FROM clips
+    ), samples AS (
+      SELECT p.clip_id, p.n_samples, p.sample_rate,
+             ((p.clip_id * 7919 + t.k * 104729) % 20001) - 10000 AS amp
+      FROM params p CROSS JOIN range(1360) t(k)
+      WHERE t.k < p.n_samples
+
+    )
+    SELECT clip_id,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_samples AS DOUBLE) / sample_rate * 1000.0 AS duration_ms,
+           SQRT(CAST(SUM(amp * amp) AS DOUBLE) / n_samples) AS rms,
+           CAST(MAX(ABS(amp)) AS BIGINT) AS peak
+    FROM samples
+    GROUP BY clip_id, sample_rate, n_samples
+    """,
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-checked (round-4 verdict item 5): the
+    staged table carries only (clip_id, wav BINARY); this query parses
+    the RIFF/WAVE header with struct.unpack (validating magics and
+    PCM format), decodes the little-endian int16 samples with
+    numpy.frombuffer, and emits per-clip sample_rate / n_samples /
+    duration / RMS / peak — ALL derived from the bytes. The oracle
+    recomputes the same figures from the pre-encode closed form (the
+    fn_geojson_route staging pattern), so a single wrong byte offset
+    in the parser flips the hash.
+
+    Exactness: sum-of-squares accumulates in int64 (exact, max ~1.4e11
+    < 2^53), so rms = sqrt(ss/n) and duration = n/rate*1000 are the
+    same correctly-rounded IEEE expressions on both engines — no
+    ROUND needed, the doubles match bit-for-bit.
+
+    Scale shape: binary payloads stay columnar through Arrow; decode
+    is a stateless mapInPandas over whatever partitioning the clips
+    arrive in (no shuffle at all — the per-clip output needs no
+    aggregation because a clip is one row). This is the real-codec
+    template: swap the body for soundfile/librosa and the Spark-side
+    plumbing (schema, batching, binary transport) is unchanged —
+    exactly what mm_decode_stub documents for JPEG/PNG, now proven
+    end-to-end on a codec the container CAN handle."""
+
+    def decode(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for cid, buf in zip(pdf["clip_id"], pdf["wav"]):
+                buf = bytes(buf)
+                if buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    raise ValueError(f"clip {cid}: not a RIFF/WAVE file")
+                if buf[12:16] != b"fmt ":
+                    raise ValueError(f"clip {cid}: missing fmt chunk")
+                fmt_size, audio_fmt, channels, rate, _byte_rate, _align, bits = (
+                    struct.unpack("<IHHIIHH", buf[16:36])
+                )
+                if (fmt_size, audio_fmt, channels, bits) != (16, 1, 1, 16):
+                    raise ValueError(f"clip {cid}: not 16-bit mono PCM")
+                if buf[36:40] != b"data":
+                    raise ValueError(f"clip {cid}: missing data chunk")
+                (data_size,) = struct.unpack("<I", buf[40:44])
+                amps = np.frombuffer(buf[44 : 44 + data_size], dtype="<i2")
+                n = len(amps)
+                a64 = amps.astype(np.int64)
+                ss = int(np.sum(a64 * a64))
+                rows.append(
+                    (
+                        int(cid),
+                        int(rate),
+                        n,
+                        n / rate * 1000.0,
+                        (ss / n) ** 0.5,
+                        int(np.max(np.abs(a64))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                    "peak",
+                ],
+            )
+
+    wavs = spark.read.parquet(_stage_wavs(spark, sf_dir))
+    return wavs.mapInPandas(decode, _WAV_SCHEMA)

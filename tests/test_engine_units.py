@@ -344,3 +344,116 @@ def test_geojson_route_parses_with_jackson_not_python(spark, sf_dir):
     assert "from_json" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"Python evaluation node {marker} in plan"
+
+
+def test_recursive_cte_user_id_density_precondition(sf_dir, duck):
+    """sql_recursive_cte's recursion only reaches users whose FULL
+    parent chain (u DIV 2 repeatedly) exists, while its closed-form
+    oracle covers every distinct user — they agree iff the user_id
+    space is dense (every ancestor present). Assert that density on
+    the driver testdata so a future data change that breaks the
+    precondition fails HERE with a message, not as a silent
+    hash-mismatch."""
+    missing = duck.execute(
+        """
+        WITH u AS (SELECT DISTINCT user_id FROM events)
+        SELECT COUNT(*) FROM u
+        WHERE user_id > 0 AND user_id // 2 NOT IN (SELECT user_id FROM u)
+        """
+    ).fetchone()[0]
+    assert missing == 0, (
+        f"{missing} users have an absent parent (u DIV 2): user_id space is "
+        "gappy and sql_recursive_cte's recursion would drop their subtrees"
+    )
+
+
+def test_pip_table_candidate_join_is_cell_indexed(spark, sf_dir):
+    """geo_point_in_polygon_table's candidate stage must be a
+    broadcast EQUI-join on the grid cell — never a CartesianProduct
+    or nested-loop theta join against the polygon table — and the
+    exact PNPOLY verify must stay JVM-side (no Python eval nodes).
+    That is the whole design: broadcast a tiny cell index, map-side
+    verify, one agg shuffle."""
+    df = QUERIES["geo_point_in_polygon_table"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "cell index should broadcast"
+    assert "cell_x" in plan and "cell_y" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python evaluation node {marker} in plan"
+
+
+def test_pip_table_cell_cover_property(spark, sf_dir):
+    """Recall-1.0 of the grid-cell candidate stage: every (point,
+    polygon) pair the brute-force PNPOLY accepts must share a grid
+    cell — i.e. candidate-join hits == all-pairs hits. Verified by
+    comparing the operator against an unblocked cross-join variant
+    built from the same staged polygons."""
+    from atd_dockless_processing_spark.operators.pipeline_r5 import (
+        _pipt_inside,
+        _stage_polygons,
+    )
+    from atd_dockless_processing_spark.tables import load
+
+    polys = spark.read.parquet(_stage_polygons(spark, sf_dir))
+    ev = load(spark, sf_dir, "events")
+    px = F.lit(-97.95) + (F.abs(F.col("value")) % F.lit(40.0)) / F.lit(100.0)
+    py = F.lit(30.10) + (F.col("user_id") % 40) / F.lit(100.0)
+    pts = ev.select(px.alias("px"), py.alias("py"))
+    brute = (
+        pts.crossJoin(polys.select("zone_id", "verts"))
+        .where(_pipt_inside(F.col("verts"), F.col("px"), F.col("py")))
+        .groupBy("zone_id")
+        .count()
+    )
+    fast = (
+        QUERIES["geo_point_in_polygon_table"](spark, sf_dir)
+        .select("zone_id", F.col("n_points").alias("count"))
+    )
+    b = {r["zone_id"]: r["count"] for r in brute.collect()}
+    f = {r["zone_id"]: r["count"] for r in fast.collect()}
+    assert b == f, f"cell cover misses pairs: brute={len(b)} fast={len(f)}"
+
+
+def test_wav_decode_golden_clip():
+    """The WAV decoder must recover the exact closed-form figures
+    from the encoded bytes for a known clip (clip 0: 400 samples at
+    8000 Hz -> 50 ms) — guards the header byte offsets without
+    needing Spark."""
+    import math
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from atd_dockless_processing_spark.operators.pipeline_r5 import (
+        _wav_amps,
+        _wav_params,
+    )
+
+    cid = 0
+    n, rate = _wav_params(cid)
+    assert (n, rate) == (400, 8000)
+    amps = _wav_amps(cid, n)
+    data = amps.tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    buf = hdr + data
+    assert len(hdr) == 44
+    # decode exactly as the operator does
+    fmt_size, audio_fmt, channels, drate, _, _, bits = struct.unpack(
+        "<IHHIIHH", buf[16:36]
+    )
+    assert (fmt_size, audio_fmt, channels, drate, bits) == (16, 1, 1, 8000, 16)
+    assert buf[36:40] == b"data"
+    (dsz,) = struct.unpack("<I", buf[40:44])
+    out = np.frombuffer(buf[44 : 44 + dsz], dtype="<i2")
+    assert np.array_equal(out, amps)
+    a64 = out.astype(np.int64)
+    ss = int(np.sum(a64 * a64))
+    assert out.shape[0] / drate * 1000.0 == 50.0
+    assert math.sqrt(ss / n) == (ss / n) ** 0.5
