@@ -9,9 +9,9 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 
-def make_zscore(mu: float, sd: float):
-    @F.pandas_udf("double")
-    def zscore(s: pd.Series) -> pd.Series:
-        return ((s - mu) / sd).round(4)
-
-    return zscore
+@F.pandas_udf("double")
+def zscore_cols(s: pd.Series, mu: pd.Series, sd: pd.Series) -> pd.Series:
+    """Vectorized z-score with the global moments flowing IN THE PLAN
+    (columns from a broadcast 1-row aggregate) instead of closed-over
+    driver literals — one job, no separate collect() pass."""
+    return ((s - mu) / sd).round(4)
