@@ -52,6 +52,7 @@ _KEY_ORDER = [
     # (oracle HUGEINT cast bug, fixed this round); new round-5 keys
     # are prepended here as they land ---
     "fn_url_parse", "geo_point_in_polygon_table", "mm_decode_wav",
+    "geo_od_matrix", "dq_profile_table",
     # --- ever-green tail, oldest evidence first: r1 → r2 → r3 → r4 ---
     "agg_approx_distinct", "agg_stats", "agg_pivot",
     "agg_percentiles", "join_anti", "join_inner", "fn_explode",

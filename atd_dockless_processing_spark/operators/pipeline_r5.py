@@ -397,3 +397,128 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wavs = spark.read.parquet(_stage_wavs(spark, sf_dir))
     return wavs.mapInPandas(decode, _WAV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# geo_od_matrix — origin-destination flow matrix with k-anonymity suppression
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "geo_od_matrix",
+    oracle="""
+    WITH trips AS (
+      SELECT CONCAT(CAST(CAST(FLOOR(value / 50) AS BIGINT) AS VARCHAR), '_',
+                    CAST(CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25.0) AS BIGINT) AS VARCHAR)) AS o_cell,
+             CONCAT(CAST(CAST(FLOOR((value + (user_id % 7) * 30.0e0) / 50) AS BIGINT) AS VARCHAR), '_',
+                    CAST(CAST(FLOOR((CAST(json_extract_string(props, '$.k') AS INTEGER) + event_id % 5) / 25.0) AS BIGINT) AS VARCHAR)) AS d_cell,
+             value
+      FROM events
+    )
+    SELECT o_cell, d_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_trips,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_value
+    FROM trips
+    GROUP BY o_cell, d_cell
+    HAVING COUNT(*) >= 5
+    """,
+)
+def geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix with k-anonymity suppression —
+    the reference's PUBLISHED data product shape ([P high]: public
+    dockless-mobility datasets are exactly OD trip counts between
+    coarse geography cells, with sparse pairs suppressed below a
+    k-anonymity floor so no individual trip is identifiable).
+    Origin/destination cells are derived deterministically from event
+    fields with the same floor-grid formula as ``geo_grid_bin``;
+    pairs with fewer than 5 trips are suppressed (HAVING).
+
+    Scale shape: pure codegen cell derivation (zero pre-agg shuffle),
+    ONE combinable agg exchange on (o_cell, d_cell), suppression as a
+    post-agg filter — at 100 TB this is the same map + partial-agg +
+    final-agg profile as geo_grid_bin with a composite key. Exact
+    DECIMAL(18,4) value sums (order-free, the round-4 house
+    pattern)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    o_cell = F.concat_ws(
+        "_",
+        F.floor(F.col("value") / 50).cast("string"),
+        F.floor(k / 25.0).cast("string"),
+    )
+    d_cell = F.concat_ws(
+        "_",
+        F.floor((F.col("value") + (F.col("user_id") % 7) * F.lit(30.0)) / 50).cast(
+            "string"
+        ),
+        F.floor((k + F.col("event_id") % 5) / 25.0).cast("string"),
+    )
+    return (
+        ev.select(o_cell.alias("o_cell"), d_cell.alias("d_cell"), "value")
+        .groupBy("o_cell", "d_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .where(F.col("n_trips") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_profile_table — one-pass multi-column data profile
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey", "o_totalprice"]
+
+
+@query(
+    "dq_profile_table",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-column data profile (row count / null count /
+    exact distinct cardinality per column) — the schema-drift and
+    data-quality screen every ingest pipeline runs before publishing
+    ([P med]; generalizes the reference's pre-publication sanity
+    checks, and the profiling step of a training-data intake).
+
+    Scale shape: ONE aggregation job computes all per-column counts
+    (COUNT + COUNT(col) + COUNT(DISTINCT col) for 5 columns in a
+    single multi-distinct agg — Catalyst plans it with expand, one
+    logical pass over orders instead of 5 separate scans), then a
+    stack() unpivot reshapes the 1-row wide result into one row per
+    column — metadata-sized, no second data pass. The oracle is the
+    naive per-column UNION ALL (5 scans): different plan, same
+    numbers."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.col("n_rows"),
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS (col_name, nn, nd)"
+        ),
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).alias("n_null"),
+        F.col("nd").alias("n_distinct"),
+    )
