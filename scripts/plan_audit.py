@@ -25,6 +25,8 @@ HEADLINE = [
     "agg_distinct_count", "evt_sessionize_lag", "txt_fingerprint",
     "llm_ann_ivf", "join_asof", "snk_upsert_merge",
     "agg_grouping_sets", "geo_bbox_join",
+    "geo_point_in_polygon_table", "geo_od_matrix", "dq_profile_table",
+    "mm_decode_wav",
 ]
 
 

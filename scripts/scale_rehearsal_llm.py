@@ -21,6 +21,18 @@ sublinear factors mean fixed overhead still amortizing).
 
 Usage: python scripts/scale_rehearsal_llm.py [--mults 1,10,100] [--runs 3]
            [--shapes key1,key2]  (registry keys; default all)
+           [--shuffle N]     shuffle partitions for the run (default 32)
+           [--smj]           force sort-merge joins (spill-friendly)
+           [--skip-warmup]   skip the warm-up execution (one-shot runs)
+
+Spill note (round-4 -> round-5): the session default is shuffled HASH
+join (preferSortMergeJoin=false — faster for the bench shapes), but a
+hash join's per-partition build map cannot spill; on the x100 minhash
+band join one 8 GB JVM OOMs. --smj + --shuffle 1024 turns the band
+join into a sort-merge join (sorts spill to disk) over partitions
+small enough that per-task state fits — the exact configuration a
+1000-executor cluster would run with, where the same plan spreads
+those partitions across machines.
 """
 
 from __future__ import annotations
@@ -64,8 +76,15 @@ def build(spark, mult: int) -> str:
         and marker.read_text().strip() == src_sig
     )
     if not fresh:
-        docs = load(spark, BASE_SF, "documents").withColumn(
-            "_rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        # fan the 1-row-group source across many small map tasks BEFORE
+        # the xN explode: at x100 a coarse partition holds its whole
+        # slice's replicas in one task's heap (measured: GCLocker
+        # storms + lost spill files on an 8 GB JVM). 4*mult slivers
+        # keep each task at ~1/400th of the replicated corpus.
+        docs = (
+            load(spark, BASE_SF, "documents")
+            .repartition(max(32, 4 * mult))
+            .withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
         )
         docs = (
             docs.withColumn("doc_id", F.col("doc_id") + F.col("_rep").cast("long") * 10_000_000)
@@ -89,8 +108,9 @@ def build(spark, mult: int) -> str:
     return str(out)
 
 
-def timed(fn, runs: int) -> float:
-    fn()  # warm-up
+def timed(fn, runs: int, warmup: bool = True) -> float:
+    if warmup:
+        fn()
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -113,6 +133,15 @@ def main() -> None:
         shapes = {lbl: k for lbl, k in SHAPES.items() if k in keep}
     spark = get_spark("scale-rehearsal-llm")
     spark.conf.set("spark.sql.adaptive.enabled", "true")  # production config
+    if "--shuffle" in argv:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", argv[argv.index("--shuffle") + 1]
+        )
+    if "--smj" in argv:
+        # sort-merge joins spill; the session's shuffled-hash default
+        # cannot (build map is in-memory) — required for x100 minhash
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    warmup = "--skip-warmup" not in argv
 
     dirs = {m: build(spark, m) for m in mults}
     hdr = " | ".join(f"x{m}" for m in mults)
@@ -132,7 +161,7 @@ def main() -> None:
             def run():
                 QUERIES[key](spark, sf_dir).count()
 
-            ts.append(timed(run, runs))
+            ts.append(timed(run, runs, warmup=warmup))
         cells = " | ".join(f"{t:.2f} s" for t in ts)
         steps = " ".join(
             f"{ts[i + 1] / ts[i]:.1f}x" for i in range(len(ts) - 1)
