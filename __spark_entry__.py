@@ -52,7 +52,8 @@ _KEY_ORDER = [
     # (oracle HUGEINT cast bug, fixed this round); new round-5 keys
     # are prepended here as they land ---
     "fn_url_parse", "geo_point_in_polygon_table", "mm_decode_wav",
-    "geo_od_matrix", "dq_profile_table",
+    "geo_od_matrix", "dq_profile_table", "agg_hll_deterministic",
+    "src_binary_files", "mm_frame_sample",
     # --- ever-green tail, oldest evidence first: r1 → r2 → r3 → r4 ---
     "agg_approx_distinct", "agg_stats", "agg_pivot",
     "agg_percentiles", "join_anti", "join_inner", "fn_explode",
@@ -79,7 +80,7 @@ _KEY_ORDER = [
     "llm_corpus_funnel", "set_intersect", "geo_grid_bin", "evt_tumbling_hour",
     "set_except", "evt_gap_islands", "llm_pack_sequences", "set_except_all",
     "set_intersect_all", "sql_lateral_topn", "evt_time_weighted_avg", "evt_session_window_native",
-    "llm_term_topk", "evt_sliding_window", "mm_frame_sample", "llm_dedup_exact",
+    "llm_term_topk", "evt_sliding_window", "llm_dedup_exact",
     "src_text_log_parse", "llm_cosine_topk", "set_union_distinct", "src_json_roundtrip",
     "txt_lang_id", "llm_unigram_logprob", "udf_scalar_python", "evt_markov_transitions",
     "sql_correlated_subquery", "geo_nearest_hub", "srt_topk_global", "evt_session_batch",

@@ -19,8 +19,11 @@ Arrow buffers end-to-end (no base64, no per-row pickling);
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of corpus
 size; frame-sampling fan-out multiplies rows INSIDE the Python worker
 before the next shuffle, so the exploded rows never cross the
-Python->JVM boundary twice. Both keys are rows-only by contract
-(binary decode is not SQL-expressible; __spark_entry__.py:35-36).
+Python->JVM boundary twice. ``mm_decode_stub`` stays rows-only by
+contract (its BMP figures are not closed-form re-derivable without
+re-running the encode); ``mm_frame_sample`` is HASH-CHECKED as of
+round 5 — its staged raw-video container is built from a closed form
+the DuckDB oracle recomputes, the ``mm_decode_wav`` pattern.
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, stage_scratch
 
 
 def _encode_bmp(text: bytes, width: int, height: int) -> bytes:
@@ -141,32 +144,153 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FRAME_STRIDE = 4
-_FRAME_BYTES = 16
+_FRAME_MAGIC = b"RVID"
 
 
-@query("mm_frame_sample")  # rows-only: frame extraction is not SQL-expressible
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: every ``_FRAME_STRIDE``-th frame
-    of a fake video payload fans out to its own row inside the Python
-    worker (1 input row -> N output rows per Arrow batch), the shape
-    of frame extraction / audio chunking in a multimodal pipeline."""
-    payload = _fake_payload(load(spark, sf_dir, "documents")).withColumn(
-        "n_frames", ((F.col("doc_id") % 24) + 8).cast("int")
+def _video_dims(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic per-video (n_frames, width, height) — closed form
+    shared with the oracle SQL."""
+    return 8 + doc_id % 24, 8 + (doc_id % 3) * 4, 8
+
+
+def _stage_videos(spark: SparkSession, sf_dir: str) -> str:
+    """Stage one REAL raw-video container per selected document
+    (doc_id % 5): 16-byte header (magic + ``<III`` n_frames/width/
+    height via struct.pack) + n_frames contiguous gray8 frames whose
+    pixel bytes follow the closed form px(f, i) = (doc_id*31 + f*7 +
+    i*13) % 256. The encode runs DISTRIBUTED through mapInPandas and
+    the staged parquet carries (doc_id, video BINARY) ONLY — every
+    downstream value must come out of the byte-level decode."""
+
+    def build(indir: str) -> None:
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    n_frames, w, h = _video_dims(did)
+                    idx = np.arange(w * h, dtype=np.int64)
+                    frames = [
+                        ((did * 31 + f * 7 + idx * 13) % 256).astype(np.uint8).tobytes()
+                        for f in range(n_frames)
+                    ]
+                    hdr = _FRAME_MAGIC + struct.pack("<III", n_frames, w, h)
+                    out.append((did, hdr + b"".join(frames)))
+                yield pd.DataFrame(out, columns=["doc_id", "video"])
+
+        vids = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0)
+            .select("doc_id")
+        )
+        (
+            vids.mapInPandas(encode, "doc_id long, video binary")
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    return stage_scratch("mm_video", sf_dir, "documents", build)
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+    ), dims AS (
+      SELECT doc_id,
+             8 + doc_id % 24 AS n_frames,
+             8 + (doc_id % 3) * 4 AS w,
+             8 AS h
+      FROM vids
+    ), frames AS (
+      SELECT d.doc_id, d.n_frames, d.w, d.h, f.k AS frame_idx
+      FROM dims d CROSS JOIN range(32) f(k)
+      WHERE f.k < d.n_frames AND f.k % 4 = 0
+    ), px AS (
+      SELECT fr.doc_id, fr.frame_idx, fr.n_frames, fr.w, fr.h,
+             SUM((fr.doc_id * 31 + fr.frame_idx * 7 + p.i * 13) % 256)
+               AS sum_px
+      FROM frames fr CROSS JOIN range(128) p(i)
+      WHERE p.i < fr.w * fr.h
+      GROUP BY fr.doc_id, fr.frame_idx, fr.n_frames, fr.w, fr.h
     )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(sum_px AS BIGINT) AS sum_px,
+           CAST(sum_px AS DOUBLE) / (w * h) AS mean_px
+    FROM px
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, HASH-CHECKED (upgraded from rows-only in
+    round 5 — frame extraction from a raw container needs no codec):
+    the staged table carries only (doc_id, video BINARY); this query
+    validates the RVID magic, struct.unpacks n_frames/width/height
+    from the actual header bytes, slices every ``_FRAME_STRIDE``-th
+    frame out of the contiguous gray8 frame data (1 input row -> N
+    output rows inside the Arrow batch), and emits each sampled
+    frame's exact pixel sum and mean luminance. The oracle recomputes
+    the same figures from the pre-encode closed form, so a wrong
+    header offset, stride slip, or off-by-one frame slice flips the
+    hash.
+
+    Exactness: sum_px accumulates in int64 (exact, <= 128*255) and
+    mean_px = sum_px / (w*h) is the same correctly-rounded IEEE
+    division on both engines — no ROUND needed.
+
+    Scale shape: stateless mapInPandas, zero shuffle — the fan-out
+    (one row per sampled frame) happens INSIDE the Python worker, so
+    per-frame rows never cross the Python->JVM boundary twice, and
+    executor memory is bounded by the Arrow batch size regardless of
+    corpus size. This is the real-ffmpeg template: swap the body for
+    a container demuxer and the plumbing (schema, batching, binary
+    transport, per-frame fan-out) is unchanged."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
-            for doc_id, data, n_frames in zip(
-                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
-            ):
-                for i in range(0, int(n_frames), _FRAME_STRIDE):
-                    start = (i * _FRAME_BYTES) % max(len(data) - _FRAME_BYTES, 1)
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    frames.append(bytes(data[start : start + _FRAME_BYTES]))
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames})
+            rows = []
+            for did, buf in zip(pdf["doc_id"], pdf["video"]):
+                buf = bytes(buf)
+                if buf[:4] != _FRAME_MAGIC:
+                    raise ValueError(f"doc {did}: not an RVID container")
+                n_frames, w, h = struct.unpack_from("<III", buf, 4)
+                fsize = w * h
+                for f in range(0, n_frames, _FRAME_STRIDE):
+                    frame = np.frombuffer(
+                        buf, dtype=np.uint8, count=fsize, offset=16 + f * fsize
+                    )
+                    sum_px = int(frame.astype(np.int64).sum())
+                    rows.append(
+                        (
+                            int(did),
+                            f,
+                            int(n_frames),
+                            int(w),
+                            int(h),
+                            sum_px,
+                            sum_px / fsize,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "n_frames",
+                    "width",
+                    "height",
+                    "sum_px",
+                    "mean_px",
+                ],
+            )
 
-    return payload.mapInPandas(
-        sample, schema="doc_id long, frame_idx int, frame_bytes binary"
+    vids = spark.read.parquet(_stage_videos(spark, sf_dir))
+    return vids.mapInPandas(
+        sample,
+        "doc_id long, frame_idx int, n_frames int, width int, height int, "
+        "sum_px long, mean_px double",
     )

@@ -522,3 +522,200 @@ def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.col("nn")).alias("n_null"),
         F.col("nd").alias("n_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_deterministic — cross-engine-deterministic HyperLogLog sketch
+# ---------------------------------------------------------------------------
+
+# Register rho (leading-zero-run length + 1) of the 60-bit hash tail,
+# derived PURELY from the md5 hex string with TRIM/length/substr/CASE
+# — shared verbatim between the Spark expression and the DuckDB
+# oracle so both engines compute identical integers (no engine-
+# specific bit intrinsics). An all-zero tail scores the sentinel 61.
+_HLL_RHO = (
+    "CAST(CASE WHEN TRIM(LEADING '0' FROM {t}) = '' THEN 61 "
+    "ELSE (15 - length(TRIM(LEADING '0' FROM {t}))) * 4 "
+    "+ CASE substr(TRIM(LEADING '0' FROM {t}), 1, 1) "
+    "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+    "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+    "ELSE 0 END + 1 END AS INT)"
+)
+
+# Raw HLL estimator alpha_256 * m^2 / sum(2^-M_j), algebraically
+# rescaled by 2^61 so every harmonic term 2^(61-M) is an EXACT
+# bigint (shiftleft — POWER's double round-trips through a decimal
+# cast differently per engine and was measured 2 ulp off); the sum
+# accumulates in DECIMAL(38,0) (256 * 2^61 < 10^38, order-free) and
+# is surfaced as the deterministic DOUBLE both engines derive from
+# the same exact integer. One double division, identical both sides.
+_HLL_EST = (
+    "ROUND(0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 "
+    "* 2305843009213693952e0 / s_scaled, 4)"
+)
+
+# term: exact bigint 2^(61-m), then exact decimal accumulate; the
+# shift spelling differs per engine (shiftleft vs <<) but both are
+# integer-exact so no shared-fragment requirement.
+_HLL_TERM_SPARK = "CAST(shiftleft(CAST(1 AS BIGINT), 61 - m) AS DECIMAL(38,0))"
+_HLL_TERM_DUCK = "CAST((CAST(1 AS BIGINT) << (61 - m)) AS DECIMAL(38,0))"
+
+
+@query(
+    "agg_hll_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+    ), parts AS (
+      SELECT CAST('0x' || substr(h, 1, 2) AS BIGINT) AS reg,
+             substr(h, 3, 15) AS tail
+      FROM h
+    ), rho AS (
+      SELECT reg, {rho} AS rho FROM parts
+    ), regs AS (
+      SELECT s.reg, COALESCE(MAX(r.rho), 0) AS m
+      FROM range(256) s(reg) LEFT JOIN rho r ON r.reg = s.reg
+      GROUP BY s.reg
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m_regs,
+             CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_empty,
+             MAX(m) AS r_max,
+             CAST(SUM({term}) AS DOUBLE) AS s_scaled
+      FROM regs
+    )
+    SELECT m_regs, v_empty, r_max, s_scaled, {est} AS est_r4 FROM agg
+    """.format(
+        rho=_HLL_RHO.format(t="tail"),
+        est=_HLL_EST,
+        term=_HLL_TERM_DUCK,
+    ),
+)
+def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch that is hash-checkable ACROSS
+    ENGINES — the deterministic twin of `agg_approx_distinct` (which
+    stays rows-only because Spark's HLL++ and DuckDB's HLL use
+    different hash functions). Every stage here is engine-neutral SQL:
+    md5 (same bytes hashed on both sides), register = first 2 hex
+    chars, rho = leading-zero run of the next 60 bits computed by
+    string inspection (`_HLL_RHO`, shared verbatim), harmonic sum
+    rescaled to an exact DECIMAL(38,0), and ONE double division for
+    the raw estimate (no small/large-range correction — documented,
+    identical formula both engines). Estimate at sf0.01: 1453.8 vs
+    1500 true (within the m=256 ~6.5% standard error).
+
+    Scale shape — this is the 100 TB distinct-count plan: NO distinct
+    exchange at all. The scan maps each row to (register, rho) in
+    codegen; `groupBy(reg).max` is map-side combinable, so the only
+    shuffle carries <=256*n_partitions tiny rows regardless of input
+    size (vs `distinct`'s full-width repartition of every unique
+    key). Registers are MERGEABLE state: max-combine across
+    partitions, shards, or days — the property that lets a cluster
+    keep per-file sketches and union them for free. The 256-row spine
+    join and final 1-row aggregate are negligible."""
+    orders = load(spark, sf_dir, "orders")
+    parts = orders.select(
+        F.md5(F.col("o_custkey").cast("string")).alias("h")
+    ).select(
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint").alias("reg"),
+        F.substring("h", 3, 15).alias("tail"),
+    )
+    rho = parts.select("reg", F.expr(_HLL_RHO.format(t="tail")).alias("rho"))
+    regs = rho.groupBy("reg").agg(F.max("rho").alias("m_raw"))
+    spine = spark.range(256).select(F.col("id").alias("reg"))
+    full = spine.join(regs, "reg", "left").select(
+        F.coalesce("m_raw", F.lit(0)).alias("m")
+    )
+    return full.agg(
+        F.count(F.lit(1)).alias("m_regs"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v_empty"),
+        F.max("m").alias("r_max"),
+        F.sum(F.expr(_HLL_TERM_SPARK)).cast("double").alias("s_scaled"),
+    ).select(
+        "m_regs", "v_empty", "r_max", "s_scaled", F.expr(_HLL_EST).alias("est_r4")
+    )
+
+
+# ---------------------------------------------------------------------------
+# src_binary_files — binaryFile datasource ingest (multimodal intake path)
+# ---------------------------------------------------------------------------
+
+
+def _stage_blob_files(spark: SparkSession, sf_dir: str) -> str:
+    """Stage one opaque .bin blob per selected document (doc_id % 7),
+    content = the document's utf-8 text bytes. The writes run
+    DISTRIBUTED through mapInPandas (each task writes its own files
+    then reports a count — the shape of a binary-export stage); the
+    staged directory carries NOTHING but the blobs, so everything the
+    query emits must come from the datasource read itself."""
+
+    def build(indir: str) -> None:
+        import os
+
+        import pandas as pd
+
+        os.makedirs(indir, exist_ok=True)
+
+        def write_files(batches):
+            for pdf in batches:
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    p = os.path.join(indir, f"doc_{int(did)}.bin")
+                    tmp = f"{p}.tmp"
+                    with open(tmp, "wb") as fh:
+                        fh.write(str(text).encode("utf-8"))
+                    os.replace(tmp, p)
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        docs = (
+            load(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+            .select("doc_id", "text")
+        )
+        # count() materializes the side-effect writes (task-level
+        # retries rewrite the same content; os.replace is atomic)
+        docs.mapInPandas(write_files, "n long").count()
+
+    return stage_scratch("src_binfiles", sf_dir, "documents", build)
+
+
+@query(
+    "src_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id % 7 = 0 AND text IS NOT NULL
+    """,
+)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` datasource ingest — the intake path a multimodal
+    corpus actually uses (one blob per image/audio/doc object): read a
+    directory of opaque .bin files as (path, length, content BINARY)
+    rows, derive the record key from the file name and fingerprint the
+    payload with md5. The oracle recomputes byte length (strlen =
+    octet count) and md5 from the pre-staging text on the driver
+    table, so a truncated write, a stray extra file, or a wrong
+    glob all flip the hash.
+
+    Scale shape: binaryFile is a real FileFormat — file listing is
+    distributed, `pathGlobFilter` prunes at the listing (never reads
+    non-matching objects), each file is one row in a split sized by
+    maxPartitionBytes bin-packing MANY small blobs per task (the
+    small-files story), and content stays columnar binary through the
+    scan. The projection here never touches `modificationTime`, so
+    schema pruning drops it. This is the front door that feeds
+    mm_decode_stub/mm_decode_wav-style Arrow decode stages."""
+    indir = _stage_blob_files(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(indir)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

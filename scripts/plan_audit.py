@@ -26,7 +26,8 @@ HEADLINE = [
     "llm_ann_ivf", "join_asof", "snk_upsert_merge",
     "agg_grouping_sets", "geo_bbox_join",
     "geo_point_in_polygon_table", "geo_od_matrix", "dq_profile_table",
-    "mm_decode_wav",
+    "mm_decode_wav", "agg_hll_deterministic", "src_binary_files",
+    "mm_frame_sample",
 ]
 
 

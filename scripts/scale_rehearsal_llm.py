@@ -137,6 +137,12 @@ def main() -> None:
         spark.conf.set(
             "spark.sql.shuffle.partitions", argv[argv.index("--shuffle") + 1]
         )
+        # honor the explicit partition count: AQE's coalescer sizes
+        # partitions on MAP-OUTPUT bytes, which is blind to the band
+        # join's ~1000x output fan-out — it collapsed 1024 requested
+        # partitions back to ~13 fat tasks (measured r5), recreating
+        # the exact per-task state blowup --shuffle exists to avoid
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     if "--smj" in argv:
         # sort-merge joins spill; the session's shuffled-hash default
         # cannot (build map is in-memory) — required for x100 minhash

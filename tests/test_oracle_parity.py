@@ -22,15 +22,13 @@ ROWS_ONLY_KEYS = [k for k in ALL_KEYS if k not in ORACLES]
 
 
 def test_inventory_complete():
-    # SURVEY §2: 117+ operators, exactly these six rows-only
+    # SURVEY §2: 117+ operators; exactly these rows-only (mm_frame_
+    # sample and mm_decode_wav were upgraded to hash-checked in r5)
     assert len(ALL_KEYS) >= 117
     assert set(ROWS_ONLY_KEYS) <= {
-        "snk_parquet",
         "agg_approx_distinct",
         "stm_late_data_drop",
-        "stm_stateful_running",
         "mm_decode_stub",
-        "mm_frame_sample",
     }
 
 
