@@ -53,7 +53,7 @@ _KEY_ORDER = [
     # are prepended here as they land ---
     "fn_url_parse", "geo_point_in_polygon_table", "mm_decode_wav",
     "geo_od_matrix", "dq_profile_table", "agg_hll_deterministic",
-    "src_binary_files", "mm_frame_sample",
+    "src_binary_files", "mm_frame_sample", "dq_psi_drift",
     # --- ever-green tail, oldest evidence first: r1 → r2 → r3 → r4 ---
     "agg_approx_distinct", "agg_stats", "agg_pivot",
     "agg_percentiles", "join_anti", "join_inner", "fn_explode",
