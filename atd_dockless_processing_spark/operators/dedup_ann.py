@@ -113,6 +113,19 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "f", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval")
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # canonical-band emission (see llm_dedup_near_minhash): copies of
+    # a pair land in different (band, bval) shuffle partitions, so a
+    # pair dedup cannot partial-combine map-side — emit each pair
+    # only from the FIRST band on which the fingerprints agree (both
+    # fingerprints are already in the row; zero extra width).
+    fa, fb = F.col("a.f"), F.col("b.f")
+    band_eq = F.array(
+        *[
+            F.shiftright(fa, b_ * band_bits).bitwiseAND(F.lit(mask))
+            == F.shiftright(fb, b_ * band_bits).bitwiseAND(F.lit(mask))
+            for b_ in range(_SIMHASH_BANDS)
+        ]
+    )
     cand = (
         a.join(
             b,
@@ -120,13 +133,13 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(F.col("a.band") == F.array_position(band_eq, F.lit(True)) - 1)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.f").alias("fa"),
             F.col("b.f").alias("fb"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (
@@ -240,10 +253,23 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "n_g",
+            "sig",
             F.posexplode(F.col("sig")).alias("band", "bsig"),
         )
     )
     ba, bb = banded.alias("a"), banded.alias("b")
+    # canonical-band emission (see llm_dedup_near_minhash): bsig IS
+    # the band's minhash (r=1), so the first band where the K-long
+    # sig arrays agree is exact — one emission per pair, no pair-
+    # dedup exchange. The 16-long array adds ~128 B to the banded
+    # row (not the multi-KB gram arrays the slim-row rule bans).
+    first_true_band = (
+        F.array_position(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            F.lit(True),
+        )
+        - 1
+    )
     big_pairs = (
         ba.join(
             bb,
@@ -253,13 +279,13 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & size_ratio_ok,
         )
+        .where(F.col("a.band") == first_true_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.n_g").alias("na"),
             F.col("b.n_g").alias("nb"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
     # --- shared exact-Jaccard verify tail. The gram re-attach joins

@@ -386,11 +386,35 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts = [F.col("sig")[b * _ROWS_PER_BAND + r] for r in range(_ROWS_PER_BAND)]
         band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("bsig")))
     banded = sigs.select(
-        "doc_id", "n_t", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "n_t", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+        "doc_id", "n_t", "sig", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "doc_id", "n_t", "sig",
+        F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"),
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
+    # CANONICAL-BAND emission replaces pair dedup: a qualifying pair
+    # matches in up to _BANDS bands, and those copies land in
+    # DIFFERENT (band, bsig) shuffle partitions — so the former
+    # dropDuplicates had no map-side partial effect and shuffled the
+    # full x16-redundant candidate stream (measured at the x100
+    # rehearsal: the pre-dedup exchange alone exceeded 80 GB of
+    # spill disk). Instead each side carries its K-long signature
+    # array (128 B — NOT the multi-KB token arrays the slim-row rule
+    # bans) and a pair is emitted only from the FIRST band whose
+    # signatures truly agree: exactly one copy per pair, no dedup
+    # exchange at all. A bucket reached only via xxhash64 collision
+    # has no truly-agreeing band and is dropped (it was a false
+    # positive the exact-Jaccard verify would discard anyway).
+    first_true_band = (
+        F.array_position(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            F.lit(True),
+        )
+        - 1
+    )
+    assert _ROWS_PER_BAND == 1  # band index == signature index
     pairs = (
         a.join(
             b,
@@ -403,8 +427,8 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= _JACCARD_T * F.greatest(F.col("a.n_t"), F.col("b.n_t"))
             ),
         )
+        .where(F.col("a.band") == first_true_band)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     # token re-attach UNHINTED: d is corpus-sized (auto-broadcast at
     # test SF, shuffled hash join on doc_id at 100 TB)
