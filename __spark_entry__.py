@@ -54,6 +54,7 @@ _KEY_ORDER = [
     "fn_url_parse", "geo_point_in_polygon_table", "mm_decode_wav",
     "geo_od_matrix", "dq_profile_table", "agg_hll_deterministic",
     "src_binary_files", "mm_frame_sample", "dq_psi_drift",
+    "agg_cms_heavy_hitters",
     # --- ever-green tail, oldest evidence first: r1 → r2 → r3 → r4 ---
     "agg_approx_distinct", "agg_stats", "agg_pivot",
     "agg_percentiles", "join_anti", "join_inner", "fn_explode",

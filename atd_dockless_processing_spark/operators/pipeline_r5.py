@@ -830,3 +830,123 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("contrib_d").cast("double").alias("contrib"),
         F.sum("contrib_d").over(w).cast("double").alias("psi_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cms_heavy_hitters — deterministic Count-Min sketch frequency estimates
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # columns per row
+_CMS_PROBES = 8  # probe keys 0..7
+
+# Column index of key {k} in hash row {d}: 12 bits of md5 ("row:key")
+# folded to the width. Integer-exact on both engines; only the
+# hex->int spelling differs (conv vs '0x' cast), values identical.
+_CMS_COL_SPARK = (
+    "(CAST(conv(substr(md5(CAST({d} AS STRING) || ':' || "
+    "CAST({k} AS STRING)), 1, 3), 16, 10) AS INT) % 1024)"
+)
+_CMS_COL_DUCK = (
+    "(CAST('0x' || substr(md5(CAST({d} AS VARCHAR) || ':' || "
+    "CAST({k} AS VARCHAR)), 1, 3) AS INT) % 1024)"
+)
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle="""
+    WITH cells AS (
+      SELECT d.d, {col_k} AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events e CROSS JOIN range(4) d(d)
+      GROUP BY d.d, {col_k}
+    ), probes AS (
+      SELECT p.probe_id, d.d, {col_p} AS c
+      FROM range(8) p(probe_id) CROSS JOIN range(4) d(d)
+    ), est AS (
+      SELECT p.probe_id, MIN(COALESCE(cl.cnt, 0)) AS est_cnt
+      FROM probes p LEFT JOIN cells cl ON cl.d = p.d AND cl.c = p.c
+      GROUP BY p.probe_id
+    ), truth AS (
+      SELECT user_id AS probe_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM events WHERE user_id BETWEEN 0 AND 7 GROUP BY user_id
+    )
+    SELECT e.probe_id, e.est_cnt, COALESCE(t.true_cnt, 0) AS true_cnt
+    FROM est e LEFT JOIN truth t ON t.probe_id = e.probe_id
+    """.format(
+        col_k=_CMS_COL_DUCK.format(d="d.d", k="e.user_id"),
+        col_p=_CMS_COL_DUCK.format(d="d.d", k="p.probe_id"),
+    ),
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, deterministic across
+    engines (the second mergeable sketch next to
+    `agg_hll_deterministic`): 4 hash rows x 1024 columns, cell index
+    from md5("row:key") — every count is exact integer arithmetic, so
+    Spark and DuckDB agree bit-for-bit with no FP hazard at all. The
+    probe report returns est >= true by construction (CM never
+    under-counts); the oracle rebuilds the identical sketch in SQL.
+
+    Scale shape — frequency estimates over an unbounded key space
+    with BOUNDED state: the scan fans each row to its 4 (row, col)
+    cells map-side (array explode, in-stage), and the ONLY data
+    shuffle is the combinable groupBy over <= 4096 cells — fixed
+    size at any input scale, vs an exact per-key count whose state
+    grows with distinct keys. Cells are MERGEABLE (sum-combine across
+    partitions/shards/days). Probe estimation joins the 8x4 probe
+    spine against the 4096-cell sketch — both broadcast-trivial. The
+    exact `truth` branch scans only the probe keys (predicate pushed
+    to parquet) to report estimation error; a production sketch
+    would skip it."""
+    events = load(spark, sf_dir, "events")
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(_CMS_COL_SPARK.format(d=d, k="user_id")).alias("c"),
+            )
+            for d in range(_CMS_D)
+        ]
+    )
+    cells = (
+        events.select(F.explode(cell_structs).alias("x"))
+        .groupBy(F.col("x.d").alias("d"), F.col("x.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        spark.range(_CMS_PROBES)
+        .select(F.col("id").alias("probe_id"))
+        .select(
+            "probe_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.expr(
+                                _CMS_COL_SPARK.format(d=d, k="probe_id")
+                            ).alias("c"),
+                        )
+                        for d in range(_CMS_D)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("probe_id", F.col("x.d").alias("d"), F.col("x.c").alias("c"))
+    )
+    est = (
+        probes.join(cells, ["d", "c"], "left")
+        .select("probe_id", F.coalesce("cnt", F.lit(0)).alias("cell_cnt"))
+        .groupBy("probe_id")
+        .agg(F.min("cell_cnt").alias("est_cnt"))
+    )
+    truth = (
+        events.where(F.col("user_id").between(0, 7))
+        .groupBy(F.col("user_id").alias("probe_id"))
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return est.join(truth, "probe_id", "left").select(
+        "probe_id",
+        "est_cnt",
+        F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"),
+    )

@@ -27,7 +27,7 @@ HEADLINE = [
     "agg_grouping_sets", "geo_bbox_join",
     "geo_point_in_polygon_table", "geo_od_matrix", "dq_profile_table",
     "mm_decode_wav", "agg_hll_deterministic", "src_binary_files",
-    "mm_frame_sample", "dq_psi_drift",
+    "mm_frame_sample", "dq_psi_drift", "agg_cms_heavy_hitters",
 ]
 
 

@@ -543,3 +543,48 @@ def test_binary_files_staging_is_idempotent(spark, sf_dir):
         for r in QUERIES["src_binary_files"](spark, sf_dir).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_cms_cells_merge_by_sum_and_never_undercount(spark, sf_dir):
+    """Count-Min mergeability (cells of disjoint halves sum to the
+    full sketch's cells) and the CM guarantee est >= true."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.operators.pipeline_r5 import (
+        _CMS_COL_SPARK,
+        _CMS_D,
+    )
+    from atd_dockless_processing_spark.registry import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    events = load(spark, sf_dir, "events")
+
+    def cells(df):
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_CMS_COL_SPARK.format(d=d, k="user_id")).alias("c"),
+                )
+                for d in range(_CMS_D)
+            ]
+        )
+        rows = (
+            df.select(F.explode(structs).alias("x"))
+            .groupBy(F.col("x.d").alias("d"), F.col("x.c").alias("c"))
+            .count()
+            .collect()
+        )
+        return {(r["d"], r["c"]): r["count"] for r in rows}
+
+    full = cells(events)
+    lo = cells(events.where(F.col("event_id") % 2 == 0))
+    hi = cells(events.where(F.col("event_id") % 2 == 1))
+    merged: dict[tuple[int, int], int] = {}
+    for part in (lo, hi):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full
+
+    for r in QUERIES["agg_cms_heavy_hitters"](spark, sf_dir).collect():
+        assert r["est_cnt"] >= r["true_cnt"]
