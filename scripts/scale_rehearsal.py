@@ -6,6 +6,8 @@ engines — Spark with AQE ON (the production config), DuckDB at the
 baseline's 4 threads — and print a markdown row per shape.
 
 Usage: python scripts/scale_rehearsal.py [--mult 100] [--runs 3]
+           [--only key1,key2]  (registry keys; filters both shape sets)
+           [--tables t1,t2]    (replicate/view only these tables)
 
 The same SQL text (the registry oracles for agg_groupby_q1 /
 srt_topk_global) runs on both engines over views of the same
@@ -51,6 +53,11 @@ ENGINE_SHAPES = {
     "text token stats": "llm_token_stats",
     "exact dedup (groupBy text)": "llm_dedup_exact",
     "cosine top-k (1 query vs all)": "llm_cosine_topk",
+    # r5 mergeable sketches: distinct keys grow xN but sketch state
+    # stays fixed (256 registers / 4096 cells) — the bounded-state
+    # claim, shown at scale with the oracle agreeing bit-for-bit
+    "hll distinct sketch (orders)": "agg_hll_deterministic",
+    "cms frequency sketch (events)": "agg_cms_heavy_hitters",
 }
 # (table, [key columns to shift per replica])
 REPL = {
@@ -93,13 +100,25 @@ def timed(fn, runs: int) -> float:
     for _ in range(runs):
         t0 = time.perf_counter()
         fn()
-        times.append(time.perf_counter() - t0)
+        elapsed = time.perf_counter() - t0
+        # a fn that sets fn.last reports its own timed section
+        # (build-outside-timer hot runs); fall back to wall time
+        times.append(getattr(fn, "last", elapsed))
     return statistics.median(times)
 
 
 def main() -> None:
     mult = int(sys.argv[sys.argv.index("--mult") + 1]) if "--mult" in sys.argv else 100
     runs = int(sys.argv[sys.argv.index("--runs") + 1]) if "--runs" in sys.argv else 3
+    if "--only" in sys.argv:
+        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        for d in (SHAPES, ENGINE_SHAPES):
+            for lbl in [l for l, k in d.items() if k not in keep]:
+                del d[lbl]
+    if "--tables" in sys.argv:
+        tkeep = set(sys.argv[sys.argv.index("--tables") + 1].split(","))
+        for t in [t for t in REPL if t not in tkeep]:
+            del REPL[t]
     spark = get_spark("scale-rehearsal")
     spark.conf.set("spark.sql.adaptive.enabled", "true")  # production config
     out = build(spark, mult)
@@ -130,13 +149,17 @@ def main() -> None:
     from atd_dockless_processing_spark import QUERIES  # noqa: E402
 
     # Two methods for the engine shapes (BASELINE.md "per-query floor"
-    # decomposition): default = fresh DataFrame per run, which charges
-    # Spark's per-plan-instance ONE-TIME cost (py4j build + analysis +
-    # physical planning + codegen compile, ~0.5-0.8 s regardless of
-    # data size) to every run; --hot = plan built once + AQE off so
-    # every run fully re-executes (bench.py's method — the steady
-    # state of a production query, where that one-time cost amortizes
-    # over a minutes-long 100 TB execution).
+    # decomposition): default = fresh DataFrame per run TIMED
+    # INCLUSIVELY, charging Spark's per-plan-instance one-time cost
+    # (py4j build + analysis + planning + codegen, ~0.5-0.8 s
+    # regardless of data size) to every run; --hot = fresh DataFrame
+    # per run with the build OUTSIDE the timer + AQE off (round-5
+    # revision: the former plan-built-once method re-collected one
+    # instance, and the DAGScheduler skips shuffle-map stages whose
+    # outputs are still registered — it measured only the post-
+    # shuffle tail; a fresh instance per run forces every stage to
+    # execute while analysis/codegen still amortize via their
+    # source-keyed caches).
     hot = "--hot" in sys.argv
     if hot:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -152,11 +175,17 @@ def main() -> None:
             con.execute(sql).fetchall()
 
         if hot:
-            df = QUERIES[key](spark, str(out))
-            df.toPandas()  # pay the one-time cost outside the loop
+            QUERIES[key](spark, str(out)).toPandas()  # codegen/JIT warm
 
             def spark_run():
+                # build OUTSIDE the timed section of timed(): the
+                # closure can't split build from collect, so time the
+                # collect explicitly and append
+                df = QUERIES[key](spark, str(out))
+                df._jdf.queryExecution().executedPlan()
+                t0 = time.perf_counter()
                 df.toPandas()
+                spark_run.last = time.perf_counter() - t0
         else:
 
             def spark_run():
