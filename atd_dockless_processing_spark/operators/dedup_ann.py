@@ -28,6 +28,26 @@ from ..functions.hashing import portable_hash60, portable_hash60_sql
 from ..registry import query
 from ..tables import load
 
+def first_eq_band(eq_at, n_bands: int):
+    """First band index j in [0, n_bands) where ``eq_at(j)`` holds,
+    else -1 — as a short-circuiting scalar ``CASE WHEN`` chain.
+
+    Canonical-band emission filters the LSH bucket join's output on
+    ``a.band == first matching band``. Building that via
+    ``array_position(zip_with(a.sig, b.sig, eq), True)`` allocates
+    two ArrayData per CANDIDATE row (pre-filter, ~16x the pair
+    count), which measured 2.8x slower than the whole r3 pipeline at
+    the x10 rehearsal. A nested when-chain stays in whole-stage
+    codegen with zero allocation and stops at the first true
+    comparison — expected cost ~2 scalar compares per row instead of
+    2 array builds + a 16-element scan.
+    """
+    expr = F.lit(-1)
+    for j in reversed(range(n_bands)):
+        expr = F.when(eq_at(j), F.lit(j)).otherwise(expr)
+    return expr
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
@@ -119,12 +139,10 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only from the FIRST band on which the fingerprints agree (both
     # fingerprints are already in the row; zero extra width).
     fa, fb = F.col("a.f"), F.col("b.f")
-    band_eq = F.array(
-        *[
-            F.shiftright(fa, b_ * band_bits).bitwiseAND(F.lit(mask))
-            == F.shiftright(fb, b_ * band_bits).bitwiseAND(F.lit(mask))
-            for b_ in range(_SIMHASH_BANDS)
-        ]
+    first_band = first_eq_band(
+        lambda j: F.shiftright(fa, j * band_bits).bitwiseAND(F.lit(mask))
+        == F.shiftright(fb, j * band_bits).bitwiseAND(F.lit(mask)),
+        _SIMHASH_BANDS,
     )
     cand = (
         a.join(
@@ -133,7 +151,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(F.col("a.band") == F.array_position(band_eq, F.lit(True)) - 1)
+        .where(F.col("a.band") == first_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -263,12 +281,8 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sig arrays agree is exact — one emission per pair, no pair-
     # dedup exchange. The 16-long array adds ~128 B to the banded
     # row (not the multi-KB gram arrays the slim-row rule bans).
-    first_true_band = (
-        F.array_position(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-            F.lit(True),
-        )
-        - 1
+    first_true_band = first_eq_band(
+        lambda j: F.col("a.sig")[j] == F.col("b.sig")[j], _NGRAM_MH_K
     )
     big_pairs = (
         ba.join(

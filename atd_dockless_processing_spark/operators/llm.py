@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
+from .dedup_ann import first_eq_band
 
 
 @query(
@@ -142,6 +143,16 @@ def llm_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a, b):
+    """Dot product via zip_with + aggregate HOFs — measured the best
+    JVM-side strategy (BASELINE.md round-5 A/B at x1 and x100):
+    an unrolled 64-term scalar chain generates one huge codegen
+    method the JIT refuses to compile (2x SLOWER than the HOF at
+    x100), and an Arrow-vectorized numpy pandas_udf wins only at
+    x100 scale (0.41 s vs 0.61 s) while losing 2x at bench scale.
+    Brute-force scoring is the declared BASELINE op anyway — at
+    100 TB similarity search runs the IVF/LSH keys (llm_ann_ivf,
+    llm_ann_hyperplane), where this dot evaluates only the pruned
+    candidate set."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -179,8 +190,9 @@ def _as_double(col):
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against query vector vec_id=0
     (similarity-search baseline, ext). The dot product stays JVM-side
-    via zip_with/aggregate higher-order functions — no Python UDF.
-    At 100 TB the same scoring runs after an LSH/IVF candidate prune."""
+    via zip_with/aggregate higher-order functions — the measured-best
+    strategy (see ``_dot``); no Python UDF. At 100 TB the same
+    scoring runs after an LSH/IVF candidate prune."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
@@ -407,12 +419,8 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange at all. A bucket reached only via xxhash64 collision
     # has no truly-agreeing band and is dropped (it was a false
     # positive the exact-Jaccard verify would discard anyway).
-    first_true_band = (
-        F.array_position(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-            F.lit(True),
-        )
-        - 1
+    first_true_band = first_eq_band(
+        lambda j: F.col("a.sig")[j] == F.col("b.sig")[j], _MINHASH_K
     )
     assert _ROWS_PER_BAND == 1  # band index == signature index
     pairs = (

@@ -53,20 +53,28 @@ def main() -> None:
     # allows caching the reused base scans).
     import atd_dockless_processing_spark.tables as tables
 
-    # Sub-second-query harness settings (measured at sf0.1, local[32]):
-    # - shuffle.partitions=16: task-scheduling overhead dominates
-    #   sub-second stages (32 partitions lose), but 8 under-uses the
-    #   32 cores on the window/sessionize shapes. Measured two-pass
-    #   totals: 8 -> 0.35-0.57 s, 16 -> 0.33-0.36 s, 24 -> 0.44 s;
-    #   16 won every repeat and is the most stable.
+    # Sub-second-query harness settings (RE-TUNED round 5 under the
+    # honest fresh-plan method — the old 16-partition choice was tuned
+    # against the stage-skipping artifact, which hid all scan/partial
+    # stage scheduling cost):
+    # - shuffle.partitions=4 and 4-partition cached scans: measured
+    #   honest sweep on the 6 slowest queries (median-of-5 after 2
+    #   warm-ups, per config): 16/16 -> 1.27 s, 8/8 -> 0.96 s,
+    #   4/4 -> 0.78-1.00 s, 2/2 -> 0.91 s, 1/1 -> 0.93 s; every
+    #   config <= 4 beats 8 and 16 and differences below 4 are noise.
+    #   At 600k-row inputs each stage's work is ~ms-scale, so task
+    #   count is pure scheduling overhead — the production analogue
+    #   is AQE partition coalescing, which does this sizing at
+    #   runtime.
     # - AQE off FOR THE BENCH ONLY: AQE materializes every shuffle as
     #   a separate query stage to re-plan, adding 2-3 scheduling
-    #   rounds per query (~0.8s total across the set). At production
-    #   scale AQE earns that latency back (skew splits, runtime
-    #   broadcast conversion) and stays on in session.py defaults.
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    #   rounds per query (re-measured honestly: 8/8 AQE-on 1.20 s vs
+    #   AQE-off 0.96 s). At production scale AQE earns that latency
+    #   back (skew splits, runtime broadcast conversion) and stays on
+    #   in session.py defaults.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    n_part = min(16, spark.sparkContext.defaultParallelism)
+    n_part = min(4, spark.sparkContext.defaultParallelism)
     cache: dict[tuple[str, str], object] = {}
 
     def table_rows(d: str, name: str) -> int:
@@ -82,14 +90,11 @@ def main() -> None:
             tables.set_table_provider(None)
             try:
                 df = tables.load(s, d, name)
-                # partition small tables narrow: documents (5k rows at
-                # sf0.1) / embeddings (2k) across 16 partitions means
-                # 16 tasks of ~300 rows — pure scheduling overhead.
-                # 4 partitions measured ~1.3-1.8x faster on the
-                # document/embedding queries. Threshold 8192 so ONLY
-                # those two reclassify — customer (15k at sf0.1) and
-                # every other TPC-H table keep n_part, leaving the
-                # q3/q5 join plans untouched by this change.
+                # all tables cache at 4 partitions after the honest
+                # round-5 re-tune (n_part == 4); the row-count probe
+                # stays so a larger bench SF can widen big tables
+                # without touching the sub-8k document/embedding
+                # tables, which 4 partitions already suit
                 parts = 4 if table_rows(d, name) < 8192 else n_part
                 df = df.repartition(parts).cache()
                 df.count()
@@ -112,7 +117,6 @@ def main() -> None:
     #   per-run outliers; min across >=3 passes guards against a
     #   whole pass landing in one of this VM's whole-minutes noise
     #   windows (every query 2-10x slower).
-    SMALL_INPUT = {"dedup_docs", "text_tokens", "cosine_topk"}
 
     # ---- fresh-instance execution (round-5 method fix) ----
     # Re-collecting ONE DataFrame instance does NOT re-execute it
@@ -131,17 +135,13 @@ def main() -> None:
     # construction (~tens of ms) is excluded from the timer and
     # reported as plan_build_s for the first instance of each query.
     def build(metric: str, key: str):
-        # SMALL_INPUT queries pin their plans at 4 shuffle partitions
-        # (documents/embeddings shuffles carry a few thousand rows;
-        # 16 reduce tasks are pure scheduling overhead — the static
-        # equivalent of AQE coalescing, which is off in the bench)
-        parts = "4" if metric in SMALL_INPUT else "16"
-        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        # all queries now plan at 4 shuffle partitions (the honest
+        # re-tune above), which is also what the small-input trio
+        # (documents/embeddings inputs) was already pinned to
         df = QUERIES[key](spark, sf_dir)
-        # materialize the physical plan while the conf is set, so the
-        # timed toPandas() pays execution only
+        # materialize the physical plan, so the timed toPandas()
+        # pays execution only
         df._jdf.queryExecution().executedPlan()
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
         return df
 
     plan_build = 0.0

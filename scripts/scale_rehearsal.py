@@ -164,9 +164,9 @@ def main() -> None:
     if hot:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         print(
-            "(engine shapes below: HOT method — plan built once, AQE OFF "
-            "so every run fully re-executes; the header's 'AQE on' does "
-            "not apply to them)"
+            "(engine shapes below: HOT method — fresh plan instance per run, "
+            "build outside the timer, AQE OFF — every stage re-executes; the "
+            "header's 'AQE on' does not apply to them)"
         )
     for label, key in ENGINE_SHAPES.items():
         sql = ORACLES[key]
