@@ -588,3 +588,40 @@ def test_cms_cells_merge_by_sum_and_never_undercount(spark, sf_dir):
 
     for r in QUERIES["agg_cms_heavy_hitters"](spark, sf_dir).collect():
         assert r["est_cnt"] >= r["true_cnt"]
+
+
+def test_first_eq_band_matches_array_position_semantics(spark):
+    """first_eq_band (the short-circuiting when-chain that canonical-band
+    emission filters on) must agree with the reference formulation
+    array_position(zip_with(a, b, =), true) - 1 on every input,
+    including no-match (-1) and null elements (a null comparison is
+    not a match)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(200):
+        n = 8
+        a = [rng.randrange(4) for _ in range(n)]
+        b = [rng.randrange(4) for _ in range(n)]
+        rows.append((a, b))
+    rows.append(([1] * 8, [1] * 8))          # match at band 0
+    rows.append(([1] * 8, [2] * 8))          # no match
+    rows.append(([None] + [1] * 7, [1] * 8)) # null element skipped
+    df = spark.createDataFrame(rows, "a: array<int>, b: array<int>")
+
+    from atd_dockless_processing_spark.operators.dedup_ann import first_eq_band
+
+    got = df.select(
+        first_eq_band(lambda j: F.col("a")[j] == F.col("b")[j], 8).alias("g"),
+        (
+            F.array_position(
+                F.zip_with(F.col("a"), F.col("b"), lambda x, y: x == y),
+                F.lit(True),
+            )
+            - 1
+        ).alias("want"),
+    ).collect()
+    for r in got:
+        want = r["want"] if r["want"] is not None and r["want"] >= 0 else -1
+        assert r["g"] == want, (r["g"], r["want"])
