@@ -54,7 +54,7 @@ _KEY_ORDER = [
     "fn_url_parse", "geo_point_in_polygon_table", "mm_decode_wav",
     "geo_od_matrix", "dq_profile_table", "agg_hll_deterministic",
     "src_binary_files", "mm_frame_sample", "dq_psi_drift",
-    "agg_cms_heavy_hitters",
+    "agg_cms_heavy_hitters", "mm_decode_stub",
     # --- ever-green tail, oldest evidence first: r1 → r2 → r3 → r4 ---
     "agg_approx_distinct", "agg_stats", "agg_pivot",
     "agg_percentiles", "join_anti", "join_inner", "fn_explode",
@@ -89,7 +89,7 @@ _KEY_ORDER = [
     "txt_boilerplate_strip", "llm_contamination_ngram", "evt_cohort_retention", "fn_variant_json",
     "sql_recursive_cte", "snk_parquet", "fn_date_derive", "agg_collect_sorted",
     "fn_json_extract", "win_lag_lead", "fn_try_arith", "fn_date_derive_tz",
-    "fn_map_ops", "evt_attribution_last_touch", "agg_minmax_by", "mm_decode_stub",
+    "fn_map_ops", "evt_attribution_last_touch", "agg_minmax_by",
     "llm_bm25_topk", "stm_foreachbatch_sink", "src_partition_prune", "llm_knn_join",
     "evt_funnel", "src_orc_roundtrip", "src_incremental_extract", "stm_join_stream_static",
     "llm_tfidf_topk", "src_csv_roundtrip", "llm_vector_quantize", "stm_session_window",

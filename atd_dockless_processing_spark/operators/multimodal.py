@@ -19,11 +19,11 @@ Arrow buffers end-to-end (no base64, no per-row pickling);
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of corpus
 size; frame-sampling fan-out multiplies rows INSIDE the Python worker
 before the next shuffle, so the exploded rows never cross the
-Python->JVM boundary twice. ``mm_decode_stub`` stays rows-only by
-contract (its BMP figures are not closed-form re-derivable without
-re-running the encode); ``mm_frame_sample`` is HASH-CHECKED as of
-round 5 — its staged raw-video container is built from a closed form
-the DuckDB oracle recomputes, the ``mm_decode_wav`` pattern.
+Python->JVM boundary twice. All three decode keys are HASH-CHECKED
+as of round 5: ``mm_frame_sample``'s staged raw-video container and
+``mm_decode_stub``'s BMP pixel buffer are both built from closed
+forms the DuckDB oracle recomputes (the ``mm_decode_wav`` pattern —
+for BMP, cyclic byte sums over the document's ASCII bytes).
 """
 
 from __future__ import annotations
@@ -56,15 +56,17 @@ def _encode_bmp(text: bytes, width: int, height: int) -> bytes:
     return header + (src * reps)[:img_size]
 
 
-def _decode_image(data: bytes) -> tuple[int, int, int, int, float]:
+def _decode_image(data: bytes) -> tuple[int, int, int, int, int]:
     """Decode an image payload -> (width, height, bpp, n_bytes,
-    mean_px) by parsing the ACTUAL bytes.
+    px_sum) by parsing the ACTUAL bytes.
 
     BMP is parsed for real (struct.unpack of the two headers, numpy
-    view of the pixel array with stride padding trimmed). Any other
-    magic raises NotImplementedError: those formats need a codec
-    library (PIL/ffmpeg) that is intentionally not a dependency —
-    this function is the one seam where it would plug in.
+    view of the pixel array with stride padding trimmed; px_sum is
+    the int64-exact sum of the trimmed pixel bytes — integer so the
+    cross-engine check has zero FP hazard). Any other magic raises
+    NotImplementedError: those formats need a codec library
+    (PIL/ffmpeg) that is intentionally not a dependency — this
+    function is the one seam where it would plug in.
     """
     if data[:2] != b"BM":
         raise NotImplementedError(
@@ -76,7 +78,7 @@ def _decode_image(data: bytes) -> tuple[int, int, int, int, float]:
     stride = ((bpp // 8) * width + 3) & ~3
     px = np.frombuffer(data, dtype=np.uint8, count=stride * abs(height), offset=offset)
     rows = px.reshape(abs(height), stride)[:, : (bpp // 8) * width]  # trim pad
-    return width, abs(height), bpp, len(data), round(float(rows.mean()), 4)
+    return width, abs(height), bpp, len(data), int(rows.astype(np.int64).sum())
 
 
 def _fake_payload(d: DataFrame) -> DataFrame:
@@ -113,14 +115,72 @@ def _bmp_payload(d: DataFrame) -> DataFrame:
     return src.mapInPandas(encode, schema="doc_id long, payload binary")
 
 
-@query("mm_decode_stub")  # rows-only: binary decode is not SQL-expressible
+@query(
+    "mm_decode_stub",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, text, n_chars AS L,
+             (n_chars % 64) + 1 AS w,
+             (n_chars % 48) + 1 AS h,
+             ((3 * ((n_chars % 64) + 1) + 3) // 4) * 4 AS stride
+      FROM documents
+    ), chars AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+             ascii(substr(text, CAST(i AS INTEGER), 1)) AS b
+      FROM (SELECT doc_id, text,
+                   UNNEST(generate_series(1, L)) AS i
+            FROM g)
+    ), tot AS (
+      SELECT doc_id, SUM(b) AS tb FROM chars GROUP BY doc_id
+    ), pre AS (
+      SELECT g.doc_id, COALESCE(SUM(c.b), 0) AS pre_rem
+      FROM g LEFT JOIN chars c
+        ON c.doc_id = g.doc_id AND c.p < (g.stride * g.h) % g.L
+      GROUP BY g.doc_id
+    ), pad AS (
+      SELECT pp.doc_id, SUM(ch.b) AS pad_sum
+      FROM (
+        SELECT doc_id, (r * stride + c) % L AS p
+        FROM (
+          SELECT doc_id, L, stride,
+                 UNNEST(generate_series(3 * w, stride - 1)) AS c, r
+          FROM (SELECT doc_id, L, stride, w,
+                       UNNEST(generate_series(0, h - 1)) AS r
+                FROM g)
+        )
+      ) pp JOIN chars ch ON ch.doc_id = pp.doc_id AND ch.p = pp.p
+      GROUP BY pp.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(g.w AS INTEGER) AS width,
+           CAST(g.h AS INTEGER) AS height,
+           CAST(24 AS INTEGER) AS bpp,
+           CAST(54 + g.stride * g.h AS BIGINT) AS n_bytes,
+           CAST((g.stride * g.h // g.L) * t.tb + p.pre_rem
+                - COALESCE(pd.pad_sum, 0) AS BIGINT) AS px_sum
+    FROM g
+    JOIN tot t ON t.doc_id = g.doc_id
+    JOIN pre p ON p.doc_id = g.doc_id
+    LEFT JOIN pad pd ON pd.doc_id = g.doc_id
+    """,
+)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode + feature extraction over binary columns via
     Arrow-batched mapInPandas. The BMP path is a REAL decode: width/
-    height/bpp are unpacked from each payload's actual header bytes
-    and mean_px from its actual pixel array (the key keeps its
-    historical name; only non-BMP formats remain stubbed — see
-    module docstring)."""
+    height/bpp are unpacked from each payload's actual header bytes,
+    n_bytes from the file length, and px_sum from the stride-trimmed
+    pixel array (the key keeps its historical name; only non-BMP
+    formats remain stubbed — see module docstring).
+
+    HASH-CHECKED as of round 5 (previously rows-only): the BMP pixel
+    buffer is the document's ASCII bytes cycled to stride*height,
+    so the oracle re-derives every figure in closed form — byte at
+    0-based index i is ascii(text[i % L]); full-buffer sum =
+    (img_size // L)*total + prefix(img_size % L); the trimmed px_sum
+    subtracts the <=3*height pad-column bytes (lateral
+    generate_series join, <=144 positions/doc). A wrong header
+    offset, stride formula, trim bound, or row order flips px_sum.
+    Integer-exact on both engines — no FP hazard anywhere."""
     payload = _bmp_payload(load(spark, sf_dir, "documents"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,13 +193,13 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "height": [d[1] for d in decoded],
                     "bpp": [d[2] for d in decoded],
                     "n_bytes": [d[3] for d in decoded],
-                    "mean_px": [d[4] for d in decoded],
+                    "px_sum": [d[4] for d in decoded],
                 }
             )
 
     return payload.mapInPandas(
         decode,
-        schema="doc_id long, width int, height int, bpp int, n_bytes long, mean_px double",
+        schema="doc_id long, width int, height int, bpp int, n_bytes long, px_sum long",
     )
 
 
