@@ -171,24 +171,26 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-grain aggregate (multi-grain reports,
-    [P med]). View uuid-scoped like the other SQL entry points so a
-    shared session never sees a name collision; spark.sql resolves
-    eagerly, so the immediate drop keeps the DataFrame valid."""
-    import uuid as _uuid
-
-    v = f"orders_gs_{_uuid.uuid4().hex[:8]}"
-    load(spark, sf_dir, "orders").createOrReplaceTempView(v)
-    out = spark.sql(
-        f"""
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS sum_price
-        FROM {v}
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+    [P med]) via the Spark 4 DataFrame ``groupingSets`` API. The
+    former SQL-view formulation defeated cached-table reuse: the
+    analyzer's GROUPING SETS rewrite (Expand over re-aliased child
+    columns) mutates the child subtree before CacheManager's
+    canonicalized match runs, so a query over a view of a cached
+    DataFrame silently re-scanned the source (measured in bench:
+    InMemoryTableScan absent for exactly this key). The DataFrame
+    API produces the identical Expand plan AND hits the cache."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
     )
-    spark.catalog.dropTempView(v)
-    return out
 
 
 @query(
