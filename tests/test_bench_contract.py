@@ -127,3 +127,50 @@ def test_green_tier_rotates_oldest_evidence_first():
         f"green tier not oldest-evidence-first: {len(out_of_order)} inversions, "
         f"first={out_of_order[:3]}"
     )
+
+
+def test_bench_queries_hit_the_table_cache(spark):
+    """Every bench query must read the provider's cached table, not
+    re-scan parquet. Regression guard for the round-5 find: the SQL
+    GROUPING SETS rewrite re-aliases its child subtree during
+    analysis, so CacheManager's canonicalized match fails and a
+    query over a view of a cached DataFrame silently re-scans the
+    source (agg_grouping_sets ran 3.5x slower in the bench until it
+    moved to the DataFrame groupingSets API). Asserts the substituted
+    plan shows InMemoryTableScan for each bench key."""
+    from bench import BENCH_SET
+    from atd_dockless_processing_spark import QUERIES
+    import atd_dockless_processing_spark.tables as tables
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    cache = {}
+
+    def provider(s, d, name):
+        key = (d, name)
+        if key not in cache:
+            tables.set_table_provider(None)
+            try:
+                df = tables.load(s, d, name).repartition(2).cache()
+                df.count()
+                cache[key] = df
+            finally:
+                tables.set_table_provider(provider)
+        return cache[key]
+
+    tables.set_table_provider(provider)
+    try:
+        misses = []
+        for metric, key in BENCH_SET.items():
+            plan = (
+                QUERIES[key](spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            if "InMemoryTableScan" not in plan:
+                misses.append(metric)
+        assert not misses, f"bench queries bypassing the table cache: {misses}"
+    finally:
+        tables.set_table_provider(None)
+        for df in cache.values():
+            df.unpersist()
