@@ -34,7 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver sweeps queries() in dict order under a per-round time
 # budget (~50 keys/round). Keys are ordered by EVIDENCE PRIORITY,
 # re-computed each round from the union of all CORRECTNESS_r*.json
-# files (this ordering is from r01∪r02∪r03∪r04): every key WITHOUT
+# files via ``python scripts/retier_key_order.py --write`` (this
+# ordering is from r01∪…∪r05): every key WITHOUT
 # green latest driver evidence — new this round, never swept,
 # stale-error, or check-type changed — sorts before every key WITH
 # it (cheapest-first within that block). The ever-green tail then
@@ -48,57 +49,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # green, and oldest-evidence-first within green) against going stale
 # when the next CORRECTNESS file lands.
 _KEY_ORDER = [
-    # --- evidence-needed block: fn_url_parse is r04's one red row
-    # (oracle HUGEINT cast bug, fixed this round); new round-5 keys
-    # are prepended here as they land ---
-    "fn_url_parse", "geo_point_in_polygon_table", "mm_decode_wav",
-    "geo_od_matrix", "dq_profile_table", "agg_hll_deterministic",
-    "src_binary_files", "mm_frame_sample", "dq_psi_drift",
-    "agg_cms_heavy_hitters", "mm_decode_stub",
-    # --- ever-green tail, oldest evidence first: r1 → r2 → r3 → r4 ---
-    "agg_approx_distinct", "agg_stats", "agg_pivot",
-    "agg_percentiles", "join_anti", "join_inner", "fn_explode",
-    "fn_levenshtein", "join_semi", "join_left_outer", "join_full_outer",
-    "join_skew_salted", "join_broadcast_dim", "fn_from_json_struct", "agg_distinct_count",
-    "join_null_safe", "dq_constraint_report", "agg_global", "join_theta_range",
-    "agg_filtered", "agg_histogram", "agg_rollup", "join_cross_small",
-    "join_multiway_5", "agg_grouping_sets", "agg_cube", "join_asof",
-    "agg_groupby_q1", "prj_select_rename", "win_running_sum", "win_moving_avg",
-    "win_rank_dense", "prj_derived_expr", "src_parquet_scan", "win_first_last",
-    "win_ntile_pct", "win_percent_rank", "win_ratio_to_report", "prj_case_when",
+    # --- evidence-needed block (no green latest driver row):
+    # new keys first, then previously-ranked ones ---
+    # --- ever-green tail, oldest evidence first ---
     "win_range_frame", "win_cume_dist", "fn_regexp_extract", "txt_pii_mask",
     "fn_split_tokens", "llm_token_stats", "srt_multi_nulls", "fn_date_arith",
     "fn_date_interval", "fn_epoch_ts", "prj_unpivot", "snk_scd2",
-    "srt_limit_offset", "udtf_posexplode", "fn_string_core", "txt_chunk_docs",
-    "sql_tpch_q6", "txt_fingerprint", "txt_token_bpe", "fn_array_ops",
-    "fn_math_core", "fn_cast_coercion", "fn_surrogate_key", "llm_text_classify",
-    "flt_null_coalesce", "llm_stratified_sample", "fn_struct_nested", "llm_vector_norm_filter",
-    "udf_pandas_vectorized", "txt_quality_score", "flt_range", "win_topk_per_group",
-    "flt_in_set", "flt_like_regex", "evt_rfm_segments", "txt_entropy_filter",
-    "geo_trip_length", "evt_dau_wau_rolling", "dq_dp_noise_counts", "llm_dataset_mixture",
-    "src_schema_merge", "evt_sessionize_lag", "llm_centroid_per_label", "fn_bitwise",
-    "evt_time_spine", "txt_repetition_filter", "set_union_all", "evt_anomaly_zscore",
-    "llm_corpus_funnel", "set_intersect", "geo_grid_bin", "evt_tumbling_hour",
-    "set_except", "evt_gap_islands", "llm_pack_sequences", "set_except_all",
-    "set_intersect_all", "sql_lateral_topn", "evt_time_weighted_avg", "evt_session_window_native",
+    "srt_limit_offset", "udtf_posexplode", "fn_string_core",
+    "txt_chunk_docs", "sql_tpch_q6", "txt_fingerprint", "txt_token_bpe",
+    "fn_array_ops", "fn_math_core", "fn_cast_coercion", "fn_surrogate_key",
+    "llm_text_classify", "flt_null_coalesce", "llm_stratified_sample",
+    "fn_struct_nested", "llm_vector_norm_filter", "udf_pandas_vectorized",
+    "txt_quality_score", "flt_range", "win_topk_per_group", "flt_in_set",
+    "flt_like_regex", "evt_rfm_segments", "txt_entropy_filter",
+    "geo_trip_length", "evt_dau_wau_rolling", "dq_dp_noise_counts",
+    "llm_dataset_mixture", "src_schema_merge", "evt_sessionize_lag",
+    "llm_centroid_per_label", "fn_bitwise", "evt_time_spine",
+    "txt_repetition_filter", "set_union_all", "evt_anomaly_zscore",
+    "llm_corpus_funnel", "set_intersect", "geo_grid_bin",
+    "evt_tumbling_hour", "set_except", "evt_gap_islands",
+    "llm_pack_sequences", "set_except_all", "set_intersect_all",
+    "sql_lateral_topn", "evt_time_weighted_avg", "evt_session_window_native",
     "llm_term_topk", "evt_sliding_window", "llm_dedup_exact",
-    "src_text_log_parse", "llm_cosine_topk", "set_union_distinct", "src_json_roundtrip",
-    "txt_lang_id", "llm_unigram_logprob", "udf_scalar_python", "evt_markov_transitions",
-    "sql_correlated_subquery", "geo_nearest_hub", "srt_topk_global", "evt_session_batch",
-    "snk_upsert_merge", "udaf_grouped_map", "geo_hex_bin", "geo_point_in_polygon",
-    "txt_boilerplate_strip", "llm_contamination_ngram", "evt_cohort_retention", "fn_variant_json",
-    "sql_recursive_cte", "snk_parquet", "fn_date_derive", "agg_collect_sorted",
-    "fn_json_extract", "win_lag_lead", "fn_try_arith", "fn_date_derive_tz",
-    "fn_map_ops", "evt_attribution_last_touch", "agg_minmax_by",
-    "llm_bm25_topk", "stm_foreachbatch_sink", "src_partition_prune", "llm_knn_join",
-    "evt_funnel", "src_orc_roundtrip", "src_incremental_extract", "stm_join_stream_static",
-    "llm_tfidf_topk", "src_csv_roundtrip", "llm_vector_quantize", "stm_session_window",
-    "agg_corr_cov", "snk_partitioned", "stm_sliding_watermark", "stm_tumbling_availablenow",
-    "join_interval_overlap", "snk_bucketed_join", "snk_jdbc_derby", "stm_late_data_drop",
-    "fn_geojson_route", "stm_watermark_dedup", "llm_ann_hyperplane", "llm_ann_ivf",
-    "stm_stateful_running", "stm_join_stream_stream", "llm_dedup_simhash", "geo_bbox_join",
-    "llm_dedup_near_minhash", "llm_dedup_url_canon", "stm_stateful_session", "llm_kmeans_step",
-    "llm_dedup_embedding", "llm_dedup_clusters", "llm_dedup_keep_list", "llm_dedup_ngram",
+    "src_text_log_parse", "llm_cosine_topk", "set_union_distinct",
+    "src_json_roundtrip", "txt_lang_id", "llm_unigram_logprob",
+    "udf_scalar_python", "evt_markov_transitions", "sql_correlated_subquery",
+    "geo_nearest_hub", "srt_topk_global", "evt_session_batch",
+    "snk_upsert_merge", "udaf_grouped_map", "geo_hex_bin",
+    "geo_point_in_polygon", "txt_boilerplate_strip",
+    "llm_contamination_ngram", "evt_cohort_retention", "fn_variant_json",
+    "sql_recursive_cte", "snk_parquet", "fn_date_derive",
+    "agg_collect_sorted", "fn_json_extract", "win_lag_lead", "fn_try_arith",
+    "fn_date_derive_tz", "fn_map_ops", "evt_attribution_last_touch",
+    "agg_minmax_by", "llm_bm25_topk", "stm_foreachbatch_sink",
+    "src_partition_prune", "llm_knn_join", "evt_funnel", "src_orc_roundtrip",
+    "src_incremental_extract", "stm_join_stream_static", "llm_tfidf_topk",
+    "src_csv_roundtrip", "llm_vector_quantize", "stm_session_window",
+    "agg_corr_cov", "snk_partitioned", "stm_sliding_watermark",
+    "stm_tumbling_availablenow", "join_interval_overlap",
+    "snk_bucketed_join", "snk_jdbc_derby", "stm_late_data_drop",
+    "fn_geojson_route", "stm_watermark_dedup", "llm_ann_hyperplane",
+    "llm_ann_ivf", "stm_stateful_running", "stm_join_stream_stream",
+    "llm_dedup_simhash", "geo_bbox_join", "llm_dedup_near_minhash",
+    "llm_dedup_url_canon", "stm_stateful_session", "llm_kmeans_step",
+    "llm_dedup_embedding", "llm_dedup_clusters", "llm_dedup_keep_list",
+    "llm_dedup_ngram", "fn_url_parse", "geo_point_in_polygon_table",
+    "mm_decode_wav", "geo_od_matrix", "dq_profile_table",
+    "agg_hll_deterministic", "src_binary_files", "mm_frame_sample",
+    "dq_psi_drift", "agg_cms_heavy_hitters", "mm_decode_stub",
+    "agg_approx_distinct", "agg_stats", "agg_pivot", "agg_percentiles",
+    "join_anti", "join_inner", "fn_explode", "fn_levenshtein", "join_semi",
+    "join_left_outer", "join_full_outer", "join_skew_salted",
+    "join_broadcast_dim", "fn_from_json_struct", "agg_distinct_count",
+    "join_null_safe", "dq_constraint_report", "agg_global",
+    "join_theta_range", "agg_filtered", "agg_histogram", "agg_rollup",
+    "join_cross_small", "join_multiway_5", "agg_grouping_sets", "agg_cube",
+    "join_asof", "agg_groupby_q1", "prj_select_rename", "win_running_sum",
+    "win_moving_avg", "win_rank_dense", "prj_derived_expr",
+    "src_parquet_scan", "win_first_last", "win_ntile_pct",
+    "win_percent_rank", "win_ratio_to_report", "prj_case_when",
 ]
 
 
