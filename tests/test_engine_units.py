@@ -625,3 +625,87 @@ def test_first_eq_band_matches_array_position_semantics(spark):
     for r in got:
         want = r["want"] if r["want"] is not None and r["want"] >= 0 else -1
         assert r["g"] == want, (r["g"], r["want"])
+
+
+# ---------------------------------------------------------------------------
+# Round-6: ADVICE precondition guards + new-operator invariants
+# ---------------------------------------------------------------------------
+
+
+def test_documents_ascii_precondition(duck):
+    """mm_decode_stub's operator cycles the UTF-8 BYTE encoding of
+    text while its oracle derives pixel bytes character-wise
+    (ascii(substr(text, i, 1)), L = n_chars); they agree only while
+    every document is pure ASCII with octet_length == n_chars
+    (ADVICE r5 item 1). Assert that on the driver testdata so a
+    regenerated corpus with a multi-byte character fails HERE with a
+    message, not as a silent hash flip."""
+    bad = duck.execute(
+        """
+        SELECT COUNT(*) FROM documents
+        WHERE octet_length(encode(text)) <> n_chars
+           OR octet_length(encode(text)) <> length(text)
+        """
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} documents are non-ASCII (octet_length != n_chars): "
+        "mm_decode_stub's byte-cycling operator and char-cycling oracle "
+        "would diverge"
+    )
+
+
+def test_events_props_k_nonnull_precondition(duck):
+    """geo_od_matrix / geo_grid_bin build cell ids with Spark
+    concat_ws (drops NULL operands AND the separator) vs DuckDB
+    CONCAT (keeps the separator): '3' vs '3_' if props.$.k were ever
+    NULL (ADVICE r5 item 2). Assert the precondition on the driver
+    testdata so a data change fails loudly here."""
+    bad = duck.execute(
+        """
+        SELECT COUNT(*) FROM events
+        WHERE json_extract_string(props, '$.k') IS NULL
+        """
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} events have NULL props.$.k: concat_ws-vs-CONCAT "
+        "separator divergence would flip geo cell ids"
+    )
+
+
+def test_state_intervals_conserve_total_time(spark, sf_dir, duck):
+    """evt_state_intervals splits each device interval at UTC day
+    boundaries; the split must CONSERVE time exactly — the sum of all
+    per-(state, day) microsecond totals equals the sum of raw
+    interval durations (no loss at a boundary, no double count of a
+    midnight-crossing interval)."""
+    from pyspark.sql import functions as F
+
+    got = (
+        QUERIES["evt_state_intervals"](spark, sf_dir)
+        .agg(F.sum("state_us").alias("s"))
+        .collect()[0]["s"]
+    )
+    want = duck.execute(
+        """
+        WITH iv AS (
+          SELECT epoch_us(ts) AS t0,
+                 LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+          FROM events
+        )
+        SELECT SUM(t1 - t0) FROM iv WHERE t1 IS NOT NULL
+        """
+    ).fetchone()[0]
+    assert got == want, (got, want)
+
+
+def test_publish_funnel_is_two_exchange_jvm_plan(spark, sf_dir):
+    """etl_publish_funnel's whole point is lifecycle composition
+    WITHOUT driver round-trips: the physical plan must contain
+    exactly two shuffles (dedup window + final agg) and zero Python
+    evaluation nodes."""
+    df = QUERIES["etl_publish_funnel"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 2, f"expected 2 exchanges, saw {n_exchange}:\n{plan}"
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python evaluation node {marker} in plan"
