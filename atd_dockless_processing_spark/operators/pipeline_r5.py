@@ -441,7 +441,16 @@ def geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,4) value sums (order-free, the round-4 house
     pattern)."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # project the JSON field ONCE: o_cell and d_cell both use k, and
+    # Catalyst only de-duplicates cheap expressions — inlining the
+    # raw get_json_object would parse every props document twice
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    k = F.col("k")
     o_cell = F.concat_ws(
         "_",
         F.floor(F.col("value") / 50).cast("string"),

@@ -182,7 +182,17 @@ def etl_publish_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (device, type, minute) — high-cardinality, skew-free; the agg
     key (day, cell) is low-cardinality with map-side partial agg."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k")
+    # project the JSON field once (validate null-screen + cell derive
+    # both use it; Catalyst only de-duplicates cheap expressions)
+    ev = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").alias("k"),
+    )
+    k = F.col("k")
     validated = ev.where(
         F.col("ts").isNotNull()
         & (F.col("value") >= 0)
