@@ -189,10 +189,26 @@ def _as_double(col):
 )
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against query vector vec_id=0
-    (similarity-search baseline, ext). The dot product stays JVM-side
-    via zip_with/aggregate higher-order functions — the measured-best
-    strategy (see ``_dot``); no Python UDF. At 100 TB the same
-    scoring runs after an LSH/IVF candidate prune."""
+    (similarity-search baseline, ext). ADAPTIVE scoring strategy
+    (round-6 de-weak, BASELINE.md dot-product A/B):
+
+    - below ``_COSINE_ARROW_MIN_ROWS`` (bench/driver scale): the
+      zip_with/aggregate HOF — best JVM-side strategy, no Python in
+      the plan, wins when per-batch Arrow transfer would dominate;
+    - at/above it (the ×100 / production regime): ``mapInArrow``
+      numpy scoring — the embedding column's Arrow list buffer is
+      reshaped (-1, dim) WITHOUT per-row boxing, one float64 BLAS
+      matrix-vector product scores the whole batch, and only each
+      batch's local top-10 crosses back to the JVM (a row in the
+      global top-10 is necessarily in its batch's top-10), so the
+      global TakeOrderedAndProject sorts ≤10 rows per batch.
+
+    The corpus size comes from the parquet footers (metadata-only,
+    no job). Both paths produce identical rounded scores (asserted
+    cross-path in tests); at 100 TB the same scoring runs after an
+    LSH/IVF candidate prune (llm_ann_*)."""
+    if _embeddings_nrows(sf_dir) >= _COSINE_ARROW_MIN_ROWS:
+        return _cosine_topk_arrow(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
@@ -208,6 +224,86 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+_COSINE_ARROW_MIN_ROWS = 100_000
+
+
+def _embeddings_nrows(sf_dir: str) -> int:
+    """Exact embeddings row count from parquet footers (file or
+    directory-of-files), metadata-only. 0 when the path isn't plain
+    parquet (e.g. a test-injected table provider) — which routes to
+    the HOF path, correct for any small/unknown corpus."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return 0
+
+
+def _cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batch numpy scoring path of ``llm_cosine_topk`` (large
+    corpora). float32→float64 cast matches the JVM/oracle CAST; the
+    float64 matrix product and norms agree with the sequential HOF
+    fold after ROUND(..,4) (asserted in tests on the full sf
+    corpus)."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    q_rows = emb.where(F.col("vec_id") == 0).select("embedding").collect()
+    q = np.asarray(q_rows[0][0], dtype=np.float64)
+    qn = np.sqrt(q @ q)
+
+    out_schema = "vec_id bigint, label int, cos_sim double"
+
+    def score(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            col = b.column(b.schema.get_field_index("embedding"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # contiguous values buffer -> (n, dim) without row boxing
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            mat = flat.reshape(n, -1)
+            dots = mat @ q
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            cos = np.round(dots / (norms * qn), 4)
+            ids = np.asarray(
+                b.column(b.schema.get_field_index("vec_id")), dtype=np.int64
+            )
+            keep = ids != 0
+            idx = np.flatnonzero(keep)
+            # batch-local top-10 under the global order (cos desc,
+            # vec_id asc): lexsort on (-cos, vec_id)
+            order = np.lexsort((ids[idx], -cos[idx]))[:10]
+            sel = idx[order]
+            labels = np.asarray(
+                b.column(b.schema.get_field_index("label")), dtype=np.int32
+            )
+            yield pa.record_batch(
+                [
+                    pa.array(ids[sel], type=pa.int64()),
+                    pa.array(labels[sel], type=pa.int32()),
+                    pa.array(cos[sel], type=pa.float64()),
+                ],
+                names=["vec_id", "label", "cos_sim"],
+            )
+
+    scored = emb.mapInArrow(score, out_schema)
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 

@@ -709,3 +709,28 @@ def test_publish_funnel_is_two_exchange_jvm_plan(spark, sf_dir):
     assert n_exchange == 2, f"expected 2 exchanges, saw {n_exchange}:\n{plan}"
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"Python evaluation node {marker} in plan"
+
+
+def test_cosine_adaptive_paths_agree(spark, sf_dir):
+    """llm_cosine_topk round-6 adaptive strategy: the mapInArrow
+    numpy path (large-corpus regime) must produce EXACTLY the HOF
+    path's rows — same ids, labels, and rounded scores, same dtypes —
+    on the full driver table, so the row-count threshold switch can
+    never change results."""
+    from atd_dockless_processing_spark.operators import llm
+
+    hof = QUERIES["llm_cosine_topk"](spark, sf_dir).toPandas()
+    arrow = llm._cosine_topk_arrow(spark, sf_dir).toPandas()
+    assert list(hof.dtypes) == list(arrow.dtypes)
+    assert hof.equals(arrow), (hof, arrow)
+
+
+def test_cosine_threshold_routes_by_rowcount(sf_dir):
+    """The adaptive switch reads parquet footers only (no Spark job):
+    driver sf dirs are below the threshold (HOF path), and a missing/
+    non-parquet path degrades to 0 (HOF path — safe default)."""
+    from atd_dockless_processing_spark.operators import llm
+
+    n = llm._embeddings_nrows(sf_dir)
+    assert 0 < n < llm._COSINE_ARROW_MIN_ROWS
+    assert llm._embeddings_nrows("/nonexistent") == 0
