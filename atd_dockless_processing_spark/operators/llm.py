@@ -471,6 +471,17 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-of-bucket-sizes^2, and the exact check runs only on bucketed
     candidates.
     """
+    pairs, d = _minhash_candidates(spark, sf_dir)
+    return _minhash_verify(pairs, d)
+
+
+def _minhash_candidates(spark: SparkSession, sf_dir: str):
+    """Stages 1-4 of llm_dedup_near_minhash: tokens -> signatures ->
+    banding -> bucket self-join with canonical-band emission. Returns
+    (candidate pairs (doc_a, doc_b) — slim, exactly one row per
+    candidate pair — and the (doc_id, toks) token table). Exposed so
+    the ×100 rehearsal (scripts/scale_rehearsal_llm.py --sink) can
+    compose the verify stage with a distributed parquet sink."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", _token_set("text").alias("toks")
     )
@@ -534,15 +545,28 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.band") == first_true_band)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    # token re-attach UNHINTED: d is corpus-sized (auto-broadcast at
-    # test SF, shuffled hash join on doc_id at 100 TB)
+    return pairs, d
+
+
+def _minhash_verify(pairs, d, broadcast_b: bool = False):
+    """Exact-Jaccard verify of candidate pairs: re-attach token
+    arrays by doc_id, keep pairs with J >= T. Token re-attach
+    UNHINTED by default: d is corpus-sized (auto-broadcast at test
+    SF, shuffled hash join on doc_id at 100 TB over many executors'
+    disks). ``broadcast_b=True`` is the SINGLE-BOX ×100 shape
+    (--sink rehearsal): the doc_b attach becomes a broadcast hash
+    join, so the wide (pair + toks_a) intermediate STREAMS from the
+    doc_a join through verify to the sink without ever entering an
+    exchange — the one box's ~80 GB shuffle disk sees only the slim
+    pair rows, never the ~KB-wide token-attached rows (which at
+    ~300M true pairs exceed any single disk by design)."""
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    if broadcast_b:
+        db = F.broadcast(db)
     cand = pairs.join(
         d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),
         "doc_a",
-    ).join(
-        d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")),
-        "doc_b",
-    )
+    ).join(db, "doc_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
     jac = inter / union

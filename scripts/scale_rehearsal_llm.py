@@ -24,6 +24,18 @@ Usage: python scripts/scale_rehearsal_llm.py [--mults 1,10,100] [--runs 3]
            [--shuffle N]     shuffle partitions for the run (default 32)
            [--smj]           force sort-merge joins (spill-friendly)
            [--skip-warmup]   skip the warm-up execution (one-shot runs)
+           [--sink]          minhash endgame (round-6 verdict item 7):
+                             candidates -> exact verify with the doc_b
+                             token attach BROADCAST -> verified pairs
+                             written straight to a partitioned parquet
+                             sink. The wide token-attached rows stream
+                             map-side from the doc_a join to the sink
+                             without entering an exchange, so the one
+                             box's shuffle disk only ever holds slim
+                             pair rows (the ~300M-pair x KB-wide
+                             shuffle that killed the r5 x100 attempt
+                             never exists). Single-shape, one-shot
+                             timing (no warm-up).
 
 Spill note (round-4 -> round-5): the session default is shuffled HASH
 join (preferSortMergeJoin=false — faster for the bench shapes), but a
@@ -150,6 +162,30 @@ def main() -> None:
     warmup = "--skip-warmup" not in argv
 
     dirs = {m: build(spark, m) for m in mults}
+
+    if "--sink" in argv:
+        from atd_dockless_processing_spark.operators.llm import (
+            _minhash_candidates,
+            _minhash_verify,
+        )
+
+        print("| mult | wall | verified pairs | sink |")
+        print("|---|---|---|---|")
+        for m in mults:
+            out = str(REPO / ".scratch" / f"minhash_verified_x{m}")
+            t0 = time.perf_counter()
+            pairs, d = _minhash_candidates(spark, dirs[m])
+            verified = _minhash_verify(pairs, d, broadcast_b=True)
+            (
+                verified.withColumn("pb", F.pmod(F.xxhash64("doc_a"), F.lit(64)))
+                .write.mode("overwrite")
+                .partitionBy("pb")
+                .parquet(out)
+            )
+            wall = time.perf_counter() - t0
+            n = spark.read.parquet(out).count()
+            print(f"| x{m} | {wall:.1f} s | {n:,} | {out} |")
+        return
     hdr = " | ".join(f"x{m}" for m in mults)
     print(f"| shape | {hdr} | step factors (per 10x data) |")
     print("|---|" + "---|" * (len(mults) + 1))
