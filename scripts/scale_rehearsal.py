@@ -58,6 +58,11 @@ ENGINE_SHAPES = {
     # claim, shown at scale with the oracle agreeing bit-for-bit
     "hll distinct sketch (orders)": "agg_hll_deterministic",
     "cms frequency sketch (events)": "agg_cms_heavy_hitters",
+    # r6 keys: MDS availability rollup (window lead + day-split
+    # explode + agg) and the one-plan publication funnel (window
+    # dedup + derive + agg) — the new operators' at-scale rows
+    "state intervals (MDS availability)": "evt_state_intervals",
+    "publish funnel (one-plan ETL)": "etl_publish_funnel",
 }
 # (table, [key columns to shift per replica])
 REPL = {
