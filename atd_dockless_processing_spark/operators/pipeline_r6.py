@@ -226,3 +226,225 @@ def etl_publish_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_trips") >= _FUNNEL_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_quantile_sketch — deterministic mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+_QSK_W = 215.0  # bucket width; 512 buckets cover [0, 110080) ⊇ price range
+_QSK_NB = 512
+_QSK_QS = (0.5, 0.9, 0.99, 0.999)
+
+
+@query(
+    "agg_quantile_sketch",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT CAST(LEAST(FLOOR(l_extendedprice / {_QSK_W}e0), {_QSK_NB - 1}) AS INTEGER) AS b,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM lineitem
+      GROUP BY 1
+    ), cum AS (
+      SELECT b, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY b) AS DOUBLE) AS cum,
+             CAST(SUM(cnt) OVER () AS DOUBLE) AS n
+      FROM buckets
+    ), qs(q) AS (VALUES {', '.join(f'({q}e0)' for q in _QSK_QS)})
+    SELECT q,
+           ROUND(b * {_QSK_W}e0 + (q * n - (cum - cnt)) / cnt * {_QSK_W}e0, 4)
+             AS est_value,
+           CAST(n AS BIGINT) AS n_rows
+    FROM cum CROSS JOIN qs
+    WHERE cum >= q * n AND (cum - cnt) < q * n
+    """,
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MERGEABLE quantile sketch (the third member of
+    the sketch family beside agg_hll_deterministic and
+    agg_cms_heavy_hitters): fixed 512-bucket equi-width histogram
+    over l_extendedprice, quantile estimates by linear interpolation
+    inside the straddling bucket — the histogram-sketch design
+    production systems use when percentile_approx's engine-specific
+    sketch (cf. rows-only agg_approx_distinct) can't be
+    cross-checked. Bucket counts are pure integer state that
+    SUM-combines across partitions/shards/days; estimate error is
+    bounded by the bucket width.
+
+    Equi-width (not DDSketch log-buckets) on purpose: the bucket
+    index is floor(x/w) — an identical IEEE expression tree on both
+    engines, bit-identical everywhere — while log-bucketing's
+    floor(ln x/ln γ) inherits the cross-engine ln() last-ulp hazard
+    (the dq_psi_drift precedent). At 100 TB: ONE combinable agg
+    exchange carrying ≤512·n_partitions slim rows; the cumsum/
+    interpolation windows touch ≤512 rows (the single-partition
+    window is bounded state, not corpus state). All interpolation
+    arithmetic is DOUBLE on both engines (DuckDB SUM(BIGINT) would
+    be HUGEINT — the house cast rule)."""
+    li = load(spark, sf_dir, "lineitem")
+    b = F.least(
+        F.floor(F.col("l_extendedprice") / F.lit(_QSK_W)), F.lit(_QSK_NB - 1)
+    ).cast("int")
+    buckets = li.groupBy(b.alias("b")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = buckets.select(
+        "b",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _QSK_QS], "q double")
+    rank = F.col("q") * F.col("n")
+    prev = F.col("cum") - F.col("cnt")
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .where((F.col("cum") >= rank) & (prev < rank))
+        .select(
+            "q",
+            F.round(
+                F.col("b") * F.lit(_QSK_W) + (rank - prev) / F.col("cnt") * F.lit(_QSK_W),
+                4,
+            ).alias("est_value"),
+            F.col("n").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_semdedup — cluster-blocked semantic (embedding) dedup
+# ---------------------------------------------------------------------------
+
+_SEM_T = 0.3  # cosine threshold; synthetic embeddings are near-random
+# unit vectors (within-cluster cos: p50 0.001, p99 0.295, max 0.475 at
+# sf0.01), so 0.3 marks the "suspiciously similar" tail — 176/500
+# vectors removed at sf0.01, comfortably non-vacuous at every SF
+
+
+@query(
+    "llm_semdedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), c0 AS (
+      SELECT label AS cid, array_agg(cv ORDER BY i) AS cvec FROM (
+        SELECT label, i, AVG(ve[i]) AS cv FROM v, range(1, 65) t(i) GROUP BY label, i
+      ) GROUP BY label
+    ), asg AS (
+      SELECT vec_id, ve, cid FROM (
+        SELECT v.vec_id, v.ve, c0.cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                 list_dot_product(ve, ve) + list_dot_product(cvec, cvec)
+                   - 2 * list_dot_product(ve, cvec), cid) AS rn
+        FROM v CROSS JOIN c0
+      ) WHERE rn = 1
+    ), removed AS (
+      SELECT DISTINCT b.vec_id, b.cid
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.ve, b.ve)
+            / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))
+            >= {_SEM_T}
+    )
+    SELECT CAST(asg.cid AS INTEGER) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(removed.vec_id) AS BIGINT) AS n_removed,
+           CAST(COUNT(*) - COUNT(removed.vec_id) AS BIGINT) AS n_kept
+    FROM asg LEFT JOIN removed
+      ON asg.vec_id = removed.vec_id AND asg.cid = removed.cid
+    GROUP BY 1
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public
+    method): cluster the embeddings, then WITHIN each cluster drop
+    every vector that has a lower-id neighbor above a cosine
+    threshold — the representative-keeping rule made deterministic
+    (keep-min-id, the same convention as llm_dedup_exact). Cluster
+    assignment is the deterministic per-label-centroid argmin step
+    shared with llm_kmeans_step.
+
+    The whole point at 100 TB: candidate pairs are generated per
+    CLUSTER (a self-join on cid), never corpus-wide — with k sized
+    ~n/1000 the within-cluster quadratic is bounded, which is exactly
+    how the published method scales, and the blocking key is an
+    equi-join column so Spark shuffles each cluster to one place
+    (skew-safe: cluster sizes are centroid-balanced). Plan shape
+    (audited): the argmin assignment is MAP-SIDE — all k centroids
+    ride one broadcast row and the nearest cid is an ``array_min``
+    over a per-row (d2, cid) struct array, the ``geo_nearest_hub``
+    pattern — so the corpus is never shuffled for assignment (the
+    obvious crossJoin + row_number window would shuffle n·k rows);
+    the removed-count groupBy rides the self-join's cid partitioning
+    (no extra exchange). Reports per-cluster corpus/removed/kept
+    counts; cosine/d2 values come from identical IEEE expression
+    trees on both engines so the threshold compare cannot diverge."""
+    from .dedup_ann import _EMB_DIM
+    from .llm import _as_double, _dot
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("ve")
+    )
+    c0 = (
+        v.groupBy(F.col("label").alias("cid"))
+        .agg(*[F.avg(F.col("ve")[i]).alias(f"c{i}") for i in range(_EMB_DIM)])
+        .select("cid", F.array(*[F.col(f"c{i}") for i in range(_EMB_DIM)]).alias("cvec"))
+    )
+    # all k centroids as ONE broadcast row; argmin by (d2, cid) struct
+    # ordering == the oracle's ROW_NUMBER(ORDER BY d2, cid)
+    cents = c0.agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+
+    def d2_of(c):
+        return (
+            _dot(F.col("ve"), F.col("ve"))
+            + _dot(c["cvec"], c["cvec"])
+            - 2 * _dot(F.col("ve"), c["cvec"])
+        )
+
+    nearest = F.array_min(
+        F.transform(
+            "cents", lambda c: F.struct(d2_of(c).alias("d2"), c["cid"].alias("cid"))
+        )
+    )["cid"]
+    asg = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "ve", nearest.alias("cid")
+    )
+    a = asg.alias("a")
+    b = asg.alias("b")
+    cos = _dot(F.col("a.ve"), F.col("b.ve")) / (
+        F.sqrt(_dot(F.col("a.ve"), F.col("a.ve")))
+        * F.sqrt(_dot(F.col("b.ve"), F.col("b.ve")))
+    )
+    # count REMOVED vectors per cluster directly from the pair stream:
+    # count_distinct(b.vec_id) per cid rides the join's cid
+    # partitioning — no standalone distinct exchange, no re-join
+    # against the corpus (b is removed iff ANY lower-id a matches)
+    flagged = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= _SEM_T)
+        .groupBy(F.col("a.cid").alias("cid"))
+        .agg(F.count_distinct(F.col("b.vec_id")).alias("n_removed"))
+    )
+    return (
+        asg.groupBy(F.col("cid").cast("int").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(
+            flagged.select(F.col("cid").cast("int").alias("cluster_id"), "n_removed"),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
+        )
+    )
