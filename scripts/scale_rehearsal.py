@@ -63,6 +63,13 @@ ENGINE_SHAPES = {
     # dedup + derive + agg) — the new operators' at-scale rows
     "state intervals (MDS availability)": "evt_state_intervals",
     "publish funnel (one-plan ETL)": "etl_publish_funnel",
+    # r6 sketch + semantic dedup. NOTE semdedup at xN keeps k=10
+    # label clusters, so within-cluster pairs grow quadratically in
+    # the replica count — run it at x10, not x100 (its docstring
+    # sizes k ~ n/1000 in production; the x10 row shows the blocked
+    # join scaling, not a mis-configured quadratic)
+    "quantile sketch (lineitem)": "agg_quantile_sketch",
+    "semdedup (embeddings, x10 only)": "llm_semdedup",
 }
 # (table, [key columns to shift per replica])
 REPL = {

@@ -734,3 +734,30 @@ def test_cosine_threshold_routes_by_rowcount(sf_dir):
     n = llm._embeddings_nrows(sf_dir)
     assert 0 < n < llm._COSINE_ARROW_MIN_ROWS
     assert llm._embeddings_nrows("/nonexistent") == 0
+
+
+def test_quantile_sketch_within_bucket_width(spark, sf_dir, duck):
+    """agg_quantile_sketch's estimates must sit within one bucket
+    width (215) of the exact interpolated quantiles — the sketch's
+    declared error bound."""
+    got = {
+        r["q"]: r["est_value"]
+        for r in QUERIES["agg_quantile_sketch"](spark, sf_dir).collect()
+    }
+    for q, est in got.items():
+        exact = duck.execute(
+            f"SELECT quantile_cont(l_extendedprice, {q}) FROM lineitem"
+        ).fetchone()[0]
+        assert abs(est - exact) <= 215.0, (q, est, exact)
+
+
+def test_semdedup_counts_consistent(spark, sf_dir):
+    """llm_semdedup per-cluster invariants: kept + removed == total,
+    removed < total (at least one representative survives per
+    non-empty cluster), and the threshold is non-vacuous on the
+    driver data (some cluster removes at least one vector)."""
+    rows = QUERIES["llm_semdedup"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_kept"] + r["n_removed"] == r["n_vecs"] for r in rows)
+    assert all(r["n_removed"] < r["n_vecs"] for r in rows)
+    assert any(r["n_removed"] > 0 for r in rows)
