@@ -82,6 +82,13 @@ def _bench_spark():
     )
     if os.path.isdir("/dev/shm"):
         shm = "/dev/shm/spark-bench"
+        # clear leftovers from any previous killed run: Spark deletes
+        # its spark-* scratch dirs via shutdown hooks, which a kill -9
+        # skips — stale dirs here are RAM, not disk, so they must not
+        # accumulate across driver rounds
+        import shutil
+
+        shutil.rmtree(shm, ignore_errors=True)
         os.makedirs(shm, exist_ok=True)
         b = b.config("spark.local.dir", shm)
     spark = b.getOrCreate()
