@@ -448,3 +448,160 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bloom_membership — deterministic mergeable Bloom membership sketch
+# ---------------------------------------------------------------------------
+
+_BLM_M = 262144  # bits (2^18); kn/m ≈ 0.23 at sf0.1 → FP ≈ 0.2%
+_BLM_K = 4  # hash functions
+
+# shared md5 bit-position fragment (house pattern: md5 of the string
+# key is byte-identical across engines; the 15-hex-digit prefix is a
+# 60-bit non-negative int on both)
+_BLM_POS_SQL = (
+    "CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' || CAST({i} AS VARCHAR)), 1, 15)"
+    f" AS BIGINT) % {_BLM_M}"
+)
+
+
+@query(
+    "agg_bloom_membership",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+    ), bits AS (
+      SELECT DISTINCT {_BLM_POS_SQL.format(key="k", i="i")} AS pos
+      FROM keys, range(0, {_BLM_K}) t(i)
+    ), bounds AS (
+      SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders
+    ), probes AS (
+      SELECT probe_label, probe_key, actual FROM bounds, LATERAL (VALUES
+        ('present_min', mn, 1), ('present_max', mx, 1),
+        ('absent_below', mn - 1, 0), ('absent_above', mx + 1, 0),
+        ('absent_neg7', CAST(-7 AS BIGINT), 0), ('absent_neg13', CAST(-13 AS BIGINT), 0)
+      ) v(probe_label, probe_key, actual)
+    ), probe_bits AS (
+      SELECT probe_label, probe_key, actual,
+             {_BLM_POS_SQL.format(key="probe_key", i="i")} AS pos
+      FROM probes, range(0, {_BLM_K}) t(i)
+    ), hits AS (
+      SELECT probe_label, probe_key, actual,
+             COUNT(bits.pos) AS n_hit
+      FROM probe_bits LEFT JOIN bits USING (pos)
+      GROUP BY 1, 2, 3
+    )
+    SELECT probe_label, probe_key,
+           CAST(actual AS INTEGER) AS actual,
+           CAST(CASE WHEN n_hit = {_BLM_K} THEN 1 ELSE 0 END AS INTEGER) AS claimed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_set_bits
+    FROM hits
+    """,
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable BLOOM membership sketch — the fourth
+    sketch-family member (HLL = distinct, CMS = frequency, histogram
+    = quantiles, Bloom = membership): every o_custkey sets K=4 bit
+    positions derived from md5 (the cross-engine-deterministic house
+    hash); a probe is CLAIMED present iff all its K positions are
+    set. Probes are constructed so ground truth is analytic (min/max
+    exist by definition; min-1, max+1 and negatives cannot), letting
+    the report show claimed-vs-actual — the one-sided Bloom error
+    (false positives possible, false negatives impossible).
+
+    Scale shape: the bit set is bounded state (≤m = 262144 slim
+    rows, reached after ONE map-side-combinable distinct exchange);
+    it OR-merges across partitions/shards/days like the other
+    sketches (union + distinct ≡ bitwise OR). Probe evaluation
+    touches K·n_probes = 24 rows. The 100 TB use is the classic
+    pre-join/existence filter: ship the ≤32 KB bitmap, not the key
+    set."""
+    orders = load(spark, sf_dir, "orders")
+
+    def pos(key_col, i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit(f":{i}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLM_M
+        )
+
+    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    bits = (
+        keys.select(
+            F.explode(F.array(*[pos(F.col("k"), i) for i in range(_BLM_K)])).alias(
+                "pos"
+            )
+        )
+        .distinct()
+    )
+    bounds = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("mx")
+    )
+    probes = bounds.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("present_min").alias("probe_label"),
+                    F.col("mn").alias("probe_key"),
+                    F.lit(1).alias("actual"),
+                ),
+                F.struct(
+                    F.lit("present_max").alias("probe_label"),
+                    F.col("mx").alias("probe_key"),
+                    F.lit(1).alias("actual"),
+                ),
+                F.struct(
+                    F.lit("absent_below").alias("probe_label"),
+                    (F.col("mn") - 1).alias("probe_key"),
+                    F.lit(0).alias("actual"),
+                ),
+                F.struct(
+                    F.lit("absent_above").alias("probe_label"),
+                    (F.col("mx") + 1).alias("probe_key"),
+                    F.lit(0).alias("actual"),
+                ),
+                F.struct(
+                    F.lit("absent_neg7").alias("probe_label"),
+                    F.lit(-7).cast("long").alias("probe_key"),
+                    F.lit(0).alias("actual"),
+                ),
+                F.struct(
+                    F.lit("absent_neg13").alias("probe_label"),
+                    F.lit(-13).cast("long").alias("probe_key"),
+                    F.lit(0).alias("actual"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.probe_label", "p.probe_key", "p.actual")
+    probe_bits = probes.select(
+        "probe_label",
+        "probe_key",
+        "actual",
+        F.explode(
+            F.array(*[pos(F.col("probe_key"), i) for i in range(_BLM_K)])
+        ).alias("pos"),
+    )
+    # broadcast the RIGHT side of the left join (a left-side hint is
+    # ignored for outer joins): the bit set is ≤m slim rows
+    hits = (
+        probe_bits.join(F.broadcast(bits), "pos", "left")
+        .groupBy("probe_label", "probe_key", "actual")
+        .agg(F.count(bits["pos"]).alias("n_hit"))
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_set_bits"))
+    return (
+        hits.crossJoin(F.broadcast(n_bits))
+        .select(
+            "probe_label",
+            "probe_key",
+            F.col("actual").cast("int").alias("actual"),
+            F.when(F.col("n_hit") == _BLM_K, 1).otherwise(0).cast("int").alias("claimed"),
+            "n_set_bits",
+        )
+    )
