@@ -51,8 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _KEY_ORDER = [
     # --- evidence-needed block (no green latest driver row):
     # new keys first, then previously-ranked ones ---
-    "agg_bloom_membership", "agg_quantile_sketch", "llm_semdedup",
-    "etl_publish_funnel", "evt_state_intervals",
+    "snk_zorder_layout", "agg_bloom_membership", "agg_quantile_sketch",
+    "llm_semdedup", "etl_publish_funnel", "evt_state_intervals",
     # --- ever-green tail, oldest evidence first ---
     "win_range_frame", "win_cume_dist", "fn_regexp_extract", "txt_pii_mask",
     "fn_split_tokens", "llm_token_stats", "srt_multi_nulls", "fn_date_arith",

@@ -605,3 +605,99 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_set_bits",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_zorder_layout — Z-order clustered layout for 2-D data skipping
+# ---------------------------------------------------------------------------
+
+_ZO_BITS = 7  # 7 bits per dimension -> 14-bit z-values
+# query window (a selective 2-D box: each dimension alone is ~20% of
+# its range, the combined box ~4% of rows — the shape where Z-order
+# beats single-column sort layouts)
+_ZO_X = (40, 65)
+_ZO_Y = (30, 55)
+
+# xi is a shared textual fragment; yi's JSON accessor differs per
+# engine (get_json_object vs json_extract_string) so each engine
+# derives the INTEGER yi column first and the interleave fragment
+# below is shared over the derived column names
+_ZO_XI = "CAST(LEAST(FLOOR(value / 80e0), 127) AS BIGINT)"
+_ZO_YI_SPARK = "CAST(LEAST(CAST(get_json_object(props, '$.k') AS INT), 127) AS BIGINT)"
+_ZO_YI_DUCK = "CAST(LEAST(CAST(json_extract_string(props, '$.k') AS INTEGER), 127) AS BIGINT)"
+
+
+def _zo_interleave_sql(xi: str, yi: str) -> str:
+    """Bit-interleave SQL shared textually by both engines: z =
+    Σ_b  x_b<<(2b+1) | y_b<<(2b) — pure integer shifts/masks."""
+    terms = []
+    for b in range(_ZO_BITS):
+        terms.append(f"((({xi} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({yi} >> {b}) & 1) << {2 * b})")
+    return " + ".join(terms)
+
+
+@query(
+    "snk_zorder_layout",
+    oracle=f"""
+    WITH derived AS (
+      SELECT value, {_ZO_XI} AS xi, {_ZO_YI_DUCK} AS yi FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value,
+           CAST(MIN({_zo_interleave_sql("xi", "yi")}) AS BIGINT) AS min_z,
+           CAST(MAX({_zo_interleave_sql("xi", "yi")}) AS BIGINT) AS max_z
+    FROM derived
+    WHERE xi BETWEEN {_ZO_X[0]} AND {_ZO_X[1]}
+      AND yi BETWEEN {_ZO_Y[0]} AND {_ZO_Y[1]}
+    """,
+)
+def snk_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered table layout — the data-skipping OPTIMIZE
+    step lakehouse formats run, expressed in pure Spark: derive a
+    14-bit Morton code interleaving two query dimensions (value-bin
+    xi, props.$.k yi), `repartitionByRange` + `sortWithinPartitions`
+    on z, and write parquet — so every FILE and ROW GROUP covers a
+    small z-range, and therefore a small (xi, yi) RECTANGLE. A 2-D
+    box predicate then prunes most files via parquet min/max stats
+    on the stored xi/yi columns, where a single-column sort layout
+    only prunes one dimension. The query half reads the staged
+    layout back with the box filter (pushed to the scan) and
+    aggregates; the oracle recomputes from the RAW table — layout
+    must never change semantics.
+
+    Locality is ASSERTED in tests (per-file xi/yi spans via parquet
+    footers, vs the unclustered source). At 100 TB this is the
+    maintenance job that turns a full-scan geo/time query into a
+    bounded-file read; z derivation is pure integer shifts (identical
+    on both engines), the range partitioner is the only exchange,
+    and the sort is within partitions (no global sort)."""
+    xi = F.expr(_ZO_XI)
+    yi = F.expr(_ZO_YI_SPARK)
+    z = F.expr(_zo_interleave_sql("xi", "yi"))
+
+    def build(indir: str) -> None:
+        (
+            load(spark, sf_dir, "events")
+            .select("event_id", "value", xi.alias("xi"), yi.alias("yi"))
+            .withColumn("z", z)
+            .repartitionByRange(8, "z")
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    from ..tables import stage_scratch
+
+    staged = stage_scratch("snk_zorder", sf_dir, "events", build)
+    t = spark.read.parquet(staged).where(
+        F.col("xi").between(*_ZO_X) & F.col("yi").between(*_ZO_Y)
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    )

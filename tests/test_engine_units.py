@@ -761,3 +761,44 @@ def test_semdedup_counts_consistent(spark, sf_dir):
     assert all(r["n_kept"] + r["n_removed"] == r["n_vecs"] for r in rows)
     assert all(r["n_removed"] < r["n_vecs"] for r in rows)
     assert any(r["n_removed"] > 0 for r in rows)
+
+
+def test_zorder_layout_files_are_prunable(spark, sf_dir):
+    """snk_zorder_layout's whole point is data skipping: after the
+    z-ordered write, each staged FILE must cover a bounded (xi, yi)
+    rectangle (parquet min/max stats), and the operator's query box
+    must be able to prune at least half the files on stats alone —
+    which an unclustered layout cannot do."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from atd_dockless_processing_spark.operators import pipeline_r6 as r6
+
+    QUERIES["snk_zorder_layout"](spark, sf_dir).collect()  # ensure staged
+    from atd_dockless_processing_spark.tables import SCRATCH
+
+    staged = glob.glob(
+        f"{SCRATCH}/snk_zorder/{sf_dir.strip('/').replace('/', '_')}/in/*.parquet"
+    )
+    assert len(staged) >= 4
+    spans, prunable = [], 0
+    for f in staged:
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = {c: min(md.row_group(g).column(cols[c]).statistics.min for g in range(md.num_row_groups)) for c in ("xi", "yi")}
+        hi = {c: max(md.row_group(g).column(cols[c]).statistics.max for g in range(md.num_row_groups)) for c in ("xi", "yi")}
+        spans.append((hi["xi"] - lo["xi"], hi["yi"] - lo["yi"]))
+        if (
+            hi["xi"] < r6._ZO_X[0]
+            or lo["xi"] > r6._ZO_X[1]
+            or hi["yi"] < r6._ZO_Y[0]
+            or lo["yi"] > r6._ZO_Y[1]
+        ):
+            prunable += 1
+    # z-range files cover bounded rectangles: both spans well under
+    # the full 0..127 range on average
+    avg_x = sum(s[0] for s in spans) / len(spans)
+    avg_y = sum(s[1] for s in spans) / len(spans)
+    assert avg_x <= 100 and avg_y <= 100, (avg_x, avg_y, spans)
+    assert prunable >= len(staged) // 2, (prunable, len(staged), spans)
