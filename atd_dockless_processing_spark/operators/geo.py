@@ -22,7 +22,7 @@ from ..tables import load
     "geo_grid_bin",
     oracle="""
     SELECT CONCAT(CAST(CAST(FLOOR(value / 50) AS BIGINT) AS VARCHAR), '_',
-                  CAST(CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25.0) AS BIGINT) AS VARCHAR)) AS cell_id,
+                  COALESCE(CAST(CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25.0) AS BIGINT) AS VARCHAR), 'x')) AS cell_id,
            CAST(COUNT(*) AS BIGINT) AS n_points,
            ROUND(SUM(value), 4) AS sum_value
     FROM events
@@ -35,10 +35,14 @@ def geo_grid_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression: codegen'd, zero shuffle before the final agg."""
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
+    # COALESCE the k-derived component: DuckDB CONCAT keeps the '_'
+    # when an operand is NULL while concat_ws drops it, so a NULL k
+    # would silently diverge ('3_' vs '3'); 'x' pins both engines to
+    # the same sentinel cell.
     cell = F.concat_ws(
         "_",
         F.floor(F.col("value") / 50).cast("string"),
-        F.floor(k / 25.0).cast("string"),
+        F.coalesce(F.floor(k / 25.0).cast("string"), F.lit("x")),
     )
     return (
         ev.groupBy(cell.alias("cell_id"))

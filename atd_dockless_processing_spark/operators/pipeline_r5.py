@@ -409,9 +409,9 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH trips AS (
       SELECT CONCAT(CAST(CAST(FLOOR(value / 50) AS BIGINT) AS VARCHAR), '_',
-                    CAST(CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25.0) AS BIGINT) AS VARCHAR)) AS o_cell,
+                    COALESCE(CAST(CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25.0) AS BIGINT) AS VARCHAR), 'x')) AS o_cell,
              CONCAT(CAST(CAST(FLOOR((value + (user_id % 7) * 30.0e0) / 50) AS BIGINT) AS VARCHAR), '_',
-                    CAST(CAST(FLOOR((CAST(json_extract_string(props, '$.k') AS INTEGER) + event_id % 5) / 25.0) AS BIGINT) AS VARCHAR)) AS d_cell,
+                    COALESCE(CAST(CAST(FLOOR((CAST(json_extract_string(props, '$.k') AS INTEGER) + event_id % 5) / 25.0) AS BIGINT) AS VARCHAR), 'x')) AS d_cell,
              value
       FROM events
     )
@@ -451,17 +451,22 @@ def geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
     k = F.col("k")
+    # COALESCE the k-derived cell components (both engines): DuckDB
+    # CONCAT keeps the '_' separator on a NULL operand while Spark
+    # concat_ws drops it, so a NULL props.$.k would hash-diverge.
     o_cell = F.concat_ws(
         "_",
         F.floor(F.col("value") / 50).cast("string"),
-        F.floor(k / 25.0).cast("string"),
+        F.coalesce(F.floor(k / 25.0).cast("string"), F.lit("x")),
     )
     d_cell = F.concat_ws(
         "_",
         F.floor((F.col("value") + (F.col("user_id") % 7) * F.lit(30.0)) / 50).cast(
             "string"
         ),
-        F.floor((k + F.col("event_id") % 5) / 25.0).cast("string"),
+        F.coalesce(
+            F.floor((k + F.col("event_id") % 5) / 25.0).cast("string"), F.lit("x")
+        ),
     )
     return (
         ev.select(o_cell.alias("o_cell"), d_cell.alias("d_cell"), "value")
@@ -737,10 +742,14 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Laplace-smoothed bin share and PSI contribution, shared verbatim
 # between the Spark expressions and the oracle so the ln() inputs are
 # bit-identical doubles (the llm_unigram_logprob precedent: identical
-# input + ROUND 6 makes cross-engine ln safe in practice).
+# input + rounding makes cross-engine ln safe in practice). ROUND 5,
+# not 6: a last-ulp JVM-StrictMath-vs-libm ln difference only flips
+# the rounded value when the true value sits within ~1 ulp of a
+# x.xxxx5 boundary, and widening the boundary spacing 10x cuts that
+# residual flake probability 10x (round-6 ADVICE item).
 _PSI_P = "((CAST({c} AS DOUBLE) + 0.5e0) / (CAST({t} AS DOUBLE) + 4e0))"
 _PSI_CONTRIB = (
-    "ROUND(({pa} - {pb}) * ln({pa} / {pb}), 6)"
+    "ROUND(({pa} - {pb}) * ln({pa} / {pb}), 5)"
 )
 
 
@@ -763,7 +772,7 @@ _PSI_CONTRIB = (
       SELECT SUM(cnt_ref) AS t_ref, SUM(cnt_cur) AS t_cur FROM cells
     ), contrib AS (
       SELECT c.bin, c.cnt_ref, c.cnt_cur,
-             CAST({contrib} AS DECIMAL(18,6)) AS contrib_d
+             CAST({contrib} AS DECIMAL(18,5)) AS contrib_d
       FROM cells c CROSS JOIN tot
     )
     SELECT bin, cnt_ref, cnt_cur,
@@ -786,8 +795,8 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic user_id parity split; bins are a fixed-width
     8-bucket grid over `value` with an open top bucket and an 8-row
     spine so structurally-empty bins still contribute (smoothing makes
-    them finite). The per-bin contribution is rounded to 6 and summed
-    as exact DECIMAL(18,6) (surfaced as DOUBLE — DuckDB's decimal
+    them finite). The per-bin contribution is rounded to 5 and summed
+    as exact DECIMAL(18,5) (surfaced as DOUBLE — DuckDB's decimal
     lands in pandas as float64, Spark's as object, so the dtype-
     strict compare needs a common type), making psi_total order-free
     and identical on both engines.
@@ -829,7 +838,7 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pb=_PSI_P.format(c="cnt_cur", t="t_cur"),
             )
         )
-        .cast("decimal(18,6)")
+        .cast("decimal(18,5)")
         .alias("contrib_d"),
     )
     return contrib.select(

@@ -367,6 +367,32 @@ def test_recursive_cte_user_id_density_precondition(sf_dir, duck):
     )
 
 
+def test_documents_ascii_precondition():
+    """mm_decode_stub's oracle derives the BMP pixel buffer
+    CHARACTER-wise (ascii(substr(text, i, 1)), L = n_chars) while the
+    operator cycles the UTF-8 BYTE encoding of text; they agree iff
+    every document is pure ASCII with n_chars == octet count. Assert
+    that on every driver sf dir so a regenerated corpus with any
+    multi-byte character fails HERE with a message, not as a silent
+    hash flip (round-6 ADVICE item)."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not Path(path).exists():
+            continue
+        bad = duckdb.execute(
+            f"""
+            SELECT COUNT(*) FROM read_parquet('{path}')
+            WHERE octet_length(encode(text)) <> n_chars
+               OR length(text) <> n_chars
+            """
+        ).fetchone()[0]
+        assert bad == 0, (
+            f"{sf}: {bad} documents are non-ASCII or have n_chars != byte "
+            "length — mm_decode_stub's char-wise oracle no longer matches "
+            "the operator's byte-wise pixel buffer"
+        )
+
+
 def test_pip_table_candidate_join_is_cell_indexed(spark, sf_dir):
     """geo_point_in_polygon_table's candidate stage must be a
     broadcast EQUI-join on the grid cell — never a CartesianProduct
