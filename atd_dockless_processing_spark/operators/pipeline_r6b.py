@@ -1,0 +1,451 @@
+"""Round-6 breadth extensions — SURVEY.md §2.21.
+
+Second round-6 batch, opened after the verdict's missing list was
+closed: a relational GRAPH-ANALYTICS family (degree / triangles /
+neighborhood similarity — the co-occurrence analyses a mobility or
+training-data team runs on exactly the entity graphs this engine
+already materializes), the fifth mergeable-sketch member (KMV/theta
+distinct with SET OPERATIONS, which HLL cannot do), and
+training-data-pipeline breadth (corpus bigram statistics, importance
+resampling). Reference parity per SURVEY §0: the checkout was empty,
+so each operator cites the public capability it generalizes ([P]
+tags).
+
+Every key here follows the house exactness rules
+(scripts/selfcheck.py): integer-exact cores, BIGINT casts over
+DuckDB's HUGEINT sums, divisions only as single correctly-rounded
+IEEE expressions shared verbatim between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# graph family — customer/supplier and part co-occurrence graphs
+# ---------------------------------------------------------------------------
+
+
+def _cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (customer, supplier) edge list of the bipartite
+    trade graph: an edge wherever a customer's order contains a
+    lineitem from the supplier. One projection-pruned join + one
+    distinct exchange; at 100 TB both sides shuffle on the edge key
+    once and every downstream graph metric reuses this frame."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+
+_EDGE_SQL = """
+    SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+@query(
+    "gph_degree_distribution",
+    oracle=f"""
+    WITH e AS ({_EDGE_SQL}),
+    sd AS (SELECT s AS node, COUNT(*) AS degree FROM e GROUP BY s),
+    cd AS (SELECT c AS node, COUNT(*) AS degree FROM e GROUP BY c)
+    SELECT 'supplier' AS side, degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM sd GROUP BY degree
+    UNION ALL
+    SELECT 'customer' AS side, degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM cd GROUP BY degree
+    """,
+)
+def gph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the bipartite customer-supplier trade
+    graph ([P med]: degree profiling is the first screen of any
+    entity-graph analysis — vendor concentration, hub detection,
+    power-law checks). Per side: node degree from the distinct edge
+    list, then the histogram degree -> node count.
+
+    Plan shape: ONE distinct exchange builds the edge list; each
+    side's degree count is a combinable agg riding that partitioning
+    (supplier side re-shuffles on s — low cardinality, map-side
+    combined), and the final histogram aggregates <=n_nodes slim
+    rows. Integer-exact throughout. At 100 TB the edge distinct is
+    the only wide exchange; histograms are a few thousand rows no
+    matter the input scale."""
+    e = _cust_supp_edges(spark, sf_dir)
+    sd = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    cd = e.groupBy(F.col("c").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    hist = lambda d, side: (  # noqa: E731
+        d.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes")).select(
+            F.lit(side).alias("side"), "degree", "n_nodes"
+        )
+    )
+    return hist(sd, "supplier").unionAll(hist(cd, "customer"))
+
+
+# part co-occurrence graph: nodes are sampled parts (partkey % 5 = 0),
+# an undirected edge wherever two such parts ship in the same order.
+_COPART_SQL = """
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_partkey % 5 = 0) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_partkey % 5 = 0) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges (u < v canonical orientation)
+    between sampled parts sharing an order. The order-key equi-join
+    bounds candidate pairs to within-order combinations (never
+    all-pairs); the %5 node sample is the analysis scope, not a
+    correctness crutch — drop it and the shape is unchanged."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+@query(
+    "gph_triangle_count",
+    oracle=f"""
+    WITH e AS ({_COPART_SQL}),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3
+        ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wed AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(wed.n_wedges AS BIGINT) AS n_wedges,
+           CAST(tri.n_tri AS BIGINT) AS n_triangles,
+           3.0e0 * tri.n_tri / NULLIF(wed.n_wedges, 0)
+             AS global_clustering
+    FROM tri CROSS JOIN wed
+    """,
+)
+def gph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the
+    part co-purchase graph ([P med]: triangle/clustering statistics
+    are the standard cohesion screen for co-occurrence graphs —
+    fraud rings, product-affinity tightness, community structure).
+    Canonical u<v orientation makes each triangle (u<v<w) counted
+    exactly once by the edge-edge-edge closure join; wedges come from
+    the degree aggregate (sum d*(d-1)/2), so global clustering =
+    3*triangles/wedges.
+
+    Plan shape: the closure is TWO equi-joins on single node keys
+    (wedge build on v, closure probe on (u, w)) — the standard
+    distributed edge-iterator; no cartesian anywhere. Skew note for
+    100 TB: wedge volume is sum(d^2) — production would orient edges
+    low-degree->high-degree first (cuts wedges to O(m^1.5)); the
+    canonical-id orientation here keeps the oracle identical and the
+    testdata degrees are near-uniform. Integer-exact counts; the
+    coefficient is one NULLIF-guarded division of exact integers,
+    bit-identical on both engines."""
+    e = _copart_edges(spark, sf_dir).cache()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("n_tri").alias("n_triangles"),
+            (
+                F.lit(3.0) * F.col("n_tri")
+                / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0))
+            ).alias("global_clustering"),
+        )
+    )
+
+
+@query(
+    "gph_jaccard_neighbors",
+    oracle=f"""
+    WITH e AS ({_EDGE_SQL}),
+    deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s),
+    inter AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n_common
+      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(d1.d AS BIGINT) AS deg1,
+           CAST(d2.d AS BIGINT) AS deg2,
+           CAST(n_common AS DOUBLE) / (d1.d + d2.d - n_common) AS jaccard
+    FROM inter JOIN deg d1 ON d1.s = inter.s1
+               JOIN deg d2 ON d2.s = inter.s2
+    ORDER BY jaccard DESC, s1, s2
+    LIMIT 50
+    """,
+)
+def gph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity between suppliers (shared
+    customer sets) — the link-prediction / entity-resolution screen
+    ([P med]: "which two vendors serve the same customer base" is the
+    co-occurrence-similarity question behind substitution analysis
+    and near-duplicate entity detection). Co-occurrence counting via
+    the per-customer wedge join (a.c = b.c, s1 < s2), degrees from
+    the same edge list, Jaccard = |A∩B| / (|A|+|B|-|A∩B|), top-50
+    with a TOTAL (jaccard, s1, s2) tie-break so the LIMIT is
+    deterministic.
+
+    Plan shape: edge distinct (1 exchange) -> wedge equi-join on the
+    customer key (1 shuffle, volume sum_c deg(c)^2 — never
+    all-supplier-pairs) -> combinable pair agg -> two BROADCAST
+    degree joins (degree table is one row per supplier) ->
+    TakeOrderedAndProject (no global sort). Skew note for 100 TB: a
+    hub customer with degree D contributes D^2 wedges — production
+    caps or salts hub keys (the llm_dedup_near_minhash posture);
+    degrees here are near-uniform. jaccard is ONE division of exact
+    integers — bit-identical both engines, ties broken by id."""
+    e = _cust_supp_edges(spark, sf_dir).cache()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    return (
+        inter.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            "deg1",
+            "deg2",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "s1", "s2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_kmv_theta_sketch — KMV/theta distinct sketch with set operations
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+# 60-bit uniform hash of the key — the house md5 pattern (integer-
+# exact both engines; only the hex->int spelling differs).
+_KMV_H_SPARK = "CAST(conv(substr(md5(CAST({x} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+_KMV_H_DUCK = "CAST('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15) AS BIGINT)"
+# KMV estimator on a k-min sample: (k-1) * 2^60 / theta, where theta
+# is the k-th smallest hash; exact count when the set is smaller
+# than k. Shared verbatim so the one division is the same IEEE op.
+_KMV_EST = (
+    "CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE) "
+    "ELSE ({k} - 1.0e0) * 1152921504606846976e0 / {theta} END"
+)
+
+
+@query(
+    "agg_kmv_theta_sketch",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT DISTINCT
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END
+               AS cohort,
+             o_custkey
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), hashed AS (
+      SELECT cohort, o_custkey,
+             {_KMV_H_DUCK.format(x="o_custkey")} AS h
+      FROM tagged
+    ), ranked AS (
+      SELECT cohort, h,
+             ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY h) AS r
+      FROM hashed
+    ), sk AS (
+      SELECT cohort, h FROM ranked WHERE r <= {_KMV_K}
+    ), stats AS (
+      SELECT cohort, COUNT(*) AS n_sample, MAX(h) AS theta
+      FROM sk GROUP BY cohort
+    ), u_ranked AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+      FROM (SELECT DISTINCT h FROM sk)
+    ), u_stats AS (
+      SELECT COUNT(*) AS n_sample, MAX(h) AS theta
+      FROM u_ranked WHERE r <= {_KMV_K}
+    ), truth AS (
+      SELECT COUNT(DISTINCT CASE WHEN cohort = 'a' THEN o_custkey END)
+               AS true_a,
+             COUNT(DISTINCT CASE WHEN cohort = 'b' THEN o_custkey END)
+               AS true_b,
+             COUNT(DISTINCT o_custkey) AS true_union
+      FROM tagged
+    )
+    SELECT CAST({_KMV_K} AS INT) AS k,
+           CAST(t.true_a AS BIGINT) AS true_a,
+           CAST(t.true_b AS BIGINT) AS true_b,
+           CAST(t.true_union AS BIGINT) AS true_union,
+           ROUND({_KMV_EST.format(n="sa.n_sample", theta="sa.theta", k=_KMV_K)}, 4)
+             AS est_a,
+           ROUND({_KMV_EST.format(n="sb.n_sample", theta="sb.theta", k=_KMV_K)}, 4)
+             AS est_b,
+           ROUND({_KMV_EST.format(n="su.n_sample", theta="su.theta", k=_KMV_K)}, 4)
+             AS est_union,
+           ROUND({_KMV_EST.format(n="sa.n_sample", theta="sa.theta", k=_KMV_K)}
+                 + {_KMV_EST.format(n="sb.n_sample", theta="sb.theta", k=_KMV_K)}
+                 - {_KMV_EST.format(n="su.n_sample", theta="su.theta", k=_KMV_K)}, 4)
+             AS est_intersect
+    FROM (SELECT * FROM stats WHERE cohort = 'a') sa
+    CROSS JOIN (SELECT * FROM stats WHERE cohort = 'b') sb
+    CROSS JOIN u_stats su
+    CROSS JOIN truth t
+    """,
+)
+def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) / theta distinct sketch with SET
+    OPERATIONS — fifth mergeable-sketch family member (HLL distinct /
+    CMS frequency / histogram quantiles / Bloom membership / KMV
+    set-algebra) and the one capability HLL lacks: because the sketch
+    IS a uniform sample of the hash space, sketches compose under
+    union (merge samples, keep k smallest) and intersection
+    (inclusion-exclusion), giving cross-cohort overlap estimates
+    without a distinct-pair shuffle ([P med]: theta sketches are the
+    standard audience-overlap machinery).
+
+    Cohorts: customers with 1-URGENT orders (a) vs 5-LOW orders (b).
+    h = 60-bit md5 of the key; sketch = k=64 smallest distinct h per
+    cohort; est = (k-1)*2^60/theta (exact count when |set| < k);
+    union sketch = k smallest of the merged samples; intersection by
+    inclusion-exclusion. true_* columns are the verification twin
+    (the CMS probe-truth posture) — at 100 TB you'd drop them; the
+    sketch path itself never shuffles more than k rows per cohort
+    after the distinct.
+
+    Exactness: hashes and thetas are exact integers; each estimate is
+    ONE shared-verbatim IEEE division (ROUND 4 on both engines);
+    inclusion-exclusion composes three such — same tree, bit-
+    identical. Plan shape: distinct on (cohort, custkey) -> ONE
+    window exchange on cohort (k-min selection; at scale this is a
+    top-k-per-group TakeOrdered, not a full sort) -> <=2k slim rows
+    drive everything downstream."""
+    o = load(spark, sf_dir, "orders")
+    tagged = (
+        o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+            .otherwise("b")
+            .alias("cohort"),
+            "o_custkey",
+        )
+        .distinct()
+    )
+    hashed = tagged.select(
+        "cohort", "o_custkey", F.expr(_KMV_H_SPARK.format(x="o_custkey")).alias("h")
+    ).cache()
+    w = Window.partitionBy("cohort").orderBy("h")
+    sk = (
+        hashed.select("cohort", "h", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= _KMV_K)
+        .cache()
+    )
+    stats = sk.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_sample"), F.max("h").alias("theta")
+    )
+    wu = Window.orderBy("h")
+    u_stats = (
+        sk.select("h")
+        .distinct()
+        .select("h", F.row_number().over(wu).alias("r"))
+        .where(F.col("r") <= _KMV_K)
+        .agg(F.count(F.lit(1)).alias("n_sample"), F.max("h").alias("theta"))
+    )
+    truth = tagged.agg(
+        F.countDistinct(
+            F.when(F.col("cohort") == "a", F.col("o_custkey"))
+        ).alias("true_a"),
+        F.countDistinct(
+            F.when(F.col("cohort") == "b", F.col("o_custkey"))
+        ).alias("true_b"),
+        F.countDistinct("o_custkey").alias("true_union"),
+    )
+    sa = stats.where(F.col("cohort") == "a").select(
+        F.col("n_sample").alias("na"), F.col("theta").alias("ta")
+    )
+    sb = stats.where(F.col("cohort") == "b").select(
+        F.col("n_sample").alias("nb"), F.col("theta").alias("tb")
+    )
+    su = u_stats.select(
+        F.col("n_sample").alias("nu"), F.col("theta").alias("tu")
+    )
+    est = lambda n, t: F.expr(  # noqa: E731
+        _KMV_EST.format(n=n, theta=t, k=_KMV_K)
+    )
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(su)
+        .crossJoin(truth)
+        .select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            "true_a",
+            "true_b",
+            "true_union",
+            F.round(est("na", "ta"), 4).alias("est_a"),
+            F.round(est("nb", "tb"), 4).alias("est_b"),
+            F.round(est("nu", "tu"), 4).alias("est_union"),
+            F.round(
+                est("na", "ta") + est("nb", "tb") - est("nu", "tu"), 4
+            ).alias("est_intersect"),
+        )
+    )
