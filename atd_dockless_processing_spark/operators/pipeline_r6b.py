@@ -449,3 +449,273 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_intersect"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# txt_ngram_topk — corpus-wide bigram frequency top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "txt_ngram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big AS (
+      SELECT doc_id,
+             UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM big
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 20
+    """,
+)
+def txt_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency top-k — the n-gram statistics
+    pass of a training-data pipeline (phrase tables, boilerplate
+    phrase detection, contamination shingle vocabularies all start
+    here [P med]). Bigrams are built MAP-SIDE with a transform over
+    the token array (no token explode followed by a self-join — the
+    classic shuffle trap for n-gram construction), then one
+    combinable count aggregate and a deterministic
+    (count desc, bigram) top-20.
+
+    Plan shape: scan -> codegen split+transform+explode -> ONE agg
+    exchange on bigram (map-side partial counts absorb the Zipf
+    head: frequent bigrams combine before the shuffle) ->
+    TakeOrderedAndProject. The distinct-doc count rides the same
+    exchange via the 2-phase distinct expansion. At 100 TB bigram
+    cardinality is bounded by vocabulary^2 in theory but Zipf in
+    practice; a production variant adds a count-min prefilter (the
+    agg_cms_heavy_hitters composition) before the exact pass.
+    Integer-exact; the LIMIT boundary is tie-broken by bigram, so
+    the result set is deterministic on both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(t[i], ' ', t[i + 1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_importance_resample — quality-weighted deterministic resampling
+# ---------------------------------------------------------------------------
+
+# acceptance test as PURE INTEGER arithmetic: keep doc iff
+#   u < w  with  u = h/2^48,  w = min(n_chars, 500)/500
+# <=> h * 500 < min(n_chars, 500) * 2^48        (exact, no FP anywhere)
+_RS_H_SPARK = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+_RS_H_DUCK = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)"
+_RS_KEEP = "({h} * 500 < LEAST(n_chars, 500) * 281474976710656)"
+
+
+@query(
+    "llm_importance_resample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, n_chars,
+             CASE WHEN {_RS_KEEP.format(h=_RS_H_DUCK)} THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(CAST(SUM(LEAST(n_chars, 500)) AS BIGINT) AS DOUBLE)
+             / (500.0e0 * COUNT(*)) AS expected_rate,
+           CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS actual_rate
+    FROM scored
+    GROUP BY source
+    """,
+)
+def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling — the data-mixing
+    primitive behind quality-filtered corpus construction ([P med]:
+    sampling documents with probability proportional to a quality
+    weight is how public pipelines reweight toward higher-quality
+    text without hard cutoffs). Weight = min(n_chars, 500)/500 (the
+    length-capped quality proxy); each doc keeps a deterministic
+    md5-uniform draw u = h/2^48 and survives iff u < w.
+
+    The acceptance test is rearranged to PURE INTEGER arithmetic
+    (h*500 < min(n_chars,500)*2^48), so the Bernoulli draw has ZERO
+    floating-point hazard and the decision is reproducible across
+    engines, retries, and partitionings — the property a training
+    pipeline needs for dataset versioning. Report per source:
+    n_docs, n_kept, expected vs actual acceptance rate (each ONE
+    IEEE division of exact integers — bit-identical, no ROUND).
+
+    Plan shape: scan -> codegen hash+compare (no shuffle) -> one
+    combinable agg on source. Embarrassingly parallel at 100 TB; the
+    kept subset would be written straight out with the same map-side
+    predicate (filter pushes into the scan stage)."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "n_chars",
+        F.expr(_RS_KEEP.format(h=_RS_H_SPARK)).cast("int").alias("kept"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        (
+            F.sum(F.least("n_chars", F.lit(500))).cast("double")
+            / (F.lit(500.0) * F.count(F.lit(1)))
+        ).alias("expected_rate"),
+        (F.sum("kept").cast("double") / F.count(F.lit(1))).alias("actual_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_distinct_count — running distinct count over a window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_distinct_count",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_seen
+    FROM events
+    """,
+)
+def win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over an ordered window — "how many
+    distinct event types has this device exhibited so far" (feature
+    engineering for behavioral models; breadth-of-usage scoring).
+    Spark does not support DISTINCT aggregates in window frames, so
+    the engine expresses it as size(collect_set(...)) over the
+    running ROWS frame — set semantics give exactly the distinct
+    count and the result is order-insensitive within the frame; the
+    DuckDB oracle uses its native COUNT(DISTINCT ...) OVER, making
+    this a genuine cross-formulation check (different algorithms,
+    same semantics).
+
+    Plan shape: ONE window exchange on user_id with a (ts, event_id)
+    total-order sort. Scale note: the collect_set state is bounded
+    by the DISTINCT cardinality of the collected column (5 types
+    here), NOT the frame length — this pattern is safe whenever the
+    tracked domain is small (types, status codes, countries) and
+    wrong for high-cardinality domains, where the production answer
+    is a per-frame sketch (agg_hll_deterministic registers as
+    window state)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_benford_digits — first-digit distribution vs Benford expectation
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) as shared literals (identical decimal text parses to
+# the identical IEEE double on both engines — no transcendental is
+# evaluated at query time).
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {v}e0" for d, v in _BENFORD.items())
+    + " END"
+)
+
+
+@query(
+    "dq_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), counted AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT SUM(n) AS total FROM counted)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / total AS share,
+           {_BENFORD_CASE} AS expected,
+           ROUND(POWER(CAST(n AS DOUBLE) - total * ({_BENFORD_CASE}), 2)
+                 / (total * ({_BENFORD_CASE})), 6) AS chi2_contrib
+    FROM counted CROSS JOIN tot
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over order totals —
+    the fraud/data-fabrication detector ([P med]: first-digit
+    distribution tests are the standard forensic screen for invented
+    monetary values; a pipeline runs it as a data-quality gate on
+    financial columns). First digit extracted by STRING inspection of
+    the integer part (no log10 at query time — the transcendental
+    lives only in the Benford constants, which are shared decimal
+    literals parsing to identical doubles), counts exact, share one
+    IEEE division, chi-square contribution the same shared expression
+    tree on both engines rounded to 6.
+
+    Plan shape: scan (only o_totalprice read) -> codegen digit ->
+    ONE combinable 9-cell aggregate -> 9-row arithmetic. At 100 TB:
+    a full scan and a 9-row shuffle — nothing else grows."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    expected = F.expr(_BENFORD_CASE)
+    total = F.sum("n").over(w)
+    return counted.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / total).alias("share"),
+        expected.alias("expected"),
+        F.round(
+            F.pow(F.col("n").cast("double") - total * expected, 2)
+            / (total * expected),
+            6,
+        ).alias("chi2_contrib"),
+    )
