@@ -719,3 +719,370 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# evt_ts_interpolate — linear interpolation onto a regular time grid
+# ---------------------------------------------------------------------------
+
+_INTERP_STEP_US = 6 * 3600 * 1000000  # 6-hour grid
+
+
+@query(
+    "evt_ts_interpolate",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t, value, event_id FROM events
+    ), bounds AS (
+      SELECT user_id,
+             ((MIN(t) + {_INTERP_STEP_US} - 1) // {_INTERP_STEP_US})
+               * {_INTERP_STEP_US} AS g0,
+             MAX(t) AS tmax
+      FROM ev GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(g0, tmax, {_INTERP_STEP_US})) AS t
+      FROM bounds WHERE g0 <= tmax
+    ), unioned AS (
+      SELECT user_id, t, value, 0 AS is_grid, event_id FROM ev
+      UNION ALL
+      SELECT user_id, t, NULL, 1, NULL FROM grid
+    ), bracketed AS (
+      SELECT user_id, t, is_grid,
+             last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t, is_grid, COALESCE(event_id, -1)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t, is_grid, COALESCE(event_id, -1)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t, is_grid, COALESCE(event_id, -1)
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+             first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t, is_grid, COALESCE(event_id, -1)
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+      FROM unioned
+    )
+    SELECT user_id, make_timestamp(t) AS grid_ts,
+           CAST(t1 - t0 AS BIGINT) AS gap_us,
+           v0 + (v1 - v0) * (CAST(t - t0 AS DOUBLE)
+                             / NULLIF(CAST(t1 - t0 AS DOUBLE), 0.0e0))
+             AS interp_value
+    FROM bracketed
+    WHERE is_grid = 1 AND t0 IS NOT NULL AND t1 IS NOT NULL
+    """,
+)
+def evt_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling of each device's irregular
+    value series onto a regular 6-hour grid — the gap-filling
+    `interpolate()` half of the time-bucket toolkit (the LOCF half is
+    ``evt_time_weighted_avg``) ([P med]: regularizing irregular
+    sensor/telemetry series is the standard prep for forecasting and
+    joins against calendar spines). For each grid point g bracketed
+    by events (t0,v0) <= g < (t1,v1):
+    v = v0 + (v1-v0) * (g-t0)/(t1-t0).
+
+    Formulation: grid timestamps from per-device bounds (ceil-div
+    integer arithmetic in exact microseconds), UNION'd with the
+    events under an (t, is_grid, event_id) TOTAL order so a grid
+    point coinciding with an event resolves deterministically to
+    that event (ratio exactly 0); brackets via IGNORE-NULLS
+    last/first over the running and following ROWS frames — the
+    same union+window formulation in both engines, so the
+    interpolation expression is the identical IEEE tree on identical
+    bracket integers (correctly-rounded ops only: no ROUND needed).
+
+    Plan shape: per-device bounds agg (1 exchange) -> bounded grid
+    explode (span/6h rows per device) -> union -> ONE window
+    exchange on user_id evaluating all four brackets in a single
+    WindowExec pass-pair. At 100 TB devices shard the window;
+    per-device state is O(1) (running last / pending first). The
+    NULLIF guard is structural belt-and-braces: the tag ordering
+    makes t1 > g >= t0 strict."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "value",
+        "event_id",
+    )
+    step = F.lit(_INTERP_STEP_US)
+    # ceil-div in exact INTEGER arithmetic (`div`, not floor(a/b):
+    # a double division of ~1.7e15 microsecond values can round the
+    # quotient across an integer boundary and mis-place the grid)
+    bounds = (
+        ev.groupBy("user_id")
+        .agg(F.min("t").alias("tmin"), F.max("t").alias("tmax"))
+        .select(
+            "user_id",
+            F.expr(
+                f"((tmin + {_INTERP_STEP_US} - 1) div {_INTERP_STEP_US})"
+                f" * cast({_INTERP_STEP_US} as bigint)"
+            ).alias("g0"),
+            "tmax",
+        )
+    )
+    grid = bounds.where(F.col("g0") <= F.col("tmax")).select(
+        "user_id", F.explode(F.sequence("g0", "tmax", step)).alias("t")
+    )
+    unioned = ev.select(
+        "user_id", "t", "value", F.lit(0).alias("is_grid"), "event_id"
+    ).unionAll(
+        grid.select(
+            "user_id",
+            "t",
+            F.lit(None).cast("double"),
+            F.lit(1),
+            F.lit(None).cast("long"),
+        )
+    )
+    order = [F.col("t"), F.col("is_grid"), F.coalesce("event_id", F.lit(-1))]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_t = F.when(F.col("is_grid") == 0, F.col("t"))
+    ev_v = F.when(F.col("is_grid") == 0, F.col("value"))
+    bracketed = unioned.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last(ev_t, ignorenulls=True).over(wb).alias("t0"),
+        F.last(ev_v, ignorenulls=True).over(wb).alias("v0"),
+        F.first(ev_t, ignorenulls=True).over(wf).alias("t1"),
+        F.first(ev_v, ignorenulls=True).over(wf).alias("v1"),
+    )
+    return (
+        bracketed.where(
+            (F.col("is_grid") == 1)
+            & F.col("t0").isNotNull()
+            & F.col("t1").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros("t").alias("grid_ts"),
+            (F.col("t1") - F.col("t0")).alias("gap_us"),
+            (
+                F.col("v0")
+                + (F.col("v1") - F.col("v0"))
+                * (
+                    (F.col("t") - F.col("t0")).cast("double")
+                    / F.nullif(
+                        (F.col("t1") - F.col("t0")).cast("double"), F.lit(0.0)
+                    )
+                )
+            ).alias("interp_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_rebalance_detect — MDS relocation (rebalancing) detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_rebalance_detect",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id, ts, event_id,
+             CONCAT(CAST(CAST(FLOOR(value / 50) AS BIGINT) AS VARCHAR), '_',
+                    COALESCE(CAST(CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25.0) AS BIGINT) AS VARCHAR), 'x')) AS o_cell,
+             CONCAT(CAST(CAST(FLOOR((value + (user_id % 7) * 30.0e0) / 50) AS BIGINT) AS VARCHAR), '_',
+                    COALESCE(CAST(CAST(FLOOR((CAST(json_extract_string(props, '$.k') AS INTEGER) + event_id % 5) / 25.0) AS BIGINT) AS VARCHAR), 'x')) AS d_cell
+      FROM events
+    ), seq AS (
+      SELECT user_id, o_cell,
+             LAG(d_cell) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_d_cell
+      FROM cells
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trips,
+           CAST(SUM(CASE WHEN prev_d_cell IS NOT NULL
+                          AND prev_d_cell <> o_cell THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_relocations
+    FROM seq
+    GROUP BY user_id
+    """,
+)
+def evt_rebalance_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDS relocation (rebalancing) detection — the fleet-operations
+    signal beside trips and availability ([P high]: dockless
+    providers physically rebalance vehicles; a device whose next trip
+    STARTS in a different cell than its last trip ENDED moved without
+    a trip record, which public dockless analyses count as a
+    relocation). Origin/destination cells use the geo_od_matrix
+    derivation (same NULL-safe grid formula); a relocation is
+    lag(d_cell) != o_cell per device in (ts, event_id) order.
+
+    Plan shape: codegen cell derivation (JSON parsed once in the
+    scan stage) -> ONE window exchange on user_id (lag) -> combinable
+    per-device agg riding the same partitioning (groupBy user_id
+    after partitionBy user_id: Catalyst reuses the exchange — no
+    second shuffle). Integer-exact counts. At 100 TB devices shard
+    the window; state is one row."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    k = F.col("k")
+    o_cell = F.concat_ws(
+        "_",
+        F.floor(F.col("value") / 50).cast("string"),
+        F.coalesce(F.floor(k / 25.0).cast("string"), F.lit("x")),
+    )
+    d_cell = F.concat_ws(
+        "_",
+        F.floor((F.col("value") + (F.col("user_id") % 7) * F.lit(30.0)) / 50).cast(
+            "string"
+        ),
+        F.coalesce(
+            F.floor((k + F.col("event_id") % 5) / 25.0).cast("string"), F.lit("x")
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        o_cell.alias("o_cell"),
+        F.lag(d_cell).over(w).alias("prev_d_cell"),
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.sum(
+            F.when(
+                F.col("prev_d_cell").isNotNull()
+                & (F.col("prev_d_cell") != F.col("o_cell")),
+                1,
+            ).otherwise(0)
+        ).alias("n_relocations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_image_resize — nearest-neighbor thumbnail over decoded BMP pixels
+# ---------------------------------------------------------------------------
+
+import struct  # noqa: E402
+from collections.abc import Iterator  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from .multimodal import _bmp_payload  # noqa: E402
+
+_THUMB = 8  # fixed 8x8 thumbnail
+
+
+@query(
+    "mm_image_resize",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, text, n_chars AS L,
+             (n_chars % 64) + 1 AS w,
+             (n_chars % 48) + 1 AS h,
+             ((3 * ((n_chars % 64) + 1) + 3) // 4) * 4 AS stride
+      FROM documents
+    ), pos AS (
+      SELECT g.doc_id, r.k AS r, c.k AS c,
+             (((r.k * g.h) // {_THUMB}) * g.stride
+              + ((c.k * g.w) // {_THUMB}) * 3) % g.L AS p
+      FROM g CROSS JOIN range({_THUMB}) r(k) CROSS JOIN range({_THUMB}) c(k)
+    ), chars AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+             ascii(substr(text, CAST(i AS INTEGER), 1)) AS b
+      FROM (SELECT doc_id, text, UNNEST(generate_series(1, L)) AS i FROM g)
+    )
+    SELECT g.doc_id,
+           CAST(g.w AS INTEGER) AS src_w,
+           CAST(g.h AS INTEGER) AS src_h,
+           CAST(SUM(ch.b) AS BIGINT) AS thumb_sum,
+           CAST(MAX(CASE WHEN pos.r = 0 AND pos.c = 0 THEN ch.b END)
+                AS INTEGER) AS px_first,
+           CAST(MAX(CASE WHEN pos.r = {_THUMB} - 1 AND pos.c = {_THUMB} - 1
+                         THEN ch.b END) AS INTEGER) AS px_last
+    FROM g
+    JOIN pos ON pos.doc_id = g.doc_id
+    JOIN chars ch ON ch.doc_id = pos.doc_id AND ch.p = pos.p
+    GROUP BY g.doc_id, g.w, g.h
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor thumbnail (8x8) over REAL decoded BMP pixel
+    arrays — the resize half of the multimodal feature-extraction
+    story (decode is ``mm_decode_stub``): header parsed with
+    struct.unpack from the actual payload bytes, source pixel for
+    thumbnail cell (r, c) at buffer row r*h//8, column c*w//8 (blue
+    channel byte at row*stride + col*3 — BUFFER coordinates; BMP's
+    bottom-up storage only flips orientation, which a checksum
+    doesn't see), all 64 samples gathered with one numpy fancy-index.
+    Emits src dims, exact thumb byte sum, and the two corner pixels —
+    a wrong stride, offset, or floor-vs-round sampling rule flips
+    the hash.
+
+    The oracle re-derives every sampled byte from the closed form
+    (pixel q is ascii(text[q mod L]) — the mm_decode_stub pattern)
+    over a 64-cell lateral grid, so Spark's byte-level decode is
+    checked against a formulation that never touches the binary.
+
+    Scale shape: stateless Arrow ``mapInPandas``, zero shuffle,
+    binary columnar end-to-end; resize output is O(thumbnail) per
+    row regardless of source image size — exactly how a real
+    PIL/ffmpeg resize stage plugs in (swap the numpy body, keep the
+    plumbing). Integer-exact everywhere."""
+    payload = _bmp_payload(load(spark, sf_dir, "documents"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                if buf[:2] != b"BM":
+                    raise NotImplementedError("non-BMP needs a codec library")
+                offset = struct.unpack_from("<I", buf, 10)[0]
+                _hs, w, h, _pl, bpp = struct.unpack_from("<IiiHH", buf, 14)
+                h = abs(h)
+                stride = ((bpp // 8) * w + 3) & ~3
+                px = np.frombuffer(buf, np.uint8, count=stride * h, offset=offset)
+                rs = (np.arange(_THUMB) * h) // _THUMB
+                cs = (np.arange(_THUMB) * w) // _THUMB
+                thumb = px[rs[:, None] * stride + cs[None, :] * 3]
+                rows.append(
+                    (
+                        int(did),
+                        int(w),
+                        int(h),
+                        int(thumb.astype(np.int64).sum()),
+                        int(thumb[0, 0]),
+                        int(thumb[-1, -1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "src_w",
+                    "src_h",
+                    "thumb_sum",
+                    "px_first",
+                    "px_last",
+                ],
+            )
+
+    return payload.mapInPandas(
+        resize,
+        "doc_id long, src_w int, src_h int, thumb_sum long, "
+        "px_first int, px_last int",
+    )
