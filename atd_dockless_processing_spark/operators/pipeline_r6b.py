@@ -42,6 +42,12 @@ def _cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # cached: every graph metric fans out over this frame 2-5
+        # times (degree sides, wedge join, edge count) — without the
+        # cache each consumer re-executes the join+distinct subtree.
+        # At 100 TB the equivalent is materializing the edge list to
+        # a bucketed table once per snapshot.
+        .cache()
     )
 
 
@@ -249,7 +255,7 @@ def gph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps or salts hub keys (the llm_dedup_near_minhash posture);
     degrees here are near-uniform. jaccard is ONE division of exact
     integers — bit-identical both engines, ties broken by id."""
-    e = _cust_supp_edges(spark, sf_dir).cache()
+    e = _cust_supp_edges(spark, sf_dir)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     a, b = e.alias("a"), e.alias("b")
     inter = (
