@@ -516,11 +516,19 @@ def txt_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("bigram"),
     )
+    # (bigram, doc) pre-aggregation instead of count_distinct(doc):
+    # the distinct-agg Expand doubles the exploded stream before the
+    # exchange, while the composite-key pre-agg ships only distinct
+    # (bigram, doc) pairs (map-side combined) and the second exchange
+    # is the pair count — measured 13.8 -> 8.9 s at x100
+    per_doc = bigrams.groupBy("bigram", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     return (
-        bigrams.groupBy("bigram")
+        per_doc.groupBy("bigram")
         .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(20)

@@ -70,6 +70,17 @@ ENGINE_SHAPES = {
     # join scaling, not a mis-configured quadratic)
     "quantile sketch (lineitem)": "agg_quantile_sketch",
     "semdedup (embeddings, x10 only)": "llm_semdedup",
+    # r6b keys (second round-6 batch). Replicas shift keys, so each
+    # replica is a self-contained graph/cohort: edges, triangles and
+    # per-node degrees replicate xN with NO cross-replica coupling —
+    # the honest linear-scale-up shape for graph metrics.
+    "triangle count (part co-purchase)": "gph_triangle_count",
+    "jaccard neighbors (wedge join)": "gph_jaccard_neighbors",
+    "kmv theta sketch (orders)": "agg_kmv_theta_sketch",
+    "bigram top-k (documents)": "txt_ngram_topk",
+    "ts interpolate (events)": "evt_ts_interpolate",
+    "importance resample (documents)": "llm_importance_resample",
+    "benford digits (orders)": "dq_benford_digits",
 }
 # (table, [key columns to shift per replica])
 REPL = {
