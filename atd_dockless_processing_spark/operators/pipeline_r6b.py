@@ -1100,3 +1100,313 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, src_w int, src_h int, thumb_sum long, "
         "px_first int, px_last int",
     )
+
+
+# ---------------------------------------------------------------------------
+# src_json_corrupt — PERMISSIVE malformed-record intake
+# ---------------------------------------------------------------------------
+
+
+def _stage_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a JSONL extract of documents where every doc_id % 37 == 0
+    line is DELIBERATELY malformed (an unterminated object) — the
+    provider-feed reality every intake pipeline faces. Built
+    distributed via the text sink; the staged dir carries only the
+    raw lines."""
+    from ..tables import stage_scratch
+
+    def build(indir: str) -> None:
+        d = load(spark, sf_dir, "documents")
+        line = F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(', "len": '),
+                F.col("n_chars").cast("string"),
+                F.lit(', "lang": "'),
+                F.col("lang"),
+                F.lit('"}'),
+            )
+        )
+        d.select(line.alias("value")).write.mode("overwrite").text(indir)
+
+    return stage_scratch("src_json_corrupt", sf_dir, "documents", build)
+
+
+@query(
+    "src_json_corrupt",
+    oracle="""
+    SELECT CASE WHEN doc_id % 37 = 0 THEN 'corrupt' ELSE 'parsed' END
+             AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN doc_id % 37 <> 0 THEN n_chars END), 0)
+                AS BIGINT) AS sum_len,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 37 <> 0 THEN lang END)
+                AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def src_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-record intake — the JSON datasource's
+    quarantine path ([P high]: provider feeds ship broken lines, and
+    the reference's ingest posture — land everything, quarantine the
+    unparseable — is exactly Spark's PERMISSIVE mode with
+    ``columnNameOfCorruptRecord``). The staged JSONL has a
+    deterministically malformed line per doc_id % 37 == 0; the query
+    reads with an EXPLICIT schema (never schema inference at 100 TB —
+    inference is a full extra pass) + `_bad` corrupt-record column,
+    then reports the parsed/corrupt split with per-status stats. The
+    oracle recomputes the split from the PRE-STAGING table, so a
+    parser that silently drops (DROPMALFORMED) or nulls the wrong
+    rows flips row counts and sums.
+
+    Scale shape: the JSON parse happens inside the scan stage
+    (per-file tasks, no shuffle), one combinable 2-cell aggregate
+    after. Malformed lines cost no exception unwind — PERMISSIVE
+    fills `_bad` and moves on."""
+    indir = _stage_corrupt_jsonl(spark, sf_dir)
+    parsed = (
+        spark.read.schema("doc_id long, len long, lang string, _bad string")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(indir)
+    )
+    return (
+        parsed.select(
+            F.when(F.col("_bad").isNotNull(), "corrupt")
+            .otherwise("parsed")
+            .alias("status"),
+            "len",
+            F.when(F.col("_bad").isNull(), F.col("lang")).alias("ok_lang"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("len"), F.lit(0)).alias("sum_len"),
+            F.countDistinct("ok_lang").alias("n_langs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_shard_assign — deterministic training-shard assignment + balance audit
+# ---------------------------------------------------------------------------
+
+_SHARDS = 32
+_SHARD_H_SPARK = (
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+)
+_SHARD_H_DUCK = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+
+
+@query(
+    "llm_shard_assign",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT ({_SHARD_H_DUCK}) % {_SHARDS} AS shard, n_chars
+      FROM documents
+    ), per AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM assigned GROUP BY shard
+    )
+    SELECT shard, n_docs, total_chars,
+           CAST(total_chars AS DOUBLE)
+             / SUM(total_chars) OVER () AS char_share,
+           CAST(total_chars AS DOUBLE) * {_SHARDS}
+             / SUM(total_chars) OVER () AS balance_ratio
+    FROM per
+    """,
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit — the
+    step between a curated corpus and a distributed training job
+    ([P med]: data loaders consume fixed shard files; the assignment
+    must be reproducible across pipeline retries and the audit must
+    prove no shard is hot). Shard = md5(doc_id) mod 32 (the house
+    integer-exact hash — reproducible everywhere, unlike
+    partition-id-based assignment which changes with parallelism);
+    report per shard: docs, chars, char share, and balance ratio
+    (share × n_shards — 1.0 is perfect balance).
+
+    Exactness: counts/sums integer; share and balance are divisions
+    of exact integers over a window total of exact integers —
+    same-tree IEEE, no ROUND. Plan shape: codegen hash (no shuffle)
+    -> ONE combinable 32-cell agg -> 32-row window arithmetic. The
+    actual shard WRITE would be `.repartition(32, shard).write` —
+    same derivation, the exchange replaces the agg."""
+    d = load(spark, sf_dir, "documents")
+    assigned = d.select(
+        (F.expr(_SHARD_H_SPARK) % _SHARDS).alias("shard"), "n_chars"
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    tot = F.sum("total_chars").over(w)
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        (F.col("total_chars").cast("double") / tot).alias("char_share"),
+        (F.col("total_chars").cast("double") * _SHARDS / tot).alias(
+            "balance_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_outlier_mad — median-absolute-deviation robust outlier screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5e0) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5e0) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           d.med, d.mad,
+           CAST(SUM(CASE WHEN abs(e.value - d.med) > 3e0 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad d ON d.event_type = e.event_type
+    GROUP BY e.event_type, d.med, d.mad
+    """,
+)
+def evt_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event type — the
+    ROBUST anomaly gate (evt_anomaly_zscore's mean/stddev screen is
+    itself dragged by the outliers it hunts; MAD is the standard
+    robust replacement [P med]). Two-pass: per-type interpolated
+    median, then the median of absolute deviations, then count values
+    beyond 3 MAD.
+
+    Exactness: both engines compute the SAME interpolated quantile
+    ((a + b)/2 between the two straddling order statistics — Spark
+    `percentile`, DuckDB `quantile_cont`, identical IEEE ops on
+    identical inputs); deviations/products/compares are single
+    correctly-rounded expressions, and a value landing EXACTLY on
+    3·MAD is excluded identically on both sides. Plan shape: two agg
+    exchanges over events (median, then MAD — an exact two-pass is
+    irreducible for nested medians) with the 5-row med/mad dims
+    BROADCAST back; the outlier count rides the second broadcast. At
+    100 TB the production swap is the quantile sketch
+    (`agg_quantile_sketch`) for pass one — same plan, bounded
+    state."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5d)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(abs(value - med), 0.5d)").alias("mad")
+    )
+    scored = ev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med")) > 3.0 * F.col("mad"), 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    ).select("event_type", "n_events", "med", "mad", "n_outliers")
+
+
+# ---------------------------------------------------------------------------
+# gph_pagerank_scaled — integer-exact damped PageRank (2 unrolled steps)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000  # fixed-point rank scale
+_PR_BASE = 150_000  # (1 - 0.85) * scale
+
+
+@query(
+    "gph_pagerank_scaled",
+    oracle=f"""
+    WITH e0 AS ({_COPART_SQL}),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM e GROUP BY u),
+    r1 AS (
+      SELECT e.v AS node,
+             {_PR_BASE} + (85 * SUM({_PR_SCALE} // dg.d)) // 100 AS r
+      FROM e JOIN deg dg ON dg.node = e.u
+      GROUP BY e.v
+    ),
+    r2 AS (
+      SELECT e.v AS node,
+             {_PR_BASE} + (85 * SUM(r1.r // dg.d)) // 100 AS r
+      FROM e JOIN deg dg ON dg.node = e.u
+             JOIN r1 ON r1.node = e.u
+      GROUP BY e.v
+    )
+    SELECT r2.node, CAST(dg.d AS BIGINT) AS degree,
+           CAST(r2.r AS BIGINT) AS rank_scaled
+    FROM r2 JOIN deg dg ON dg.node = r2.node
+    ORDER BY r2.r DESC, r2.node
+    LIMIT 20
+    """,
+)
+def gph_pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the part co-purchase graph, 2 unrolled
+    supersteps in FIXED-POINT integer arithmetic — the centrality
+    member of the graph family ([P med]: PageRank-style influence
+    scoring is the standard co-occurrence-graph ranking). Undirected
+    graph → both edge orientations; r0 = SCALE per node; each step
+    r' = (1−d)·SCALE + (85·Σ_in (r // deg)) // 100 with integer
+    floor division EVERYWHERE, so there is no floating-point
+    accumulation anywhere — sums of exact integers are order-free
+    and the result is bit-identical across engines, partitionings,
+    and retries (the determinism double-rank float PageRank cannot
+    give). Top-20 by (rank desc, node) total order.
+
+    The fixed-point floor truncation loses < 1 unit per in-edge per
+    step (bounded, documented) — acceptable for ranking, which is
+    the operator's declared product.
+
+    Plan shape per superstep: contribution join on the source node +
+    combinable agg on the destination — the standard distributed
+    PageRank shape (the iterative driver-loop version with
+    localCheckpoint lineage cuts is the llm_dedup_clusters pattern;
+    2 unrolled steps keep the key declarative and oracle-checkable).
+    Degrees/ranks are slim (node, int) frames; the edge list is the
+    only corpus-scale input, reused cached across steps."""
+    e0 = _copart_edges(spark, sf_dir)
+    e = (
+        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ).cache()
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+
+    def step(rank_df):
+        src = (
+            e.join(deg.withColumnRenamed("node", "u"), "u")
+            .join(rank_df.withColumnRenamed("node", "u"), "u")
+        )
+        return src.groupBy(F.col("v").alias("node")).agg(
+            F.expr(
+                f"{_PR_BASE} + (85 * SUM(r div d)) div 100"
+            ).alias("r")
+        )
+
+    r0 = deg.select("node", F.lit(_PR_SCALE).cast("long").alias("r"))
+    r2 = step(step(r0))
+    return (
+        r2.join(deg, "node")
+        .select("node", F.col("d").alias("degree"), F.col("r").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(20)
+    )
