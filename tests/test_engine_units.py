@@ -957,3 +957,63 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
         load(spark, sf_dir, "orders").where("o_totalprice >= 1").count()
     )
     assert sum(r.n for r in rows) == o_n
+
+
+def test_json_corrupt_quarantine_counts(spark, sf_dir, duck):
+    """The PERMISSIVE reader must quarantine EXACTLY the planted
+    malformed lines (doc_id % 37 == 0) — no silent drops, no
+    mis-nulled good rows. Recount from the raw table."""
+    rows = {r.status: r for r in QUERIES["src_json_corrupt"](spark, sf_dir).collect()}
+    want_corrupt, want_ok = duck.execute(
+        """
+        SELECT SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN doc_id % 37 <> 0 THEN 1 ELSE 0 END)
+        FROM documents
+        """
+    ).fetchone()
+    assert rows["corrupt"].n_rows == want_corrupt
+    assert rows["parsed"].n_rows == want_ok
+    assert rows["corrupt"].sum_len == 0 and rows["corrupt"].n_langs == 0
+
+
+def test_shard_assign_is_balanced_and_total(spark, sf_dir):
+    """Shards must partition the corpus exactly (sum n_docs = corpus
+    size) and the md5 assignment must be near-uniform: balance_ratio
+    within [0.5, 1.5] for every shard at sf0.01 corpus sizes."""
+    from atd_dockless_processing_spark.tables import load
+
+    rows = QUERIES["llm_shard_assign"](spark, sf_dir).collect()
+    assert len(rows) == 32
+    n = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    for r in rows:
+        assert 0.5 <= r.balance_ratio <= 1.5, r
+    assert abs(sum(r.char_share for r in rows) - 1.0) < 1e-9
+
+
+def test_mad_outlier_rate_is_conservative(spark, sf_dir):
+    """MAD invariants: mad >= 0; outliers are a strict minority per
+    type (3-MAD on any unimodal-ish distribution); totals cover every
+    event."""
+    from atd_dockless_processing_spark.tables import load
+
+    rows = QUERIES["evt_outlier_mad"](spark, sf_dir).collect()
+    assert sum(r.n_events for r in rows) == load(spark, sf_dir, "events").count()
+    for r in rows:
+        assert r.mad >= 0
+        assert r.n_outliers < r.n_events / 2, r
+
+
+def test_pagerank_scaled_conserves_mass_bounds(spark, sf_dir):
+    """Fixed-point PageRank invariants on the top-20: every rank >=
+    the damping base (150k — a node always keeps its teleport mass)
+    and the top node's degree should be at or above the median degree
+    of the listed nodes (centrality tracks connectivity on a
+    near-uniform co-purchase graph)."""
+    rows = QUERIES["gph_pagerank_scaled"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rank_scaled >= 150_000
+    # ranks are sorted desc by construction; verify the total order
+    ranks = [r.rank_scaled for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
