@@ -81,6 +81,9 @@ ENGINE_SHAPES = {
     "ts interpolate (events)": "evt_ts_interpolate",
     "importance resample (documents)": "llm_importance_resample",
     "benford digits (orders)": "dq_benford_digits",
+    "pagerank 2-step (part graph)": "gph_pagerank_scaled",
+    "mad outliers (events)": "evt_outlier_mad",
+    "shard assign (documents)": "llm_shard_assign",
 }
 # (table, [key columns to shift per replica])
 REPL = {
