@@ -25,6 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.pipeline_r5 import (
+    _HLL_EST,
+    _HLL_RHO,
+    _HLL_TERM_DUCK,
+    _HLL_TERM_SPARK,
+)
 from ..registry import query
 from ..tables import events_ts_to_timestamp, load, scratch_dir
 
@@ -627,4 +633,112 @@ def stm_join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
             F.round(F.sum(F.col("c_val").cast("decimal(18,4)")).cast("double"), 4).alias("sum_click_value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stm_sketch_hll_merge — mergeable HLL registers maintained as stream state
+# ---------------------------------------------------------------------------
+
+
+def _stage_events_user_files(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events.user_id as FOUR parquet files so
+    ``maxFilesPerTrigger=1`` forces a 4-micro-batch drain — the
+    register state must merge across batches, not inside one."""
+    from ..tables import stage_scratch
+
+    def build(indir: str) -> None:
+        (
+            load(spark, sf_dir, "events")
+            .select("user_id")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    return stage_scratch("stm_hll_users", sf_dir, "events", build)
+
+
+@query(
+    "stm_sketch_hll_merge",
+    oracle="""
+    WITH h AS (
+      SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ), parts AS (
+      SELECT CAST('0x' || substr(h, 1, 2) AS BIGINT) AS reg,
+             substr(h, 3, 15) AS tail
+      FROM h
+    ), rho AS (
+      SELECT reg, {rho} AS rho FROM parts
+    ), regs AS (
+      SELECT s.reg, COALESCE(MAX(r.rho), 0) AS m
+      FROM range(256) s(reg) LEFT JOIN rho r ON r.reg = s.reg
+      GROUP BY s.reg
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m_regs,
+             CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_empty,
+             MAX(m) AS r_max,
+             CAST(SUM({term}) AS DOUBLE) AS s_scaled
+      FROM regs
+    )
+    SELECT m_regs, v_empty, r_max, s_scaled, {est} AS est_r4 FROM agg
+    """.format(
+        rho=_HLL_RHO.format(t="tail"),
+        est=_HLL_EST,
+        term=_HLL_TERM_DUCK,
+    ),
+)
+def stm_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct sketch maintained as STREAMING STATE —
+    the operational proof of the sketch family's central claim: the
+    (register, max-rho) state max-combines across micro-batches
+    exactly as it does across partitions/shards/days, so a 24/7
+    ingest keeps a live distinct-user estimate with <=256 rows of
+    state and NO distinct exchange ever ([P med]: live cardinality
+    dashboards over event streams are the canonical streaming-sketch
+    deployment).
+
+    Mechanics: events.user_id staged as 4 files, drained with
+    maxFilesPerTrigger=1 under availableNow — FOUR micro-batches, so
+    the `groupBy(reg).max(rho)` streaming aggregate genuinely merges
+    register state batch-over-batch (complete mode publishes the
+    merged registers after the final batch). The batch tail (256-row
+    spine, exact shiftleft harmonic terms in DECIMAL(38,0), one
+    double division) and the closed-form DuckDB oracle are the
+    agg_hll_deterministic machinery verbatim — the stream must land
+    on the IDENTICAL registers or the hash flips.
+
+    Scale shape: per-batch map-side (reg, rho) derivation, one
+    <=256-row stateful aggregate; state is bounded by m=256 forever.
+    At 100 TB/day the same query runs unchanged with a real
+    checkpoint and a kafka source."""
+    indir = _stage_events_user_files(spark, sf_dir)
+    raw = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    parts = raw.select(
+        F.md5(F.col("user_id").cast("string")).alias("h")
+    ).select(
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint").alias("reg"),
+        F.substring("h", 3, 15).alias("tail"),
+    )
+    rho = parts.select("reg", F.expr(_HLL_RHO.format(t="tail")).alias("rho"))
+    regs = rho.groupBy("reg").agg(F.max("rho").alias("m_raw"))
+    name = f"stm_hll_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(regs, name, "complete")
+    sink = spark.table(name)
+    spine = spark.range(256).select(F.col("id").alias("reg"))
+    full = spine.join(sink, "reg", "left").select(
+        F.coalesce("m_raw", F.lit(0)).alias("m")
+    )
+    return full.agg(
+        F.count(F.lit(1)).alias("m_regs"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v_empty"),
+        F.max("m").alias("r_max"),
+        F.sum(F.expr(_HLL_TERM_SPARK)).cast("double").alias("s_scaled"),
+    ).select(
+        "m_regs", "v_empty", "r_max", "s_scaled", F.expr(_HLL_EST).alias("est_r4")
     )

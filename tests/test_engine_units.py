@@ -1017,3 +1017,58 @@ def test_pagerank_scaled_conserves_mass_bounds(spark, sf_dir):
     # ranks are sorted desc by construction; verify the total order
     ranks = [r.rank_scaled for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_stream_hll_merges_across_four_batches(spark, sf_dir):
+    """stm_sketch_hll_merge's premise: the staged dir must hold FOUR
+    parquet part files (maxFilesPerTrigger=1 => four micro-batches,
+    so register state genuinely merges batch-over-batch), and the
+    streamed registers must equal the batch-derived registers over
+    the same data — the mergeability property, asserted end-to-end."""
+    import glob as _glob
+
+    from atd_dockless_processing_spark.streaming.stream_queries import (
+        _stage_events_user_files,
+    )
+
+    indir = _stage_events_user_files(spark, sf_dir)
+    parts = _glob.glob(f"{indir}/part-*.parquet")
+    assert len(parts) == 4, f"expected 4 staged files, got {len(parts)}"
+    # end-to-end: the streaming result row must match the batch twin
+    # computed with the agg_hll_deterministic machinery over user_id
+    got = QUERIES["stm_sketch_hll_merge"](spark, sf_dir).collect()[0]
+    from atd_dockless_processing_spark.operators.pipeline_r5 import (
+        _HLL_EST,
+        _HLL_RHO,
+        _HLL_TERM_SPARK,
+    )
+    from atd_dockless_processing_spark.tables import load
+
+    parts_df = (
+        load(spark, sf_dir, "events")
+        .select(F.md5(F.col("user_id").cast("string")).alias("h"))
+        .select(
+            F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint").alias("reg"),
+            F.substring("h", 3, 15).alias("tail"),
+        )
+    )
+    regs = (
+        parts_df.select("reg", F.expr(_HLL_RHO.format(t="tail")).alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("m_raw"))
+    )
+    spine = spark.range(256).select(F.col("id").alias("reg"))
+    want = (
+        spine.join(regs, "reg", "left")
+        .select(F.coalesce("m_raw", F.lit(0)).alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("m_regs"),
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v_empty"),
+            F.max("m").alias("r_max"),
+            F.sum(F.expr(_HLL_TERM_SPARK)).cast("double").alias("s_scaled"),
+        )
+        .select("m_regs", "v_empty", "r_max", "s_scaled",
+                F.expr(_HLL_EST).alias("est_r4"))
+        .collect()[0]
+    )
+    assert got.asDict() == want.asDict()
