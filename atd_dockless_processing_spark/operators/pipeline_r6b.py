@@ -1410,3 +1410,104 @@ def gph_pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_scaled"), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# join_bloom_prefilter — semi-join reduction via the Bloom sketch
+# ---------------------------------------------------------------------------
+
+_JBF_M = 262144  # bits (2^18), shared with agg_bloom_membership
+_JBF_K = 4
+_JBF_POS_SPARK = (
+    "CAST(conv(substr(md5(CAST({key} AS STRING) || ':' || CAST({i} AS STRING)), 1, 15), 16, 10)"
+    f" AS BIGINT) % {_JBF_M}"
+)
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_price
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_nationkey = 3
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join REDUCTION via the Bloom sketch — the sketch family
+    composed INTO a join plan, which is how it earns its keep at
+    100 TB ([P med]: runtime bloom filters / semi-join reducers are
+    the standard technique for cutting a fact-table shuffle before an
+    exact join; Spark's own `spark.sql.optimizer.runtimeFilter.
+    bloomFilter` does this opaquely — here the reduction is explicit,
+    engine-neutral, and verifiable). Build: the dim keys (customers
+    of one nation) set K=4 md5 bit positions; positions fold into
+    <=4096 64-bit WORDS via bit_or, and the whole <=32 KB bitmap
+    collapses into ONE broadcast row as a word->mask MAP. Probe:
+    every order tests its 4 (word, mask) pairs with element_at +
+    bitwise AND — pure codegen, NO shuffle, no explode. Survivors
+    (all true matches + ~0.2% false positives) then pass the exact
+    broadcast semi join, so the bloom stage is semantically
+    TRANSPARENT — the oracle is the PLAIN semi-join aggregate with
+    no bloom at all, and any dropped true key or leaked false
+    positive flips the hash.
+
+    Plan shape: dim side = 2 tiny aggs (positions -> words -> 1-row
+    map); fact side = scan -> broadcast-map membership test ->
+    broadcast semi join -> ONE combinable agg exchange. At 100 TB
+    with a SHUFFLE join on the other side of the reduction, the
+    bloom test deletes ~(1 - selectivity) of the fact shuffle bytes
+    — the entire point; here both joins broadcast, so the test run
+    shows transparency + pruning (asserted in tests), not wall-time.
+    Exact DECIMAL sums (house rule)."""
+    cust = load(spark, sf_dir, "customer")
+    dim = cust.where(F.col("c_nationkey") == 3).select("c_custkey")
+    # bloom build: K positions per key -> word/mask -> bit_or words
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_JBF_POS_SPARK.format(key="c_custkey", i=i))
+                    for i in range(_JBF_K)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = pos.select(
+        F.expr("pos div 64").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias(
+            "mask"
+        ),
+    ).groupBy("word").agg(F.bit_or("mask").alias("wordmask"))
+    bitmap = words.agg(
+        F.map_from_arrays(
+            F.collect_list("word"), F.collect_list("wordmask")
+        ).alias("bm")
+    )
+    o = load(spark, sf_dir, "orders")
+    probed = o.crossJoin(F.broadcast(bitmap))
+    test = None
+    for i in range(_JBF_K):
+        p = _JBF_POS_SPARK.format(key="o_custkey", i=i)
+        hit = F.expr(
+            f"(coalesce(element_at(bm, ({p}) div 64), cast(0 as bigint))"
+            f" & shiftleft(cast(1 as bigint), cast(({p}) % 64 as int))) != 0"
+        )
+        test = hit if test is None else (test & hit)
+    prefiltered = probed.where(test).drop("bm")
+    exact = prefiltered.join(
+        F.broadcast(dim),
+        prefiltered.o_custkey == dim.c_custkey,
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_price"),
+    )

