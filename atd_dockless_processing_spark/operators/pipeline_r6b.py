@@ -1169,10 +1169,16 @@ def src_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     after. Malformed lines cost no exception unwind — PERMISSIVE
     fills `_bad` and moves on."""
     indir = _stage_corrupt_jsonl(spark, sf_dir)
+    # .cache() is LOAD-BEARING, not an optimization: Spark refuses
+    # any query whose pruned column set references ONLY the corrupt-
+    # record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN — e.g. a
+    # count() prunes len/lang away and trips it); caching the parsed
+    # frame is the behavior Spark's own error message prescribes.
     parsed = (
         spark.read.schema("doc_id long, len long, lang string, _bad string")
         .option("columnNameOfCorruptRecord", "_bad")
         .json(indir)
+        .cache()
     )
     return (
         parsed.select(

@@ -1107,3 +1107,13 @@ def test_bloom_prefilter_prunes_and_is_transparent(spark, sf_dir):
     assert n_kept == n_true
     # the bloom must have been able to prune at all (dim is a subset)
     assert n_true < n_fact
+
+
+def test_json_corrupt_survives_column_pruned_actions(spark, sf_dir):
+    """Driver-condition regression: a count() prunes every column but
+    the corrupt-record one, and Spark REFUSES queries referencing
+    only that column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) unless the
+    parsed frame is cached. The .cache() in src_json_corrupt is
+    load-bearing — this fails with an AnalysisException if it is
+    ever removed."""
+    assert QUERIES["src_json_corrupt"](spark, sf_dir).count() == 2
