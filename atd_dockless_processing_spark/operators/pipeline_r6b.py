@@ -1517,3 +1517,98 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_compact_small_files — small-file compaction maintenance job
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET_BYTES = 4 * 1024 * 1024  # 4 MB target files at test scale
+
+
+def _stage_compacted(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage the small-file problem (events fragmented into 64 tiny
+    parquet files — the per-micro-batch/per-provider-pull accretion
+    pattern) and its compaction (size-targeted rewrite: total bytes /
+    target rounded up -> coalesced file count). Returns (small_dir,
+    compacted_dir)."""
+    import math
+    import os
+
+    from ..tables import stage_scratch
+
+    def build_small(indir: str) -> None:
+        (
+            load(spark, sf_dir, "events")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    small = stage_scratch("snk_compact_small", sf_dir, "events", build_small)
+
+    def build_compact(indir: str) -> None:
+        total = sum(
+            e.stat().st_size
+            for e in os.scandir(small)
+            if e.name.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total / _COMPACT_TARGET_BYTES))
+        # coalesce, not repartition: compaction must not pay a
+        # shuffle — it only glues existing partitions together
+        (
+            spark.read.parquet(small)
+            .coalesce(n_files)
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    compacted = stage_scratch("snk_compact_out", sf_dir, "events", build_compact)
+    return small, compacted
+
+
+@query(
+    "snk_compact_small_files",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    """,
+)
+def snk_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION — the other lakehouse maintenance job
+    beside `snk_zorder_layout` ([P high]: micro-batch streams and
+    per-provider pulls accrete thousands of KB-sized files; the
+    resulting per-file task and footer overhead is the classic
+    100 TB scan killer, and OPTIMIZE/compaction is the standing
+    cure). The staging fragments events into 64 tiny files, then
+    rewrites size-targeted output (total bytes / 4 MB target,
+    rounded up) with `coalesce` — compaction glues existing
+    partitions and must NOT pay a shuffle (`repartition` would).
+    The query half reads the COMPACTED table and emits content
+    integrity figures; the oracle computes the same from the raw
+    table, so a compaction that drops, duplicates, or corrupts any
+    row flips the hash (layout changes, content must not). The
+    file-count collapse itself is asserted in tests via the staged
+    directories.
+
+    At 100 TB this runs per partition/day with a manifest of
+    under-sized files; coalesce keeps it a pure read+write with no
+    exchange, and the target size aligns file length with
+    maxPartitionBytes so post-compaction scans get full-sized
+    splits."""
+    _small, compacted = _stage_compacted(spark, sf_dir)
+    t = spark.read.parquet(compacted)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -1117,3 +1117,37 @@ def test_json_corrupt_survives_column_pruned_actions(spark, sf_dir):
     load-bearing — this fails with an AnalysisException if it is
     ever removed."""
     assert QUERIES["src_json_corrupt"](spark, sf_dir).count() == 2
+
+
+def test_compaction_collapses_file_count_without_shuffle(spark, sf_dir):
+    """The compaction must actually compact: the staged small dir has
+    64 data files, the compacted dir has total_bytes/4MB (ceil) —
+    far fewer — and the compacted table's content is already
+    hash-checked; here assert the layout claim and that the rewrite
+    plan contains NO exchange (coalesce, not repartition)."""
+    import glob as _glob
+    import math
+    import os
+
+    from atd_dockless_processing_spark.operators.pipeline_r6b import (
+        _COMPACT_TARGET_BYTES,
+        _stage_compacted,
+    )
+
+    small, compacted = _stage_compacted(spark, sf_dir)
+    n_small = len(_glob.glob(f"{small}/part-*.parquet"))
+    n_comp = len(_glob.glob(f"{compacted}/part-*.parquet"))
+    total = sum(
+        os.path.getsize(p) for p in _glob.glob(f"{small}/part-*.parquet")
+    )
+    assert n_small == 64
+    assert n_comp == max(1, math.ceil(total / _COMPACT_TARGET_BYTES))
+    assert n_comp < n_small
+    plan = (
+        spark.read.parquet(small)
+        .coalesce(n_comp)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, "compaction must not shuffle"
