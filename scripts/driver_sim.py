@@ -1,0 +1,80 @@
+"""Simulate the external driver's conditions over registry keys.
+
+The driver builds its OWN SparkSession (plain defaults: no UTC pin, no
+nanosAsLong, no house tuning) from a FOREIGN cwd and runs both count()
+and toPandas()-style actions. Those conditions have caught real bugs
+that the house selfcheck session cannot see:
+
+- round 2: events.ts encoding flip (plain session lacked nanosAsLong)
+- round 6b: QUERY_ONLY_CORRUPT_RECORD_COLUMN — a count() prunes every
+  column but the corrupt-record one and Spark refuses the query; only
+  a cached parse survives (src_json_corrupt)
+
+Usage (run via a clean subprocess so no house session leaks in):
+    python scripts/driver_sim.py            # the evidence-needing tier
+    python scripts/driver_sim.py --all      # every registered key
+    python scripts/driver_sim.py key1 key2  # explicit keys
+
+Checks per key: count() AND a limited toPandas() — the two pruning
+extremes. Exits non-zero on any failure.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_WORKER = r"""
+import importlib.util, sys
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", "{repo}/__spark_entry__.py"
+)
+m = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(m)
+from pyspark.sql import SparkSession
+
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+qs = m.queries()
+keys = {keys!r}
+if keys == "__NEEDY__":
+    # the evidence-needing tier = keys before the first green-tier key
+    # is unknowable here; default to the first 30 in sweep order
+    keys = list(qs)[:30]
+elif keys == "__ALL__":
+    keys = list(qs)
+fails = 0
+for k in keys:
+    try:
+        n = qs[k](spark, "/root/testdata/sf0.01").count()
+        pdf = qs[k](spark, "/root/testdata/sf0.01").limit(5).toPandas()
+        print("OK", k, n, flush=True)
+    except Exception as e:  # noqa: BLE001 - report and continue
+        fails += 1
+        print("ERR", k, type(e).__name__, str(e)[:200], flush=True)
+print("FAILS", fails, flush=True)
+sys.exit(1 if fails else 0)
+"""
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    if "--all" in args:
+        keys: object = "__ALL__"
+    elif args:
+        keys = args
+    else:
+        keys = "__NEEDY__"
+    code = _WORKER.format(repo=REPO, keys=keys)
+    # cwd=/tmp: the driver never runs from the repo root
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd="/tmp", env=os.environ, check=False
+    )
+    return r.returncode
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
