@@ -1151,3 +1151,122 @@ def test_compaction_collapses_file_count_without_shuffle(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan, "compaction must not shuffle"
+
+
+# ---------------------------------------------------------------------------
+# §2.22 (R6c) invariants
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_fold_matches_independent_python(spark, sf_dir):
+    """The applyInPandas fold and the recursive-CTE oracle share the
+    declared recursion; this third, independent reference (plain
+    python over the raw parquet via pandas, no Spark, no DuckDB)
+    pins the SEMANTICS: e' = (3e + x) // 4 over (ts, event_id)
+    order with x = floor(value*1000)."""
+    import math as _math
+
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["evt_ewma"](spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    raw = _pd.read_parquet(f"{sf_dir}/events.parquet")
+    raw["x"] = raw["value"].map(lambda v: int(_math.floor(v * 1000)))
+    for uid, g in raw.sort_values(["ts", "event_id"]).groupby("user_id"):
+        e = None
+        for x in g["x"]:
+            e = x if e is None else (3 * e + x) // 4
+        row = got.loc[uid]
+        assert int(row["ewma_fix"]) == e
+        assert int(row["n_events"]) == len(g)
+        # fold of values in [min, max] stays in [min, max]
+        assert g["x"].min() <= row["ewma_fix"] <= g["x"].max()
+
+
+def test_bfs_levels_match_independent_python(spark, sf_dir):
+    """Hop histogram vs a dict-adjacency BFS in plain python over
+    the same edge derivation — an engine-free reference for the
+    unrolled-superstep logic (frontier minus visited, 3 hops)."""
+    from collections import deque
+
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = {
+        int(r["hop"]): int(r["n_nodes"])
+        for _, r in QUERIES["gph_bfs_reachability"](spark, sf_dir)
+        .toPandas()
+        .iterrows()
+    }
+    li = _pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    li = li[li["l_partkey"] % 5 == 0].drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    adj: dict[int, set[int]] = {}
+    for u, v in zip(m["l_partkey_x"], m["l_partkey_y"]):
+        adj.setdefault(int(u), set()).add(int(v))
+        adj.setdefault(int(v), set()).add(int(u))
+    src = int(m["l_partkey_x"].min())
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        n = q.popleft()
+        if dist[n] >= 3:
+            continue
+        for nb in adj.get(n, ()):
+            if nb not in dist:
+                dist[nb] = dist[n] + 1
+                q.append(nb)
+    expect = {h: sum(1 for d in dist.values() if d == h) for h in range(4)}
+    assert got == expect
+
+
+def test_audio_windows_partition_each_clip(spark, sf_dir):
+    """Every staged clip must emit EXACTLY 4 windows whose lengths
+    sum to the closed-form sample count — a decoder that drops or
+    misaligns a window fails here even if per-window sums happen to
+    collide."""
+    from atd_dockless_processing_spark.operators.pipeline_r5 import _wav_params
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    pdf = QUERIES["mm_audio_features"](spark, sf_dir).toPandas()
+    for cid, g in pdf.groupby("clip_id"):
+        n, _rate = _wav_params(int(cid))
+        assert sorted(g["win"]) == [0, 1, 2, 3]
+        assert int(g["seg_len"].sum()) == n
+        assert (g["seg_len"] == n // 4).all()
+
+
+def test_attribution_credit_is_conserved_per_conversion(spark, sf_dir):
+    """Each attributed conversion distributes n*(10^6 div n)
+    micro-credits — within (10^6 - n, 10^6]. The aggregate report
+    must therefore total EXACTLY sum over conversions of that value;
+    check against an independent pandas pairing."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = QUERIES["evt_attribution_linear"](spark, sf_dir).toPandas()
+    ev = _pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    conv = ev[ev["event_type"] == "purchase"]
+    touch = ev[ev["event_type"] != "purchase"]
+    m = conv.merge(touch, on="user_id", suffixes=("_c", "_t"))
+    m = m[
+        (m["ts_t"] < m["ts_c"])
+        & (m["ts_t"] >= m["ts_c"] - _pd.Timedelta(days=7))
+    ]
+    n_per = m.groupby("event_id_c").size()
+    expect_total = int(sum(n * (1_000_000 // n) for n in n_per))
+    assert int(got["credit_micro"].sum()) == expect_total
+    assert int(got["n_touches"].sum()) == len(m)
