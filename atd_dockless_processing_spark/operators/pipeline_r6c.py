@@ -553,23 +553,23 @@ def evt_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "gph_bfs_reachability",
     oracle=f"""
-    WITH e AS ({_COPART_SQL}),
-    sym AS (
+    WITH e AS MATERIALIZED ({_COPART_SQL}),
+    sym AS MATERIALIZED (
       SELECT u AS a, v AS b FROM e
       UNION ALL
       SELECT v AS a, u AS b FROM e
     ),
-    d0 AS (SELECT MIN(u) AS node FROM e),
-    f1 AS (
+    d0 AS MATERIALIZED (SELECT MIN(u) AS node FROM e),
+    f1 AS MATERIALIZED (
       SELECT DISTINCT s.b AS node FROM sym s JOIN d0 ON s.a = d0.node
       WHERE s.b NOT IN (SELECT node FROM d0)
     ),
-    f2 AS (
+    f2 AS MATERIALIZED (
       SELECT DISTINCT s.b AS node FROM sym s JOIN f1 ON s.a = f1.node
       WHERE s.b NOT IN (SELECT node FROM f1)
         AND s.b NOT IN (SELECT node FROM d0)
     ),
-    f3 AS (
+    f3 AS MATERIALIZED (
       SELECT DISTINCT s.b AS node FROM sym s JOIN f2 ON s.a = f2.node
       WHERE s.b NOT IN (SELECT node FROM f2)
         AND s.b NOT IN (SELECT node FROM f1)
@@ -603,7 +603,10 @@ def gph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'ed (the llm_dedup_clusters lineage-cut pattern):
     without the cut, f3's plan re-embeds f2's subtree three times and
     f1's nine — the audit showed 252 exchanges before the cut, 4
-    after. At 100 TB the same unrolled shape holds while frontiers
+    after. The SAME blowup exists on the oracle side — DuckDB inlines
+    plain CTEs, so each level is declared AS MATERIALIZED (the SQL
+    spelling of the lineage cut; without it the ×100 oracle ran past
+    10 minutes, with it seconds). At 100 TB the same unrolled shape holds while frontiers
     stay ≪ edges (real blast-radius queries); the general unbounded
     BFS is the same pattern in a driver loop with a convergence
     count per superstep."""

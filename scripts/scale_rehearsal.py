@@ -84,6 +84,21 @@ ENGINE_SHAPES = {
     "pagerank 2-step (part graph)": "gph_pagerank_scaled",
     "mad outliers (events)": "evt_outlier_mad",
     "shard assign (documents)": "llm_shard_assign",
+    # r6c keys (third round-6 batch). user_id shifts per replica, so
+    # ewma/cusum/attribution get xN fresh user cohorts (linear); the
+    # part keys do NOT shift, so the co-purchase graph gets DENSER
+    # with N (same posture as the other gph_ rows). NOTE the ewma /
+    # cusum DuckDB oracle is a recursive CTE whose depth = max events
+    # per user (~670 at x100) — the oracle side is expected to be
+    # far slower than the engine's single-pass fold; that asymmetry
+    # IS the finding (SQL fixpoint vs applyInPandas fold).
+    "ewma fold (events)": "evt_ewma",
+    "linear attribution (events)": "evt_attribution_linear",
+    "deterministic mode (orders)": "agg_mode",
+    "readability (documents)": "txt_readability",
+    "ip cidr classify (events)": "fn_ip_cidr",
+    "pk uniqueness audit (5 tables)": "dq_pk_uniqueness",
+    "bfs 3-hop (part graph)": "gph_bfs_reachability",
 }
 # (table, [key columns to shift per replica])
 REPL = {
