@@ -51,11 +51,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _KEY_ORDER = [
     # --- evidence-needed block (no green latest driver row):
     # new keys first, then previously-ranked ones ---
-    "agg_mode", "dq_pk_uniqueness", "evt_attribution_linear",
-    "evt_cusum_changepoint", "evt_ewma", "fn_ip_cidr",
-    "gph_bfs_reachability", "llm_doc_sample_per_source", "mm_audio_features",
-    "mm_image_histogram", "src_xml_roundtrip", "txt_readability",
-    "snk_compact_small_files", "join_bloom_prefilter",
+    "agg_weighted_avg", "dq_freshness", "evt_path_topk",
+    "geo_hex_ring_smooth", "llm_train_val_split", "mm_video_scene_cut",
+    "snk_cdc_apply", "win_rolling_median", "agg_mode", "dq_pk_uniqueness",
+    "evt_attribution_linear", "evt_cusum_changepoint", "evt_ewma",
+    "fn_ip_cidr", "gph_bfs_reachability", "llm_doc_sample_per_source",
+    "mm_audio_features", "mm_image_histogram", "src_xml_roundtrip",
+    "txt_readability", "snk_compact_small_files", "join_bloom_prefilter",
     "stm_sketch_hll_merge", "evt_outlier_mad", "gph_pagerank_scaled",
     "llm_shard_assign", "src_json_corrupt", "agg_kmv_theta_sketch",
     "dq_benford_digits", "evt_rebalance_detect", "evt_ts_interpolate",

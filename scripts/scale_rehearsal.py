@@ -93,6 +93,7 @@ ENGINE_SHAPES = {
     # far slower than the engine's single-pass fold; that asymmetry
     # IS the finding (SQL fixpoint vs applyInPandas fold).
     "ewma fold (events)": "evt_ewma",
+    "cusum changepoint (events)": "evt_cusum_changepoint",
     "linear attribution (events)": "evt_attribution_linear",
     "deterministic mode (orders)": "agg_mode",
     "readability (documents)": "txt_readability",

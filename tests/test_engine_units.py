@@ -1270,3 +1270,225 @@ def test_attribution_credit_is_conserved_per_conversion(spark, sf_dir):
     expect_total = int(sum(n * (1_000_000 // n) for n in n_per))
     assert int(got["credit_micro"].sum()) == expect_total
     assert int(got["n_touches"].sum()) == len(m)
+
+
+# ---------------------------------------------------------------------------
+# §2.23 (R6d) invariants
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_matches_independent_fold(spark, sf_dir):
+    """The CDC fold (I at seq 1, U at seq 2 for %3, D at seq 3 for
+    %5, last-writer-wins) re-derived in plain pandas from the raw
+    parquet must reproduce the published snapshot's per-status
+    counts and sums — a surviving delete or lost update fails
+    here independent of both engines."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["snk_cdc_apply"](spark, sf_dir)
+        .toPandas()
+        .set_index("status")
+        .sort_index()
+    )
+    o = _pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    live = o[o["o_orderkey"] % 5 != 0].copy()
+    upd = live["o_orderkey"] % 3 == 0
+    live.loc[upd, "o_orderstatus"] = "U"
+    live.loc[upd, "o_totalprice"] = live.loc[upd, "o_totalprice"] + 100.0
+    exp = live.groupby("o_orderstatus")["o_totalprice"].agg(["size", "sum"])
+    assert got["n_rows"].to_dict() == exp["size"].to_dict()
+    for st in exp.index:
+        assert abs(got.loc[st, "sum_price"] - exp.loc[st, "sum"]) < 1e-4 * max(
+            1.0, abs(exp.loc[st, "sum"])
+        )
+
+
+def test_path_topk_matches_independent_pandas(spark, sf_dir):
+    """Top-10 paths re-derived with plain pandas (first-5 types per
+    (user, day) in (ts, event_id) order) — pins the prefix slice,
+    separator, and (count desc, path asc) tie-break."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = QUERIES["evt_path_topk"](spark, sf_dir).toPandas()
+    ev = _pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev = ev.sort_values(["ts", "event_id"])
+    paths = (
+        ev.groupby(["user_id", "day"])["event_type"]
+        .apply(lambda s: ">".join(s.head(5)))
+        .reset_index(name="path")
+    )
+    counts = paths.groupby("path").size().reset_index(name="n")
+    counts = counts.sort_values(["n", "path"], ascending=[False, True]).head(10)
+    assert list(got["path"]) == list(counts["path"])
+    assert list(got["n_sessions"]) == list(counts["n"])
+    assert list(got["rk"]) == list(range(1, len(counts) + 1))
+
+
+def test_hex_ring_geometry_invariants(spark, sf_dir):
+    """Every smoothed cell's neighborhood must include itself
+    (hood_n >= n_points), span 1..7 existing cells, and satisfy the
+    exact integer density identity."""
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    pdf = QUERIES["geo_hex_ring_smooth"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["hood_n"] >= pdf["n_points"]).all()
+    assert pdf["n_hood_cells"].between(1, 7).all()
+    assert (
+        pdf["density_milli"] == (1000 * pdf["hood_n"]) // pdf["n_hood_cells"]
+    ).all()
+    # neighborhood counts are conservative: no hood exceeds the corpus
+    assert pdf["hood_n"].max() <= pdf["n_points"].sum()
+
+
+def test_freshness_head_type_has_zero_lag(spark, sf_dir):
+    """The event type holding the global max timestamp must report
+    lag_min == 0, every lag re-derives from raw parquet, and the
+    24 h window count is bounded by the type's rows."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["dq_freshness"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    ev = _pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    gmax = ev["ts"].max()
+    per = ev.groupby("event_type")["ts"].max()
+    for et, tmax in per.items():
+        lag = int((gmax - tmax).total_seconds() * 1_000_000) // 60_000_000
+        assert int(got.loc[et, "lag_min"]) == lag
+    assert (got["n_last24h"] <= got["n_rows"]).all()
+    assert int(got.loc[per.idxmax(), "lag_min"]) == 0
+
+
+def test_rolling_median_matches_numpy(spark, sf_dir):
+    """rmed re-derived per row with np.median over the same trailing
+    window (identical (a+b)/2 arithmetic) must match EXACTLY —
+    no tolerance, both are the same two order statistics."""
+    import numpy as _np
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = QUERIES["win_rolling_median"](spark, sf_dir).toPandas()
+    ev = _pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    ev = ev[ev["user_id"] % 20 == 0].sort_values(["user_id", "ts", "event_id"])
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        vals = g["value"].to_numpy()
+        for i, eid in enumerate(g["event_id"]):
+            lo = max(0, i - 4)
+            exp[(uid, eid)] = float(_np.median(vals[lo : i + 1]))
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert r["rmed"] == exp[(r["user_id"], r["event_id"])]
+        assert 1 <= r["frame_n"] <= 5
+
+
+def test_split_is_deterministic_and_conserving(spark, sf_dir):
+    """Two evaluations produce identical frames (pure function of
+    doc_id); per-lang doc totals equal the corpus; ppm shares per
+    lang sum to 10^6 within |splits| floor-division units."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    a = (
+        QUERIES["llm_train_val_split"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["lang", "split"])
+        .reset_index(drop=True)
+    )
+    b = (
+        QUERIES["llm_train_val_split"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["lang", "split"])
+        .reset_index(drop=True)
+    )
+    _pd.testing.assert_frame_equal(a, b)
+    docs = _pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    assert a.groupby("lang")["n_docs"].sum().to_dict() == docs.value_counts(
+        "lang"
+    ).to_dict()
+    for _, g in a.groupby("lang"):
+        assert 1_000_000 - len(g) <= g["ppm_of_lang"].sum() <= 1_000_000
+
+
+def test_scene_cut_matches_closed_form(spark, sf_dir):
+    """Every video's diff figures re-derived from the pre-encode
+    closed form in plain python (no Spark, no DuckDB): the wrap
+    identity |diff| = 7*(wh-k) + 249*k with k the count of
+    px(f-1, i) >= 249."""
+    from atd_dockless_processing_spark.operators.multimodal import _video_dims
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["mm_video_scene_cut"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for did in list(got.index)[:25]:
+        n, w, h = _video_dims(int(did))
+        wh = w * h
+        ds = []
+        for f in range(1, n):
+            k = sum(
+                1
+                for i in range(wh)
+                if (did * 31 + (f - 1) * 7 + i * 13) % 256 >= 249
+            )
+            ds.append(7 * (wh - k) + 249 * k)
+        cuts = [f for f, d in zip(range(1, n), ds) if d > 15 * wh]
+        row = got.loc[did]
+        assert int(row["n_frames"]) == n
+        assert int(row["total_diff"]) == sum(ds)
+        assert int(row["max_diff"]) == max(ds)
+        assert int(row["n_cuts"]) == len(cuts)
+        assert int(row["first_cut"]) == (cuts[0] if cuts else -1)
+
+
+def test_weighted_avg_is_ratio_of_sums(spark, sf_dir):
+    """w_avg_price equals the pandas ratio of sums per flag within
+    rounding distance, and sits inside the per-flag price range."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["agg_weighted_avg"](spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    li = _pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    for fl, g in li.groupby("l_returnflag"):
+        exp = (g["l_extendedprice"] * g["l_quantity"]).sum() / g["l_quantity"].sum()
+        assert abs(got.loc[fl, "w_avg_price"] - exp) < 1e-3
+        assert (
+            g["l_extendedprice"].min()
+            <= got.loc[fl, "w_avg_price"]
+            <= g["l_extendedprice"].max()
+        )
+        assert int(got.loc[fl, "n_items"]) == len(g)
