@@ -1492,3 +1492,185 @@ def test_weighted_avg_is_ratio_of_sums(spark, sf_dir):
             <= g["l_extendedprice"].max()
         )
         assert int(got.loc[fl, "n_items"]) == len(g)
+
+
+# ---------------------------------------------------------------------------
+# §2.24 (R6e) invariants
+# ---------------------------------------------------------------------------
+
+
+def test_fk_orphans_tpch_edges_are_clean(spark, sf_dir):
+    """The TPC-H-consistent edges must audit clean (0 orphans) while
+    counts re-derive from raw parquet; the synthetic events edge is
+    re-derived independently with pandas set arithmetic."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["dq_fk_orphans"](spark, sf_dir)
+        .toPandas()
+        .set_index("fk")
+        .sort_index()
+    )
+    for edge in ("orders->customer", "lineitem->orders", "customer->nation"):
+        assert int(got.loc[edge, "n_orphan_rows"]) == 0
+        assert int(got.loc[edge, "n_orphan_keys"]) == 0
+    ev = _pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cust = set(
+        _pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])[
+            "c_custkey"
+        ]
+    )
+    orphan_mask = ~ev["user_id"].isin(cust)
+    assert int(got.loc["events->customer", "n_child"]) == len(ev)
+    assert int(got.loc["events->customer", "n_orphan_rows"]) == int(
+        orphan_mask.sum()
+    )
+    assert int(got.loc["events->customer", "n_orphan_keys"]) == ev[
+        "user_id"
+    ][orphan_mask].nunique()
+
+
+def test_manifest_publish_files_verify(spark, sf_dir):
+    """The published layout must be 1 file per month on disk, the
+    manifest must cover every file, and the verification must report
+    zero mismatches with source-exact totals."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+    from atd_dockless_processing_spark.tables import scratch_dir
+
+    got = QUERIES["snk_manifest_publish"](spark, sf_dir).toPandas().iloc[0]
+    assert int(got["n_mismatch"]) == 0
+    data_dir = scratch_dir(
+        "snk_manifest_pub", sf_dir.strip("/").replace("/", "_"), "data"
+    )
+    files = _glob.glob(f"{data_dir}/m=*/part-*.parquet")
+    assert len(files) == int(got["n_files"]) == int(got["n_months"])
+    o = _pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    assert int(got["total_rows"]) == len(o)
+    import math as _math
+
+    cents = o["o_totalprice"].map(lambda v: int(_math.floor(v * 100 + 0.5)))
+    assert int(got["total_cents"]) == int(cents.sum())
+
+
+def test_interarrival_hist_conserves_gaps(spark, sf_dir):
+    """Bucketed gap counts must total rows-minus-users (every
+    consecutive pair yields exactly one gap), bucket ids stay within
+    [0, 60], and per-bucket users never exceed gaps."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = QUERIES["evt_interarrival_hist"](spark, sf_dir).toPandas()
+    ev = _pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    assert int(got["n_gaps"].sum()) == len(ev) - ev["user_id"].nunique()
+    assert got["gap_min_bucket"].between(0, 60).all()
+    assert (got["n_users"] <= got["n_gaps"]).all()
+
+
+def test_base64_roundtrip_is_lossless_and_unwrapped(spark, sf_dir):
+    """Every document must round-trip exactly; encoded lengths must
+    equal the closed form 4*ceil(n/3) (proving the MIME line breaks
+    were stripped)."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = QUERIES["fn_base64_roundtrip"](spark, sf_dir).toPandas()
+    assert (got["n_roundtrip_ok"] == got["n_docs"]).all()
+    docs = _pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    docs["b64_len"] = docs["text"].map(lambda t: 4 * ((len(t.encode()) + 2) // 3))
+    exp = docs.groupby("lang")["b64_len"].sum()
+    for _, r in got.iterrows():
+        assert int(r["sum_b64_len"]) == int(exp[r["lang"]])
+
+
+def test_curriculum_prefix_is_half_and_highest_quality(spark, sf_dir):
+    """The kept prefix must hold at most half the corpus tokens, and
+    every kept document's score must be >= every dropped document's
+    score (allowing the boundary tie) — re-derived via pandas."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = QUERIES["llm_curriculum_order"](spark, sf_dir).toPandas()
+    docs = _pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    docs["tokens"] = docs["text"].map(lambda t: len(t.split(" ")))
+    docs["score"] = docs["text"].map(
+        lambda t: (1000 * sum(c.isalpha() and c.isascii() for c in t)) // len(t)
+    )
+    docs = docs.sort_values(["score", "doc_id"], ascending=[False, True])
+    total = int(docs["tokens"].sum())
+    docs["cum"] = docs["tokens"].cumsum()
+    kept = docs[2 * docs["cum"] <= total]
+    assert int(got["tokens_kept"].sum()) == int(kept["tokens"].sum())
+    assert 2 * int(got["tokens_kept"].sum()) <= total
+    assert got.set_index("lang")["n_kept"].to_dict() == kept.groupby(
+        "lang"
+    ).size().to_dict()
+    if len(kept) < len(docs):
+        assert int(got["min_score_milli"].min()) >= int(
+            docs.iloc[len(kept)]["score"]
+        )
+
+
+def test_silence_trim_bounds_from_closed_form(spark, sf_dir):
+    """First/last loud bounds re-derived in plain python from the
+    amp closed form for every clip — pins header offset, endianness,
+    and inclusive bounds."""
+    from atd_dockless_processing_spark.operators.pipeline_r5 import _wav_amps, _wav_params
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["mm_audio_silence_trim"](spark, sf_dir)
+        .toPandas()
+        .set_index("clip_id")
+        .sort_index()
+    )
+    for cid in got.index:
+        n, _ = _wav_params(int(cid))
+        amps = _wav_amps(int(cid), n)
+        loud = [k for k, a in enumerate(amps) if abs(int(a)) >= 9000]
+        row = got.loc[cid]
+        assert int(row["n_samples"]) == n
+        assert int(row["n_loud"]) == len(loud)
+        assert int(row["first_loud"]) == (loud[0] if loud else -1)
+        assert int(row["last_loud"]) == (loud[-1] if loud else -1)
+        assert int(row["trimmed_len"]) == (
+            loud[-1] - loud[0] + 1 if loud else 0
+        )
+
+
+def test_gini_matches_pandas_and_is_bounded(spark, sf_dir):
+    """Gini per priority re-derived with numpy (same rank formula)
+    agrees to 1e-9 and sits in [0, 1)."""
+    import math as _math
+
+    import numpy as _np
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["agg_gini"](spark, sf_dir)
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    o = _pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    o["cents"] = o["o_totalprice"].map(lambda v: int(_math.floor(v * 100 + 0.5)))
+    for pri, g in o.groupby("o_orderpriority"):
+        x = _np.sort(g["cents"].to_numpy())
+        n = len(x)
+        i = _np.arange(1, n + 1)
+        gini = 2.0 * float((i * x).sum()) / (n * float(x.sum())) - (n + 1.0) / n
+        assert abs(got.loc[pri, "gini"] - round(gini, 6)) < 1e-9
+        assert 0.0 <= got.loc[pri, "gini"] < 1.0
+        assert int(got.loc[pri, "n"]) == n
+        assert int(got.loc[pri, "sum_cents"]) == int(x.sum())
