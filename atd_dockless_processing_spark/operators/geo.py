@@ -225,22 +225,27 @@ _HEX_SIZE = 40.0
              CAST(json_extract_string(props, '$.k') AS INTEGER) AS y
       FROM events
     ), axial AS (
-      SELECT x, y,
+      SELECT x,
              (sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / {_HEX_SIZE} AS q,
              (2.0 / 3.0 * y) / {_HEX_SIZE} AS r
       FROM pts
     ), cube AS (
       SELECT x, q, r, -q - r AS s,
-             round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+             CASE WHEN q >= 0 THEN floor(q + 0.5) ELSE -floor(0.5 - q) END AS rq,
+             CASE WHEN r >= 0 THEN floor(r + 0.5) ELSE -floor(0.5 - r) END AS rr,
+             CASE WHEN -q - r >= 0 THEN floor(-q - r + 0.5)
+                  ELSE -floor(0.5 - (-q - r)) END AS rs
       FROM axial
+    ), resid AS (
+      SELECT x, rq, rr, rs,
+             abs(rq - q) AS dq, abs(rr - r) AS dr, abs(rs - s) AS ds
+      FROM cube
     ), fixed AS (
       SELECT x,
-             CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
-                  THEN -rr - rs ELSE rq END AS hq,
-             CASE WHEN abs(rr - r) > abs(rq - q) AND abs(rr - r) >= abs(rs - s)
-                       AND NOT (abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s))
+             CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS hq,
+             CASE WHEN dr > dq AND dr >= ds AND NOT (dq > dr AND dq > ds)
                   THEN -rq - rs ELSE rr END AS hr
-      FROM cube
+      FROM resid
     )
     SELECT CAST(hq AS INTEGER) AS hex_q, CAST(hr AS INTEGER) AS hex_r,
            CAST(COUNT(*) AS BIGINT) AS n_points,
@@ -255,21 +260,58 @@ def geo_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference applies to trip endpoints, on (value, k) space.
     Pure expressions end-to-end: the same identical formula runs in
     the oracle, and at 100 TB it is a codegen'd map + one combinable
-    aggregation, exactly like geo_grid_bin."""
+    aggregation, exactly like geo_grid_bin.
+
+    Two ×100-measured performance rules shape the form (the naive
+    single-projection F.round version ran 10.3 s / 10M rows):
+    (1) STAGED projections — Catalyst does not de-duplicate
+    non-cheap expressions referenced repeatedly inside ONE
+    projection (the fn_json_extract finding), and the cube-rounding
+    residual logic references each rounded coordinate many times, so
+    q/r/s → rq/rr/rs → dq/dr/ds → hq/hr are materialized one
+    Project per tier (CollapseProject keeps tiers that would
+    duplicate non-cheap producers); (2) the rounding itself is the
+    branch-free SHARED half-away tree floor(|v|+0.5)·sign — Spark's
+    Round on DoubleType routes through BigDecimal per value (~µs),
+    and mirroring one floor-based IEEE tree in BOTH engines is also
+    stronger parity: exact agreement by construction (hazard rule
+    6), not an assumption that two engines' round() tie behavior
+    matches."""
     ev = load(spark, sf_dir, "events")
+
+    def rnd(v):
+        return F.when(v >= 0, F.floor(v + 0.5)).otherwise(-F.floor(0.5 - v))
+
     x = F.col("value")
     y = F.get_json_object("props", "$.k").cast("int")
-    q = (F.sqrt(F.lit(3.0)) / 3.0 * x - F.lit(1.0) / 3.0 * y) / _HEX_SIZE
-    r = (F.lit(2.0) / 3.0 * y) / _HEX_SIZE
-    s = -q - r
-    rq, rr, rs = F.round(q, 0), F.round(r, 0), F.round(s, 0)
-    dq, dr, ds = F.abs(rq - q), F.abs(rr - r), F.abs(rs - s)
+    axial = ev.select(
+        x.alias("x"),
+        ((F.sqrt(F.lit(3.0)) / 3.0 * x - F.lit(1.0) / 3.0 * y) / _HEX_SIZE).alias("q"),
+        ((F.lit(2.0) / 3.0 * y) / _HEX_SIZE).alias("r"),
+    )
+    cube = axial.select(
+        "x", "q", "r",
+        (-F.col("q") - F.col("r")).alias("s"),
+        rnd(F.col("q")).alias("rq"),
+        rnd(F.col("r")).alias("rr"),
+        rnd(-F.col("q") - F.col("r")).alias("rs"),
+    )
+    resid = cube.select(
+        "x", "rq", "rr", "rs",
+        F.abs(F.col("rq") - F.col("q")).alias("dq"),
+        F.abs(F.col("rr") - F.col("r")).alias("dr"),
+        F.abs(F.col("rs") - F.col("s")).alias("ds"),
+    )
+    dq, dr, ds = F.col("dq"), F.col("dr"), F.col("ds")
+    rq, rr, rs = F.col("rq"), F.col("rr"), F.col("rs")
     hq = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
     hr = F.when(
         (dr > dq) & (dr >= ds) & ~((dq > dr) & (dq > ds)), -rq - rs
     ).otherwise(rr)
     return (
-        ev.select(x.alias("x"), hq.cast("int").alias("hex_q"), hr.cast("int").alias("hex_r"))
+        resid.select(
+            "x", hq.cast("int").alias("hex_q"), hr.cast("int").alias("hex_r")
+        )
         .groupBy("hex_q", "hex_r")
         .agg(
             F.count(F.lit(1)).alias("n_points"),

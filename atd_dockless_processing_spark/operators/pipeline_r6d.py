@@ -49,11 +49,12 @@ from .multimodal import _FRAME_MAGIC, _stage_videos
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+           CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
              AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                          * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+           ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                                 AS DOUBLE)), 4)
              AS w_avg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -65,19 +66,28 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fleet dashboard derives from trip aggregates; AVG() over a
     pre-joined fact double-counts unless weighted).
 
-    Exactness: numerator and denominator accumulate as DECIMAL
-    (order-free exact at any scale/partitioning — the snk_upsert
-    pattern), with ONE shared double division + ROUND at the output
-    boundary. Plan shape: single combinable groupBy (map-side
-    partials over a 3-value flag domain); scan-bound at 100 TB."""
+    Exactness via the INTEGER core (not decimal×decimal — the ×100
+    rehearsal measured the per-row decimal multiply form at 2.3×
+    DuckDB; this form is the fix): price lifts to integer cents and
+    the integral quantity to long through shared floor(x+0.5) trees
+    (testdata precondition: qty integral, price 2-decimal — asserted
+    in tests), the per-row product stays in LONG codegen (≤5e8),
+    and only the numerator ACCUMULATOR is DECIMAL(38) — order-free
+    exact and overflow-proof at 100 TB row counts, where Σ p·q ~
+    2e20 exceeds int64. One shared double division + ROUND at the
+    boundary. Plan shape: single combinable groupBy over a 3-value
+    flag domain; scan-bound at 100 TB."""
     li = load(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,4)")
-    num = F.sum(F.col("l_extendedprice").cast("decimal(18,4)") * qty)
+    qty = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    pc2 = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    num = F.sum((pc2 * qty).cast("decimal(38,0)"))
     den = F.sum(qty)
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(den.cast("double"), 4).alias("sum_qty"),
-        F.round(num.cast("double") / den.cast("double"), 4).alias("w_avg_price"),
+        den.alias("sum_qty"),
+        F.round(
+            num.cast("double") / (100.0 * den.cast("double")), 4
+        ).alias("w_avg_price"),
     )
 
 
@@ -257,21 +267,28 @@ _HEX_CELLS_SQL = f"""
       SELECT CAST(hq AS INTEGER) AS hex_q, CAST(hr AS INTEGER) AS hex_r,
              CAST(COUNT(*) AS BIGINT) AS n_points
       FROM (
-        SELECT CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
-                    THEN -rr - rs ELSE rq END AS hq,
-               CASE WHEN abs(rr - r) > abs(rq - q) AND abs(rr - r) >= abs(rs - s)
-                         AND NOT (abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s))
+        SELECT CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS hq,
+               CASE WHEN dr > dq AND dr >= ds AND NOT (dq > dr AND dq > ds)
                     THEN -rq - rs ELSE rr END AS hr
         FROM (
-          SELECT q, r, -q - r AS s,
-                 round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+          SELECT rq, rr, rs,
+                 abs(rq - q) AS dq, abs(rr - r) AS dr, abs(rs - s) AS ds
           FROM (
-            SELECT (sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / {_HEX_SIZE} AS q,
-                   (2.0 / 3.0 * y) / {_HEX_SIZE} AS r
+            SELECT q, r, -q - r AS s,
+                   CASE WHEN q >= 0 THEN floor(q + 0.5)
+                        ELSE -floor(0.5 - q) END AS rq,
+                   CASE WHEN r >= 0 THEN floor(r + 0.5)
+                        ELSE -floor(0.5 - r) END AS rr,
+                   CASE WHEN -q - r >= 0 THEN floor(-q - r + 0.5)
+                        ELSE -floor(0.5 - (-q - r)) END AS rs
             FROM (
-              SELECT value AS x,
-                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS y
-              FROM events
+              SELECT (sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / {_HEX_SIZE} AS q,
+                     (2.0 / 3.0 * y) / {_HEX_SIZE} AS r
+              FROM (
+                SELECT value AS x,
+                       CAST(json_extract_string(props, '$.k') AS INTEGER) AS y
+                FROM events
+              )
             )
           )
         )
@@ -313,10 +330,16 @@ def geo_hex_ring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the per-cell summary is ONE combinable aggregation
     over events (the geo_hex_bin plan — its unused sum column is
-    pruned by Catalyst); the ×7 offset explode and ring re-group
-    act on the tiny CELL SUMMARY, never raw points, so at 100 TB
-    the ring step is a broadcast-scale join regardless of event
-    volume."""
+    pruned by Catalyst); the ×7 offset explode and ring re-group act
+    on the tiny CELL SUMMARY, never raw points. The ring step is
+    expressed as a SINGLE re-group over the offset contributions —
+    each contribution carries an is-center flag, so the target's own
+    n_points and its cell-existence filter fall out of the same
+    aggregate and the naive join-back of cells (which re-evaluates
+    the whole events subtree — a DataFrame self-join has no DAG
+    reuse without caching; the ×100 rehearsal measured the 2-pass
+    join form at 2× scan cost) is not needed. At 100 TB: one events
+    exchange + one summary-sized exchange, no join."""
     cells = geo_hex_bin(spark, sf_dir).select("hex_q", "hex_r", "n_points")
     offsets = F.array(
         *[
@@ -330,20 +353,19 @@ def geo_hex_ring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hex_q") + F.col("o.dq")).alias("tq"),
         (F.col("hex_r") + F.col("o.dr")).alias("tr"),
         "n_points",
+        ((F.col("o.dq") == 0) & (F.col("o.dr") == 0)).alias("is_center"),
     )
     ring = contrib.groupBy("tq", "tr").agg(
         F.sum("n_points").alias("hood_n"),
         F.count(F.lit(1)).alias("n_hood_cells"),
+        F.sum(F.when(F.col("is_center"), F.col("n_points"))).alias("n_points_c"),
     )
     return (
-        cells.join(
-            ring,
-            (cells.hex_q == ring.tq) & (cells.hex_r == ring.tr),
-        )
+        ring.where(F.col("n_points_c").isNotNull())
         .select(
-            "hex_q",
-            "hex_r",
-            "n_points",
+            F.col("tq").alias("hex_q"),
+            F.col("tr").alias("hex_r"),
+            F.col("n_points_c").alias("n_points"),
             "hood_n",
             "n_hood_cells",
             F.expr("(1000 * hood_n) div n_hood_cells").alias("density_milli"),

@@ -297,9 +297,10 @@ def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = load(spark, sf_dir, "documents").select(
         "lang",
         "text",
-        F.regexp_replace(
-            F.base64(F.col("text").cast("binary")), "[\\r\\n]", ""
-        ).alias("b64"),
+        # CRLF strip A/B at x100 (BASELINE.md): replace() 0.54 s <
+        # regexp_replace 0.78 s < translate 1.22 s — single-pass
+        # literal replace wins; the pairs only ever occur together.
+        F.expr(r"replace(base64(cast(text as binary)), '\r\n', '')").alias("b64"),
     )
     return b.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -100,7 +100,29 @@ ENGINE_SHAPES = {
     "ip cidr classify (events)": "fn_ip_cidr",
     "pk uniqueness audit (5 tables)": "dq_pk_uniqueness",
     "bfs 3-hop (part graph)": "gph_bfs_reachability",
+    # r6d/r6e keys (fourth/fifth round-6 batches). Facts replicate xN
+    # while the STATIC dims (part/supplier/nation/region) stay
+    # sf0.1-sized — the honest 100 TB shape (dims grow slower than
+    # facts). mm_audio_silence_trim is omitted: its clip list is
+    # user_id % 200 (fixed 200 clips at any N — not a scale shape).
+    "weighted avg (lineitem)": "agg_weighted_avg",
+    "cdc apply+publish (orders)": "snk_cdc_apply",
+    "path top-10 (events)": "evt_path_topk",
+    "hex ring smooth (events)": "geo_hex_ring_smooth",
+    "freshness audit (events)": "dq_freshness",
+    "rolling median (events)": "win_rolling_median",
+    "train/val split (documents)": "llm_train_val_split",
+    "scene cuts (staged video)": "mm_video_scene_cut",
+    "fk orphans (6 edges)": "dq_fk_orphans",
+    "manifest publish (orders)": "snk_manifest_publish",
+    "interarrival hist (events)": "evt_interarrival_hist",
+    "base64 roundtrip (documents)": "fn_base64_roundtrip",
+    "curriculum order (documents)": "llm_curriculum_order",
+    "gini (orders)": "agg_gini",
 }
+# Dims that do NOT replicate: copied through at base size so keys
+# auditing fact->dim edges (dq_fk_orphans) run against the scaled dir.
+STATIC = ["region", "nation", "part", "supplier"]
 # (table, [key columns to shift per replica])
 REPL = {
     "lineitem": ["l_orderkey"],
@@ -133,6 +155,12 @@ def build(spark, mult: int) -> Path:
             .write.mode("overwrite")
             .parquet(str(out / f"{t}.parquet"))
         )
+    import shutil
+
+    for t in STATIC:
+        src, dst = Path(BASE_SF) / f"{t}.parquet", out / f"{t}.parquet"
+        if not dst.exists() and src.exists():
+            (shutil.copytree if src.is_dir() else shutil.copy)(str(src), str(dst))
     return out
 
 
@@ -167,9 +195,10 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute("SET threads TO 4")  # baseline harness thread count
-    for t in REPL:
+    for t in list(REPL) + [t for t in STATIC if (out / f"{t}.parquet").exists()]:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet/*.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet"
+            + ("/*.parquet')" if (out / f"{t}.parquet").is_dir() else "')")
         )
         spark.read.parquet(str(out / f"{t}.parquet")).createOrReplaceTempView(t)
 

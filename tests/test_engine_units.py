@@ -1483,6 +1483,14 @@ def test_weighted_avg_is_ratio_of_sums(spark, sf_dir):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_extendedprice"],
     )
+    # integer-core preconditions: qty integral, price 2-decimal
+    assert (li["l_quantity"] == li["l_quantity"].round(0)).all()
+    import math as _math
+
+    assert (
+        li["l_extendedprice"]
+        == li["l_extendedprice"].map(lambda v: _math.floor(v * 100 + 0.5) / 100)
+    ).all()
     for fl, g in li.groupby("l_returnflag"):
         exp = (g["l_extendedprice"] * g["l_quantity"]).sum() / g["l_quantity"].sum()
         assert abs(got.loc[fl, "w_avg_price"] - exp) < 1e-3
