@@ -742,3 +742,136 @@ def stm_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "m_regs", "v_empty", "r_max", "s_scaled", F.expr(_HLL_EST).alias("est_r4")
     )
+
+
+# ---------------------------------------------------------------------------
+# stm_join_stream_left — LEFT OUTER stream-stream join with watermark flush
+# ---------------------------------------------------------------------------
+
+
+def _stage_events_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events plus ONE far-future sentinel row per joined type.
+
+    Why (measured in this round's probe): an outer stream-stream join
+    emits its UNMATCHED left rows only when the global watermark
+    passes their join horizon. availableNow runs the trailing
+    no-data batch, which flushes everything EXCEPT rows inside the
+    final watermark gap — the probe withheld exactly the purchases
+    newer than max(event_ts) − watermark. The sentinel (+30 days,
+    user_id = −1, one 'click' and one 'purchase' so BOTH sides'
+    watermark operators see it) pushes the final watermark beyond
+    every real row's horizon; the tail filters user_id = −1 back
+    out. This is the streaming analogue of the batch world's "close
+    the books" record, and it is exactly what a production feed's
+    heartbeat/punctuation message does at 100 TB."""
+    from ..tables import stage_scratch
+
+    def build(indir: str) -> None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = raw.schema["ts"].dataType
+        mx = raw.agg(F.max("ts").alias("m")).first()["m"]
+        if isinstance(ts_type, T.LongType):  # legacy nanos
+            p_ts, c_ts = mx + 30 * 86400 * 10**9, mx + 31 * 86400 * 10**9
+        else:
+            import datetime as _dt
+
+            p_ts = mx + _dt.timedelta(days=30)
+            c_ts = mx + _dt.timedelta(days=31)
+        # click AFTER purchase -> the sentinels cannot pair with each
+        # other (c_ts > p_ts fails the trailing-window condition)
+        sent = spark.createDataFrame(
+            [(-1, p_ts, -1, "purchase", 0.0, "{}"), (-2, c_ts, -1, "click", 0.0, "{}")],
+            schema=raw.schema,
+        )
+        raw.unionByName(sent).write.mode("overwrite").parquet(indir)
+
+    return stage_scratch("stm_louter_events", sf_dir, "events", build)
+
+
+@query(
+    "stm_join_stream_left",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS c_ts, value AS c_val
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id AS p_user, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(p_ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c_val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+           ROUND(CAST(SUM(CASE WHEN c_val IS NOT NULL
+                               THEN CAST(c_val AS DECIMAL(18,4))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 4)
+             AS sum_matched_value
+    FROM p LEFT JOIN c ON p.p_user = c.user_id
+               AND c_ts >= p_ts - INTERVAL 30 MINUTE
+               AND c_ts <= p_ts
+    GROUP BY 1
+    """,
+)
+def stm_join_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the outer-emission
+    semantics the inner twin (stm_join_stream_stream) cannot
+    express: every purchase emits, WITH its trailing-30-minute
+    clicks when they exist and exactly once with NULLs when they do
+    not — but an unmatched purchase can only be emitted once the
+    watermark PROVES no qualifying click can still arrive. That
+    proof is the whole operator: state for both sides is bounded by
+    the watermark + join horizon, and the unmatched-row flush rides
+    watermark passage (this round's probe measured availableNow's
+    trailing no-data batch flushing all but the final-horizon rows;
+    the staged sentinel row closes that gap — see
+    _stage_events_with_sentinel). At 100 TB the same query runs on
+    kafka with the provider's heartbeat as the sentinel.
+
+    The oracle is the batch LEFT JOIN + aggregate: outer stream
+    output (pairs + exactly-one NULL row per unmatched purchase) is
+    arrival-order-independent once fully flushed, so the engines
+    must agree row-for-row — a duplicate or withheld unmatched
+    emission flips n_rows/n_unmatched."""
+    stage = _stage_events_with_sentinel(spark, sf_dir)
+    raw = spark.readStream.schema(_events_raw_schema(spark, stage)).parquet(stage)
+    ev = events_ts_to_timestamp(raw)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_val"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("p_user", "p_ts", "c_val")
+    name = f"stm_lsj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(joined, name, "append")
+    dec = "decimal(18,4)"
+    return (
+        spark.table(name)
+        .where(F.col("p_user") != -1)
+        .groupBy(F.to_date("p_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("c_val").isNull(), 1).otherwise(0)).alias(
+                "n_unmatched"
+            ),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("c_val").isNotNull(), F.col("c_val").cast(dec)
+                    ).otherwise(F.lit(0).cast(dec))
+                ).cast("double"),
+                4,
+            ).alias("sum_matched_value"),
+        )
+    )

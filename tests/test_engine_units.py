@@ -1682,3 +1682,37 @@ def test_gini_matches_pandas_and_is_bounded(spark, sf_dir):
         assert 0.0 <= got.loc[pri, "gini"] < 1.0
         assert int(got.loc[pri, "n"]) == n
         assert int(got.loc[pri, "sum_cents"]) == int(x.sum())
+
+
+def test_stream_left_join_flushes_all_unmatched(spark, sf_dir):
+    """The streaming LEFT OUTER join must emit exactly the batch
+    left-join row multiset: pair count + one NULL row per unmatched
+    purchase (the sentinel closes the final watermark gap — without
+    it the probe measured withheld final-horizon purchases)."""
+    from pyspark.sql import functions as _F
+
+    from atd_dockless_processing_spark.registry import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    got = QUERIES["stm_join_stream_left"](spark, sf_dir).toPandas()
+    ev = load(spark, sf_dir, "events")
+    c = ev.where(_F.col("event_type") == "click").select(
+        "user_id", _F.col("ts").alias("c_ts"), _F.col("value").alias("c_val")
+    )
+    p = ev.where(_F.col("event_type") == "purchase").select(
+        _F.col("user_id").alias("p_user"), _F.col("ts").alias("p_ts")
+    )
+    bj = p.join(
+        c,
+        (_F.col("p_user") == _F.col("user_id"))
+        & (_F.col("c_ts") >= _F.col("p_ts") - _F.expr("INTERVAL 30 MINUTES"))
+        & (_F.col("c_ts") <= _F.col("p_ts")),
+        "left_outer",
+    )
+    assert int(got["n_rows"].sum()) == bj.count()
+    assert (
+        int(got["n_unmatched"].sum())
+        == bj.where(_F.col("c_val").isNull()).count()
+    )
+    n_purch = p.count()
+    assert int(got["n_unmatched"].sum()) <= n_purch
