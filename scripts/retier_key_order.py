@@ -41,8 +41,29 @@ def compute_order() -> tuple[list[str], list[str]]:
     prior = {k: i for i, k in enumerate(entry._KEY_ORDER)}
     needy = [k for k in QUERIES if k not in latest or not is_green(k, latest[k][1])]
     green = [k for k in QUERIES if k in latest and is_green(k, latest[k][1])]
-    # needy: brand-new keys (no prior rank) first, then prior order
-    needy.sort(key=lambda k: (k in prior, prior.get(k, 0), k))
+    # The driver sweep budget is EXACTLY 50 keys/round (every
+    # CORRECTNESS_r*.json has 50 rows). When the needy block exceeds
+    # it, which keys slip to next round matters: keys named by a
+    # standing VERDICT done-condition ("Done = green CORRECTNESS
+    # row") must never slip, and the designated carry keys are ones
+    # whose semantics are redundantly pinned by independent-python
+    # invariant tests and well-evidenced oracle families.
+    sweep_first = {
+        "evt_state_intervals", "etl_publish_funnel",  # VERDICT r5 items 5/6
+        "agg_quantile_sketch", "llm_semdedup",
+        "agg_bloom_membership", "snk_zorder_layout",
+    }
+    carry_ok = {"agg_weighted_avg", "fn_base64_roundtrip"}
+    # needy: verdict-mandated first, designated carries last; within a
+    # band, brand-new keys (no prior rank) first, then prior order
+    needy.sort(
+        key=lambda k: (
+            (0 if k in sweep_first else 2 if k in carry_ok else 1),
+            k in prior,
+            prior.get(k, 0),
+            k,
+        )
+    )
     # green: oldest evidence round first, stable by prior order
     green.sort(key=lambda k: (latest[k][0], prior.get(k, 10**9), k))
     return needy, green
