@@ -563,3 +563,85 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_skew_report — join/group key skew diagnostics
+# ---------------------------------------------------------------------------
+
+# (label, table, key column)
+_SKEW_COLS = [
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+    ("events.event_type", "events", "event_type"),
+]
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for label, tbl, col in _SKEW_COLS:
+        parts.append(f"""
+        SELECT '{label}' AS key_col, n_rows, n_keys, max_mult,
+               CAST((1000000 * top10) // n_rows AS BIGINT) AS top10_share_ppm,
+               CAST((1000 * max_mult * n_keys) // n_rows AS BIGINT) AS skew_milli
+        FROM (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(c) AS BIGINT) AS max_mult,
+                 CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS BIGINT)
+                   AS top10
+          FROM (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC) AS rk
+            FROM (SELECT COUNT(*) AS c FROM {tbl} GROUP BY {col})
+          )
+        )""")
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_skew_report", oracle=_skew_oracle())
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/group-key SKEW diagnostics — the pre-flight report behind
+    every 100 TB shuffle decision ([P high] for the scale story: a
+    key whose hottest value holds a material share of the table
+    makes the plain hash-shuffle join a straggler; whether to salt,
+    broadcast, or rely on AQE's skew-join split is decided from
+    EXACTLY these figures, and flying blind is how 1000-executor
+    jobs stall on one task). Per audited key column: rows, distinct
+    keys, max multiplicity, the top-10 keys' ppm share of rows, and
+    skew_milli = hottest/average in milli units (1000 = perfectly
+    uniform).
+
+    All integers (top-10 share is tie-safe: the sum of the 10
+    largest COUNTS is invariant under which tied keys rank 10th).
+    Plan shape: per column ONE combinable key-groupBy (the same
+    exchange the real join would pay) + a window/agg over the
+    per-key count summary; five independent parallel subtrees under
+    a union. At 100 TB this runs on the key columns only (1-column
+    scans) or rides a sample."""
+    out = None
+    for label, tbl, col in _SKEW_COLS:
+        counts = (
+            load(spark, sf_dir, tbl)
+            .groupBy(F.col(col))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        ranked = counts.select(
+            "c", F.row_number().over(Window.orderBy(F.col("c").desc())).alias("rk")
+        )
+        row = ranked.agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_mult"),
+            F.sum(F.when(F.col("rk") <= 10, F.col("c")).otherwise(0)).alias("top10"),
+        ).select(
+            F.lit(label).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            "max_mult",
+            F.expr("(1000000 * top10) div n_rows").alias("top10_share_ppm"),
+            F.expr("(1000 * max_mult * n_keys) div n_rows").alias("skew_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -53,7 +53,7 @@ def compute_order() -> tuple[list[str], list[str]]:
         "agg_quantile_sketch", "llm_semdedup",
         "agg_bloom_membership", "snk_zorder_layout",
     }
-    carry_ok = {"agg_weighted_avg", "fn_base64_roundtrip"}
+    carry_ok = {"agg_weighted_avg", "fn_base64_roundtrip", "evt_interarrival_hist"}
     # needy: verdict-mandated first, designated carries last; within a
     # band, brand-new keys (no prior rank) first, then prior order
     needy.sort(

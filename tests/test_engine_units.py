@@ -1716,3 +1716,28 @@ def test_stream_left_join_flushes_all_unmatched(spark, sf_dir):
     )
     n_purch = p.count()
     assert int(got["n_unmatched"].sum()) <= n_purch
+
+
+def test_skew_report_events_type_is_the_skew_case(spark, sf_dir):
+    """event_type (tiny domain) must report near-total top-10 share;
+    figures re-derived with pandas for two columns."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["dq_skew_report"](spark, sf_dir)
+        .toPandas()
+        .set_index("key_col")
+    )
+    ev = _pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    for col, label in (("user_id", "events.user_id"), ("event_type", "events.event_type")):
+        c = ev[col].value_counts()
+        r = got.loc[label]
+        assert int(r["n_rows"]) == len(ev)
+        assert int(r["n_keys"]) == len(c)
+        assert int(r["max_mult"]) == int(c.iloc[0])
+        assert int(r["top10_share_ppm"]) == (1_000_000 * int(c.head(10).sum())) // len(ev)
+        assert int(r["skew_milli"]) == (1000 * int(c.iloc[0]) * len(c)) // len(ev)
+    # the 5-value type column is definitionally skew-free but top-heavy
+    assert int(got.loc["events.event_type", "top10_share_ppm"]) == 1_000_000
