@@ -119,6 +119,7 @@ ENGINE_SHAPES = {
     "base64 roundtrip (documents)": "fn_base64_roundtrip",
     "curriculum order (documents)": "llm_curriculum_order",
     "gini (orders)": "agg_gini",
+    "skew report (5 cols)": "dq_skew_report",
 }
 # Dims that do NOT replicate: copied through at base size so keys
 # auditing fact->dim edges (dq_fk_orphans) run against the scaled dir.
