@@ -1741,3 +1741,111 @@ def test_skew_report_events_type_is_the_skew_case(spark, sf_dir):
         assert int(r["skew_milli"]) == (1000 * int(c.iloc[0]) * len(c)) // len(ev)
     # the 5-value type column is definitionally skew-free but top-heavy
     assert int(got.loc["events.event_type", "top10_share_ppm"]) == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# §2.25 (R6f) invariants
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_temporal_join_matches_pandas_asof(spark, sf_dir):
+    """The as-of match re-derived per fact with pandas interval
+    logic: version = last version whose eff_from <= fact_date, and
+    the half-open upper bound excludes same-day supersession."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["join_scd2_temporal"](spark, sf_dir)
+        .toPandas()
+        .set_index("custkey")
+        .sort_index()
+    )
+    o = _pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    o = o[o["o_custkey"] < 30]
+    vers = o[o["o_orderkey"] % 3 == 0].sort_values(["o_orderdate", "o_orderkey"])
+    for ck, g in o.groupby("o_custkey"):
+        v = vers[vers["o_custkey"] == ck].reset_index(drop=True)
+        n_matched = 0
+        hit = set()
+        for _, f in g.iterrows():
+            vid = None
+            for i in range(len(v)):
+                lo = v.loc[i, "o_orderdate"]
+                hi = v.loc[i + 1, "o_orderdate"] if i + 1 < len(v) else None
+                if f["o_orderdate"] >= lo and (hi is None or f["o_orderdate"] < hi):
+                    vid = v.loc[i, "o_orderkey"]
+                    break
+            if vid is not None:
+                n_matched += 1
+                hit.add(vid)
+        assert int(got.loc[ck, "n_facts"]) == len(g)
+        assert int(got.loc[ck, "n_matched"]) == n_matched
+        assert int(got.loc[ck, "n_versions_hit"]) == len(hit)
+
+
+def test_rouge_overlap_bounds_and_self_identity(spark, sf_dir):
+    """Clipped overlap is bounded by min(n_a, n_b); milli ratios sit
+    in [0, 1000]; a spot-check pair recomputed with Counters."""
+    from collections import Counter
+
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = QUERIES["llm_rouge_overlap"](spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert (got["ov"] <= got[["n_a", "n_b"]].min(axis=1)).all()
+    assert got["p_milli"].dropna().between(0, 1000).all()
+    assert got["r_milli"].dropna().between(0, 1000).all()
+    docs = _pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).set_index("doc_id")
+
+    def grams(t):
+        tok = t.split(" ")
+        return Counter(
+            f"{tok[i]} {tok[i+1]}" for i in range(len(tok) - 1)
+        )
+
+    for _, r in got.head(20).iterrows():
+        ca, cb = grams(docs.loc[r["a_id"], "text"]), grams(docs.loc[r["b_id"], "text"])
+        ov = sum(min(n, cb[g]) for g, n in ca.items())
+        assert int(r["ov"]) == ov
+
+
+def test_image_embed_sim_bands_partition_pixels(spark, sf_dir):
+    """The probe's own dot ranking is excluded, ranks are 1..5 with
+    non-increasing dots, and a re-decode of one image's band sums
+    from the closed form matches the engine-side pooling."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = QUERIES["mm_image_embed_sim"](spark, sf_dir).toPandas()
+    assert list(got["rk"]) == [1, 2, 3, 4, 5]
+    assert (got["dot"].diff().dropna() <= 0).all()
+    docs = _pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    assert int(docs["doc_id"].min()) not in set(got["doc_id"])
+    # closed-form band sums for the top hit
+    row = docs[docs["doc_id"] == int(got.iloc[0]["doc_id"])].iloc[0]
+    L, w, h = int(row["n_chars"]), int(row["n_chars"]) % 64 + 1, int(row["n_chars"]) % 48 + 1
+    stride = ((3 * w + 3) // 4) * 4
+    bands = [0] * 8
+    for r in range(h):
+        for c in range(3 * w):
+            bands[(8 * r) // h] += ord(row["text"][(r * stride + c) % L])
+    probe = docs[docs["doc_id"] == docs["doc_id"].min()].iloc[0]
+    Lp, wp, hp = int(probe["n_chars"]), int(probe["n_chars"]) % 64 + 1, int(probe["n_chars"]) % 48 + 1
+    sp = ((3 * wp + 3) // 4) * 4
+    pbands = [0] * 8
+    for r in range(hp):
+        for c in range(3 * wp):
+            pbands[(8 * r) // hp] += ord(probe["text"][(r * sp + c) % Lp])
+    assert int(got.iloc[0]["dot"]) == sum(a * b for a, b in zip(bands, pbands))
