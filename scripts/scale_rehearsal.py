@@ -120,6 +120,11 @@ ENGINE_SHAPES = {
     "curriculum order (documents)": "llm_curriculum_order",
     "gini (orders)": "agg_gini",
     "skew report (5 cols)": "dq_skew_report",
+    # r6f: rouge pairs and image embeddings scale with documents;
+    # join_scd2_temporal is omitted (custkey<30 on shifted keys ->
+    # constant-size at any N, like mm_audio_silence_trim).
+    "rouge overlap (doc pairs)": "llm_rouge_overlap",
+    "image embed top-5 (bmp decode)": "mm_image_embed_sim",
 }
 # Dims that do NOT replicate: copied through at base size so keys
 # auditing fact->dim edges (dq_fk_orphans) run against the scaled dir.
