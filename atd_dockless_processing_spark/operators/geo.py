@@ -270,13 +270,15 @@ def geo_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual logic references each rounded coordinate many times, so
     q/r/s → rq/rr/rs → dq/dr/ds → hq/hr are materialized one
     Project per tier (CollapseProject keeps tiers that would
-    duplicate non-cheap producers); (2) the rounding itself is the
-    branch-free SHARED half-away tree floor(|v|+0.5)·sign — Spark's
-    Round on DoubleType routes through BigDecimal per value (~µs),
-    and mirroring one floor-based IEEE tree in BOTH engines is also
-    stronger parity: exact agreement by construction (hazard rule
-    6), not an assumption that two engines' round() tie behavior
-    matches."""
+    duplicate non-cheap producers) — every un-staged reference
+    re-evaluated the FULL upstream subtree, sqrt chain and JSON
+    parse included (a single per-row round is itself nearly free:
+    0.23 s vs 0.31 s scan baseline over 10M rows, micro-A/B'd);
+    (2) the rounding is the branch-free SHARED half-away tree
+    floor(|v|+0.5)·sign — mirroring one floor-based IEEE tree in
+    BOTH engines is stronger parity: exact agreement by
+    construction (hazard rule 6), not an assumption that two
+    engines' round() tie behavior matches."""
     ev = load(spark, sf_dir, "events")
 
     def rnd(v):
