@@ -197,15 +197,20 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE inf/nan in the slope term on both engines; the crossing
     conjunction's first clause is then false, so parity is exact."""
     ev = load(spark, sf_dir, "events")
+    # Stage (x, y) in their own Project: the ~45 per-row references
+    # the unrolled edge tests make would otherwise each re-evaluate
+    # the full coordinate derivation (Catalyst CSE gap — the
+    # geo_hex_bin finding; ×100 A/B: 1.08 s -> 0.375 s).
     x = F.lit(-97.95) + (F.abs(F.col("value")) % F.lit(40.0)) / F.lit(100.0)
     y = F.lit(30.10) + (F.col("user_id") % 40) / F.lit(100.0)
+    pts = ev.select(x.alias("x"), y.alias("y"), "value")
     zone = (
-        F.when(_pip_col(_PIP_POLYGONS[0][1], x, y), _PIP_POLYGONS[0][0])
-        .when(_pip_col(_PIP_POLYGONS[1][1], x, y), _PIP_POLYGONS[1][0])
+        F.when(_pip_col(_PIP_POLYGONS[0][1], F.col("x"), F.col("y")), _PIP_POLYGONS[0][0])
+        .when(_pip_col(_PIP_POLYGONS[1][1], F.col("x"), F.col("y")), _PIP_POLYGONS[1][0])
         .otherwise("outside")
     )
     return (
-        ev.select(zone.alias("zone"), "value")
+        pts.select(zone.alias("zone"), "value")
         .groupBy("zone")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
