@@ -53,6 +53,7 @@ _KEY_ORDER = [
     # new keys first, then previously-ranked ones ---
     "snk_zorder_layout", "agg_bloom_membership", "agg_quantile_sketch",
     "llm_semdedup", "etl_publish_funnel", "evt_state_intervals",
+    "evt_new_vs_returning", "stm_cdc_stream_apply", "txt_dedup_paragraphs",
     "join_scd2_temporal", "llm_rouge_overlap", "mm_image_embed_sim",
     "dq_skew_report", "stm_join_stream_left", "agg_gini", "dq_fk_orphans",
     "llm_curriculum_order", "mm_audio_silence_trim", "snk_manifest_publish",

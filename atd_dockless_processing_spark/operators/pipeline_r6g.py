@@ -1,0 +1,326 @@
+"""Round-6 breadth extensions, seventh batch — SURVEY.md §2.26.
+
+Three operational closers: STREAMING CDC application (the change
+feed folded into a materialized snapshot ACROSS micro-batches, with
+delete tombstones — the stateful read-merge-write complement of the
+append-only foreachBatch sink and the batch snk_cdc_apply),
+within-document paragraph deduplication (the intra-doc curation
+transform beside the corpus-level dedup family), and the daily
+new-vs-returning activity KPI (the operational report on top of the
+cohort machinery). Reference parity per SURVEY §0 ([P] tags; empty
+checkout).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load, scratch_dir
+
+# ---------------------------------------------------------------------------
+# stm_cdc_stream_apply — CDC merge into a snapshot across micro-batches
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+             o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', 'U', o_totalprice + 100.0
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM log
+    ), snap AS (
+      SELECT k, status, price FROM last WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_price
+    FROM snap GROUP BY status
+"""
+
+
+def _stage_cdc_log(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the deterministic I/U/D log (the snk_cdc_apply
+    derivation) as THREE parquet files, one per seq, so
+    maxFilesPerTrigger=1 drains them as three micro-batches. The
+    merge itself is declared arrival-order-ROBUST (last-writer-wins
+    compares seq numbers, not batch order), so file ordering is a
+    realism choice, not a correctness dependency."""
+    from ..tables import stage_scratch
+
+    def build(indir: str) -> None:
+        orders = load(spark, sf_dir, "orders")
+        ins = orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).alias("seq"),
+            F.lit("I").alias("op"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        upd = orders.where(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit("U").alias("status"),
+            (F.col("o_totalprice") + 100.0).alias("price"),
+        )
+        dele = orders.where(F.col("o_orderkey") % 5 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("double").alias("price"),
+        )
+        import os
+
+        os.makedirs(indir, exist_ok=True)
+        for i, part in enumerate((ins, upd, dele), start=1):
+            part.coalesce(1).write.mode("overwrite").parquet(
+                f"{indir}/seq{i}.parquet"
+            )
+            # flatten: the file source lists files recursively only
+            # with a glob; move the part file up as seq{i}.parquet
+        # rewrite as flat files the stream dir can list
+        flat = [p for p in __import__("glob").glob(f"{indir}/seq*.parquet/part-*.parquet")]
+        for i, p in enumerate(sorted(flat)):
+            shutil.move(p, f"{indir}/cdc_{i}.parquet")
+        for d in __import__("glob").glob(f"{indir}/seq*.parquet"):
+            shutil.rmtree(d, ignore_errors=True)
+
+    return stage_scratch("stm_cdc_log", sf_dir, "orders", build)
+
+
+@query("stm_cdc_stream_apply", oracle=_CDC_ORACLE)
+def stm_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC application — the change feed folded into a
+    materialized snapshot ACROSS micro-batches ([P high]: this is
+    what a Debezium/kafka consumer maintaining a queryable mirror
+    does continuously; the batch twin snk_cdc_apply folds a complete
+    log, this one must keep the snapshot correct after EVERY
+    incremental batch). Each foreachBatch merge unions the incoming
+    batch with the current snapshot, keeps last-writer-wins by SEQ
+    NUMBER per key (arrival-order-robust by construction — a
+    re-ordered or replayed feed folds identically), and retains
+    delete TOMBSTONES in the snapshot so a late lower-seq update can
+    never resurrect a deleted key; the published read filters
+    tombstones out. The snapshot swap is write-new-then-rename
+    (atomic publish; readers never see a half-written merge).
+
+    Oracle = the batch fold of the full log (snk_cdc_apply's) — a
+    lost update, surviving delete, resurrection, or double-applied
+    batch flips the hash. At 100 TB the same foreachBatch body runs
+    MERGE INTO on a lakehouse table; the tombstone and seq
+    disciplines are identical. State per merge is the snapshot
+    itself (the operator IS incremental materialization)."""
+    stage = _stage_cdc_log(spark, sf_dir)
+    base = scratch_dir(
+        "stm_cdc_snap", sf_dir.strip("/").replace("/", "_"), uuid.uuid4().hex[:8]
+    )
+    snap_dir = f"{base}/snap"
+    schema = "k long, seq int, op string, status string, price double"
+
+    def merge(bdf: DataFrame, _bid: int) -> None:
+        sp = bdf.sparkSession
+        import os
+
+        if os.path.exists(snap_dir):
+            cur = sp.read.parquet(snap_dir)
+            allr = cur.unionByName(bdf)
+        else:
+            allr = bdf
+        w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+        merged = (
+            allr.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = f"{base}/tmp_{_bid}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{base}/old_{_bid}"
+        if os.path.exists(snap_dir):
+            shutil.move(snap_dir, old)
+        shutil.move(tmp, snap_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    ckpt = f"{base}/ckpt"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(snap_dir)
+        .where(F.col("op") != "D")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("price").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_price"),
+        )
+    )
+    # materialize before the scratch snapshot is abandoned to later
+    # runs' cleanup; the frame returned must not depend on run-id dirs
+    pdf = out.toPandas()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, schema="status string, n_rows long, sum_price double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_dedup_paragraphs — within-document chunk deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "txt_dedup_paragraphs",
+    oracle="""
+    WITH c AS (
+      SELECT lang, string_split(text, '. ') AS ch FROM documents
+    ), d AS (
+      SELECT lang,
+             len(ch) AS n_chunks,
+             len(list_distinct(ch)) AS n_unique,
+             list_sum(list_transform(ch, x -> length(x))) AS all_chars,
+             list_sum(list_transform(list_distinct(ch), x -> length(x)))
+               AS uniq_chars
+      FROM c
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunks - n_unique) AS BIGINT) AS n_removed,
+           CAST(SUM(all_chars - uniq_chars) AS BIGINT) AS chars_saved,
+           CAST(SUM(CASE WHEN n_unique < n_chunks THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_dups
+    FROM d GROUP BY lang
+    """,
+)
+def txt_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document chunk deduplication report — the intra-doc
+    curation transform beside the corpus-level dedup family ([P
+    high]: scraped pages repeat nav/boilerplate sentences INSIDE one
+    document; "dedup" in a production corpus pipeline means both
+    across documents — llm_dedup_* — and within them, and this
+    measures what the within pass removes). Chunks = sentence-ish
+    '. ' splits; per doc the duplicate chunk count and the exact
+    characters a first-occurrence-keep rewrite would save; per lang
+    the rollup. All integers; the metrics are ORDER-FREE (counts and
+    length sums over the chunk multiset/set), so no dependence on
+    either engine's distinct-ordering.
+
+    Plan shape: pure map-side HOFs (split, distinct, two length
+    folds) + ONE combinable agg — no explode, no shuffle of chunk
+    rows; scan-speed at 100 TB like the rest of the txt family."""
+    ch = F.split("text", "\\. ")
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(ch).alias("n_chunks"),
+        F.size(F.array_distinct(ch)).alias("n_unique"),
+        F.expr(
+            "aggregate(split(text, '\\\\. '), 0L, (a, x) -> a + length(x))"
+        ).alias("all_chars"),
+        F.expr(
+            "aggregate(array_distinct(split(text, '\\\\. ')), 0L, "
+            "(a, x) -> a + length(x))"
+        ).alias("uniq_chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum(F.col("n_chunks") - F.col("n_unique")).alias("n_removed"),
+        F.sum(F.col("all_chars") - F.col("uniq_chars")).alias("chars_saved"),
+        F.sum(
+            F.when(F.col("n_unique") < F.col("n_chunks"), 1).otherwise(0)
+        ).alias("n_docs_with_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_new_vs_returning — daily first-time vs returning activity KPI
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_new_vs_returning",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id
+    ), daily AS (
+      SELECT e.day,
+             COUNT(DISTINCT e.user_id) AS n_active,
+             COUNT(DISTINCT CASE WHEN e.day = f.first_day
+                                 THEN e.user_id END) AS n_new
+      FROM e JOIN firsts f USING (user_id)
+      GROUP BY e.day
+    )
+    SELECT day,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_active - n_new AS BIGINT) AS n_returning,
+           CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def evt_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily NEW vs RETURNING activity — the operational KPI on top
+    of the cohort machinery ([P high]: the reference's public
+    dashboards report daily device/user activity; "how many of
+    today's actives are first-timers?" is the growth-vs-retention
+    split every ops review opens with). A user is NEW on their
+    first-seen day; cum_users is the running registered-population
+    curve (its last value = total distinct users — a built-in
+    self-check).
+
+    Plan shape: one (user) agg for first-seen days, an equi join
+    back (both sides already user-partitioned — at 100 TB the
+    first-seen dim is the user registry you already keep), one daily
+    distinct agg, and a running-sum window over the tiny day
+    summary. TZ posture: date derivation matches the house
+    date_trunc precedent (evt_cohort_retention)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("day"),
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        e.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.count_distinct(
+                F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+            ).alias("n_new"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).alias("cum_users"),
+    )

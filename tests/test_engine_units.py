@@ -1849,3 +1849,89 @@ def test_image_embed_sim_bands_partition_pixels(spark, sf_dir):
         for c in range(3 * wp):
             pbands[(8 * r) // hp] += ord(probe["text"][(r * sp + c) % Lp])
     assert int(got.iloc[0]["dot"]) == sum(a * b for a, b in zip(bands, pbands))
+
+
+# ---------------------------------------------------------------------------
+# §2.26 (R6g) invariants
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_stream_apply_equals_batch_twin(spark, sf_dir):
+    """The streaming incremental merge must land on EXACTLY the batch
+    fold's snapshot aggregate (snk_cdc_apply) — a double-applied
+    batch, lost tombstone, or resurrection diverges the two."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    stream = (
+        QUERIES["stm_cdc_stream_apply"](spark, sf_dir)
+        .toPandas()
+        .sort_values("status")
+        .reset_index(drop=True)
+    )
+    batch = (
+        QUERIES["snk_cdc_apply"](spark, sf_dir)
+        .toPandas()
+        .sort_values("status")
+        .reset_index(drop=True)
+    )
+    _pd.testing.assert_frame_equal(stream, batch, check_dtype=False)
+
+
+def test_paragraph_dedup_counts_from_python(spark, sf_dir):
+    """Per-lang figures re-derived with plain python set/multiset
+    arithmetic over the same '. ' chunking."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["txt_dedup_paragraphs"](spark, sf_dir)
+        .toPandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    docs = _pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    agg = {}
+    for _, r in docs.iterrows():
+        ch = r["text"].split(". ")
+        u = list(dict.fromkeys(ch))
+        a = agg.setdefault(r["lang"], [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(ch)
+        a[2] += len(ch) - len(u)
+        a[3] += sum(map(len, ch)) - sum(map(len, u))
+        a[4] += 1 if len(u) < len(ch) else 0
+    for lang, (nd, nc, nr, cs, nw) in agg.items():
+        row = got.loc[lang]
+        assert (
+            int(row["n_docs"]),
+            int(row["n_chunks"]),
+            int(row["n_removed"]),
+            int(row["chars_saved"]),
+            int(row["n_docs_with_dups"]),
+        ) == (nd, nc, nr, cs, nw)
+
+
+def test_new_vs_returning_conservation(spark, sf_dir):
+    """n_new over all days must total distinct users; the cum curve
+    is non-decreasing and ends at that total; day-0 actives are all
+    new; returning = active - new everywhere."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["evt_new_vs_returning"](spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    ev = _pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    total = ev["user_id"].nunique()
+    assert int(got["n_new"].sum()) == total
+    assert int(got["cum_users"].iloc[-1]) == total
+    assert got["cum_users"].is_monotonic_increasing
+    assert (got["n_returning"] == got["n_active"] - got["n_new"]).all()
+    assert int(got.iloc[0]["n_returning"]) == 0
