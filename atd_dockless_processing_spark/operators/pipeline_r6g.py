@@ -229,19 +229,20 @@ def txt_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: pure map-side HOFs (split, distinct, two length
     folds) + ONE combinable agg — no explode, no shuffle of chunk
-    rows; scan-speed at 100 TB like the rest of the txt family."""
-    ch = F.split("text", "\\. ")
-    d = load(spark, sf_dir, "documents").select(
+    rows; scan-speed at 100 TB like the rest of the txt family. The
+    split and array_distinct are STAGED one Project each (the
+    Catalyst-CSE rule: the naive form re-split every document 4× —
+    ×100 A/B 1.00 → 0.63 s)."""
+    t1 = load(spark, sf_dir, "documents").select(
+        "lang", F.split("text", "\\. ").alias("ch")
+    )
+    t2 = t1.select("lang", "ch", F.array_distinct("ch").alias("ud"))
+    d = t2.select(
         "lang",
-        F.size(ch).alias("n_chunks"),
-        F.size(F.array_distinct(ch)).alias("n_unique"),
-        F.expr(
-            "aggregate(split(text, '\\\\. '), 0L, (a, x) -> a + length(x))"
-        ).alias("all_chars"),
-        F.expr(
-            "aggregate(array_distinct(split(text, '\\\\. ')), 0L, "
-            "(a, x) -> a + length(x))"
-        ).alias("uniq_chars"),
+        F.size("ch").alias("n_chunks"),
+        F.size("ud").alias("n_unique"),
+        F.expr("aggregate(ch, 0L, (a, x) -> a + length(x))").alias("all_chars"),
+        F.expr("aggregate(ud, 0L, (a, x) -> a + length(x))").alias("uniq_chars"),
     )
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -295,24 +296,27 @@ def evt_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve (its last value = total distinct users — a built-in
     self-check).
 
-    Plan shape: one (user) agg for first-seen days, an equi join
-    back (both sides already user-partitioned — at 100 TB the
-    first-seen dim is the user registry you already keep), one daily
-    distinct agg, and a running-sum window over the tiny day
-    summary. TZ posture: date derivation matches the house
-    date_trunc precedent (evt_cohort_retention)."""
+    Plan shape (the pair-summary form — ×100 A/B 3.20 → 2.02 s):
+    raw events collapse ONCE into distinct (user, day) pairs (the
+    only corpus-size exchange); first-seen, the join back, and the
+    daily counts all run over the pair summary — the naive
+    daily-distinct form instead Expand-doubled the full event stream
+    through a 2-column distinct. At 100 TB the first-seen dim is the
+    user registry you already keep. TZ posture: date derivation
+    matches the house date_trunc precedent (evt_cohort_retention)."""
     e = load(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("day"),
     )
-    firsts = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    pairs = e.distinct()
+    firsts = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
     daily = (
-        e.join(firsts, "user_id")
+        pairs.join(firsts, "user_id")
         .groupBy("day")
         .agg(
-            F.count_distinct("user_id").alias("n_active"),
-            F.count_distinct(
-                F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
             ).alias("n_new"),
         )
     )

@@ -125,6 +125,10 @@ ENGINE_SHAPES = {
     # constant-size at any N, like mm_audio_silence_trim).
     "rouge overlap (doc pairs)": "llm_rouge_overlap",
     "image embed top-5 (bmp decode)": "mm_image_embed_sim",
+    # r6g batch shapes (stm_cdc_stream_apply is timed inclusively by
+    # hand, like the other side-effecting stream keys)
+    "paragraph dedup (documents)": "txt_dedup_paragraphs",
+    "new vs returning (events)": "evt_new_vs_returning",
 }
 # Dims that do NOT replicate: copied through at base size so keys
 # auditing fact->dim edges (dq_fk_orphans) run against the scaled dir.
