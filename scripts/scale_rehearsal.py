@@ -129,6 +129,13 @@ ENGINE_SHAPES = {
     # hand, like the other side-effecting stream keys)
     "paragraph dedup (documents)": "txt_dedup_paragraphs",
     "new vs returning (events)": "evt_new_vs_returning",
+    # legacy-coverage group: older keys that never had a x100 row
+    "asof join": "join_asof",
+    "topk per group (orders)": "win_topk_per_group",
+    "funnel (events)": "evt_funnel",
+    "lateral topn (orders)": "sql_lateral_topn",
+    "tfidf topk (documents)": "llm_tfidf_topk",
+    "except all (lineitem)": "set_except_all",
 }
 # Dims that do NOT replicate: copied through at base size so keys
 # auditing fact->dim edges (dq_fk_orphans) run against the scaled dir.
