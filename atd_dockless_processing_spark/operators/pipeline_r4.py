@@ -350,8 +350,21 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         bucketed(a, "a_s", "a_e")
         .join(bucketed(b, "b_s", "b_e"), "bucket")
+        # CANONICAL-BUCKET emission (the r5 minhash lesson applied to
+        # the time axis): every overlapping pair shares a day whose
+        # bucket lies in [max(first buckets), min(last buckets)], so
+        # the pair is tested ONLY in bucket max(fa, fb) — exactly-once
+        # by construction, no pair-dedup exchange. The prior
+        # .distinct() shuffled the full candidate pair stream (~400M
+        # rows at ×100) and cost 105 s vs 6.7 s for DuckDB's IEJoin.
+        .where(
+            F.col("bucket")
+            == F.greatest(
+                F.floor(F.unix_date(F.col("a_s")) / 7),
+                F.floor(F.unix_date(F.col("b_s")) / 7),
+            )
+        )
         .drop("bucket")
-        .distinct()  # a pair can meet in up to min(2,3) shared buckets
     )
     return cand.where(
         (F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e"))

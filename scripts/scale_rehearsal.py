@@ -136,6 +136,14 @@ ENGINE_SHAPES = {
     "lateral topn (orders)": "sql_lateral_topn",
     "tfidf topk (documents)": "llm_tfidf_topk",
     "except all (lineitem)": "set_except_all",
+    "theta range join": "join_theta_range",
+    "interval overlap join": "join_interval_overlap",
+    "salted skew join": "join_skew_salted",
+    "correlated subquery (orders)": "sql_correlated_subquery",
+    "dau/wau rolling (events)": "evt_dau_wau_rolling",
+    "range frame window (orders)": "win_range_frame",
+    "cohort retention (events)": "evt_cohort_retention",
+    "exact percentiles (lineitem)": "agg_percentiles",
 }
 # Dims that do NOT replicate: copied through at base size so keys
 # auditing fact->dim edges (dq_fk_orphans) run against the scaled dir.
