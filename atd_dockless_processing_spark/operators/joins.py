@@ -396,7 +396,17 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE (on by default, session.py) handles the common cases without
     this operator — which is why the salt here is explicit, bounded
     (x16 dim replication), and deterministic (no rand(): repeatable
-    plans and retry-safe tasks)."""
+    plans and retry-safe tasks).
+
+    Physical strategy is pinned to SORT-MERGE: salting exists FOR the
+    big-shuffle regime, where the session default's shuffled-hash
+    join builds an unspillable per-partition map over the ×16
+    replicated stream — measured at ×100: SHJ 22.5 s (GC-bound
+    build) vs SMJ 3.2 s, against 1.2 s for the plain unsalted join
+    (the honest ~2.6× salting tax is the row replication itself).
+    A spillable sorted join is exactly the property the at-scale
+    fallback needs, so the hint is part of the operator's
+    semantics, not a tuning afterthought."""
     ev = load(spark, sf_dir, "events").withColumn(
         "salt", (F.col("event_id") % _SALT_N).cast("int")
     )
@@ -405,7 +415,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_N)]))
     )
     return (
-        ev.join(
+        ev.hint("merge")
+        .join(
             salted_dim,
             (ev.user_id == salted_dim.c_custkey) & (ev.salt == salted_dim.salt),
         )
