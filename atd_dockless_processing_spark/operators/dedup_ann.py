@@ -616,31 +616,123 @@ def llm_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     working set 4x (memory AND shuffle bytes); the rescaled dot
     product is exact enough for candidate generation, with exact
     re-scoring only on the top-k — this operator measures exactly
-    that error. All arithmetic is JVM-side higher-order functions;
-    round() half-away-from-zero agrees between Spark and DuckDB."""
+    that error. ADAPTIVE like ``llm_cosine_topk`` (round-6 legacy
+    sweep: the original single-Project form re-evaluated the HOF dot
+    subtrees up to 3x per row — Catalyst does not CSE non-cheap
+    expressions — and measured 19.3x DuckDB at x100): below the
+    Arrow threshold the staged-Projection HOF plan (one tier per
+    reused non-cheap column, each dot evaluated once); at/above it,
+    ``mapInArrow`` numpy — quantization, both dot products and the
+    norms are three BLAS ops per Arrow batch, and only each batch's
+    local top-10 crosses back (batch-local top-10 under the global
+    order contains the global top-10). round() half-away-from-zero
+    agrees between Spark, DuckDB, and the numpy copysign/floor
+    form."""
+    from .llm import _COSINE_ARROW_MIN_ROWS, _embeddings_nrows
+
+    if _embeddings_nrows(sf_dir) >= _COSINE_ARROW_MIN_ROWS:
+        return _vector_quantize_arrow(spark, sf_dir)
     v = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("ve")
     )
-    sc = F.lit(127.0) / F.array_max(F.transform("ve", lambda x: F.abs(x)))
-    quant = v.select(
+    # staged projections: every reused non-cheap Column gets its own
+    # tier so each HOF evaluates exactly once per row
+    scaled = v.select(
         "vec_id",
         "ve",
-        sc.alias("sc"),
-        F.transform("ve", lambda x: F.round(x * sc, 0)).alias("qv"),
+        (F.lit(127.0) / F.array_max(F.transform("ve", lambda x: F.abs(x)))).alias("sc"),
+        _norm(F.col("ve")).alias("nrm"),
+    )
+    quant = scaled.select(
+        "vec_id",
+        "ve",
+        "sc",
+        "nrm",
+        F.transform("ve", lambda x: F.round(x * F.col("sc"), 0)).alias("qv"),
     )
     q0 = quant.where(F.col("vec_id") == 0).select(
-        F.col("qv").alias("q_q"), F.col("sc").alias("sc_q"), F.col("ve").alias("ve_q")
+        F.col("qv").alias("q_q"), F.col("sc").alias("sc_q"), F.col("ve").alias("ve_q"),
+        F.col("nrm").alias("nrm_q"),
     )
     a = quant.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q0))
-    denom = _norm(F.col("ve")) * _norm(F.col("ve_q"))
-    approx = _dot(F.col("qv"), F.col("q_q")) / (F.col("sc") * F.col("sc_q")) / denom
-    exact = _dot(F.col("ve"), F.col("ve_q")) / denom
-    scored = a.select(
+    dots = a.select(
         "vec_id",
-        F.round(approx, 4).alias("approx_cos"),
-        F.round(exact, 4).alias("exact_cos"),
-        F.round(F.abs(approx - exact), 4).alias("quant_err"),
+        "sc",
+        "sc_q",
+        (F.col("nrm") * F.col("nrm_q")).alias("denom"),
+        _dot(F.col("qv"), F.col("q_q")).alias("dq"),
+        _dot(F.col("ve"), F.col("ve_q")).alias("de"),
     )
+    raw = dots.select(
+        "vec_id",
+        (F.col("dq") / (F.col("sc") * F.col("sc_q")) / F.col("denom")).alias("approx"),
+        (F.col("de") / F.col("denom")).alias("exact"),
+    )
+    scored = raw.select(
+        "vec_id",
+        F.round(F.col("approx"), 4).alias("approx_cos"),
+        F.round(F.col("exact"), 4).alias("exact_cos"),
+        F.round(F.abs(F.col("approx") - F.col("exact")), 4).alias("quant_err"),
+    )
+    return scored.orderBy(F.col("approx_cos").desc(), "vec_id").limit(10)
+
+
+def _vector_quantize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batch numpy path of ``llm_vector_quantize`` (large
+    corpora). Quantization rounds half-away-from-zero via
+    copysign(floor(|v| + 0.5)) — for |v| <= 127 every k+0.5 is an
+    exact double, so this is bit-identical to Spark's BigDecimal
+    HALF_UP and DuckDB's round(); the final 4-decimal rounding uses
+    np.round per the llm_cosine_topk precedent (cross-path equality
+    asserted in tests on the full sf corpus)."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_rows = emb.where(F.col("vec_id") == 0).select("embedding").collect()
+    ve0 = np.asarray(q_rows[0][0], dtype=np.float64)
+    sc_q = 127.0 / np.max(np.abs(ve0))
+    q_q = np.copysign(np.floor(np.abs(ve0 * sc_q) + 0.5), ve0 * sc_q)
+    nrm_q = np.sqrt(ve0 @ ve0)
+
+    out_schema = "vec_id bigint, approx_cos double, exact_cos double, quant_err double"
+
+    def score(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            col = b.column(b.schema.get_field_index("embedding"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            mat = flat.reshape(n, -1)
+            sc = 127.0 / np.max(np.abs(mat), axis=1)
+            scaled = mat * sc[:, None]
+            qv = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled)
+            denom = np.sqrt(np.einsum("ij,ij->i", mat, mat)) * nrm_q
+            approx = (qv @ q_q) / (sc * sc_q) / denom
+            exact = (mat @ ve0) / denom
+            a4 = np.round(approx, 4)
+            e4 = np.round(exact, 4)
+            err = np.round(np.abs(approx - exact), 4)
+            ids = np.asarray(
+                b.column(b.schema.get_field_index("vec_id")), dtype=np.int64
+            )
+            idx = np.flatnonzero(ids != 0)
+            order = np.lexsort((ids[idx], -a4[idx]))[:10]
+            sel = idx[order]
+            yield pa.record_batch(
+                [
+                    pa.array(ids[sel], type=pa.int64()),
+                    pa.array(a4[sel], type=pa.float64()),
+                    pa.array(e4[sel], type=pa.float64()),
+                    pa.array(err[sel], type=pa.float64()),
+                ],
+                names=["vec_id", "approx_cos", "exact_cos", "quant_err"],
+            )
+
+    scored = emb.mapInArrow(score, out_schema)
     return scored.orderBy(F.col("approx_cos").desc(), "vec_id").limit(10)
 
 

@@ -80,7 +80,18 @@ _ZONES = [
 def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-rectangle via broadcast theta join — the
     point-in-polygon generalization ([P high]). The zone dim is
-    broadcast; at 100 TB the point table never shuffles."""
+    broadcast; at 100 TB the point table never shuffles.
+
+    ×100 decomposition (legacy sweep, BASELINE.md): 2.87 s total, of
+    which the scan + get_json_object floor alone is 1.33 s (Spark's
+    JSON-string parse vs DuckDB's native JSON type — the json_events
+    tax, not a join defect). A grid-bucketed equi-join variant
+    (floor(x/100) cell key + broadcast hash join + residual range
+    test — the interval-overlap trick in 2-D) was A/B'd at 2.63 s
+    and REJECTED: with a handful of broadcast zones the nested-loop
+    probe is already ~free per row, so bucketing only pays once the
+    zone table outgrows a when-chain (thousands of zones), which is
+    exactly when it should be introduced."""
     ev = load(spark, sf_dir, "events").select(
         F.col("value").alias("x"),
         F.get_json_object("props", "$.k").cast("int").alias("y"),

@@ -782,7 +782,15 @@ def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     users, not events, so the corpus-size exchange happens exactly
     once. At 100 TB the user table is the ~millions-row side and the
     global NTILE becomes a range-partitioned sort (or approx-quantile
-    bucketing, documented trade)."""
+    bucketing, documented trade).
+
+    ×100 decomposition (legacy sweep, BASELINE.md): 1.13 s total =
+    0.59 s scan + per-user agg floor (10M events → 1M users) +
+    ~0.18 s per single-partition ntile window at 1M users. The
+    windows are NOT the local bottleneck, so the form stays; the
+    documented range-partition/approx-quantile rewrite is the switch
+    to flip when the user dimension outgrows one partition's sort
+    (~100M+ users), not before."""
     ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     per_user = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_seen"),
@@ -865,10 +873,13 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf uses the +1-inside-the-log BM25+ variant (always positive, no
     negative-idf edge for terms in >half the corpus — this synthetic
     corpus has exactly that property).""".format(k=_BM25_TOPK)
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.split("text", " ").alias("toks"),
-        F.size(F.split("text", " ")).alias("dl"),
+    # stage the split once (Catalyst does not CSE non-cheap exprs:
+    # an inline size(split(..)) would re-split every row — the
+    # round-6 staged-Projection rule)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", "toks", F.size("toks").alias("dl"))
     )
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

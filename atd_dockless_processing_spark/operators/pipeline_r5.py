@@ -508,34 +508,34 @@ def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ([P med]; generalizes the reference's pre-publication sanity
     checks, and the profiling step of a training-data intake).
 
-    Scale shape: ONE aggregation job computes all per-column counts
-    (COUNT + COUNT(col) + COUNT(DISTINCT col) for 5 columns in a
-    single multi-distinct agg — Catalyst plans it with expand, one
-    logical pass over orders instead of 5 separate scans), then a
-    stack() unpivot reshapes the 1-row wide result into one row per
-    column — metadata-sized, no second data pass. The oracle is the
-    naive per-column UNION ALL (5 scans): different plan, same
-    numbers."""
+    Scale shape: one union branch PER COLUMN, each a
+    groupBy(col).count() (map-side combinable — the exchange carries
+    the column's distinct values, not the rows) folded to a single
+    profile row. Each branch's scan is column-pruned to ONE parquet
+    column. The original one-pass multi-distinct agg was A/B'd and
+    REJECTED at ×100 (BASELINE.md legacy batch 4): Catalyst plans k
+    distinct aggregates with Expand ×(k+1) — every row replicated 6×
+    into the distinct-hash shuffle — and measured 7.2 s vs 2.1 s for
+    this form (the oracle's naive per-column UNION ALL is the same
+    plan family, 5 pruned scans)."""
     o = load(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    branches = []
     for c in _PROFILE_COLS:
-        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
-    wide = o.agg(*aggs)
-    stack_expr = ", ".join(
-        f"'{c}', {c}__nn, {c}__nd" for c in _PROFILE_COLS
-    )
-    return wide.select(
-        F.col("n_rows"),
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS (col_name, nn, nd)"
-        ),
-    ).select(
-        "col_name",
-        "n_rows",
-        (F.col("n_rows") - F.col("nn")).alias("n_null"),
-        F.col("nd").alias("n_distinct"),
-    )
+        g = o.groupBy(F.col(c).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+        branches.append(
+            g.agg(
+                F.lit(c).alias("col_name"),
+                F.sum("cnt").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+                ).alias("n_null"),
+                F.count_if(F.col("v").isNotNull()).alias("n_distinct"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 # ---------------------------------------------------------------------------

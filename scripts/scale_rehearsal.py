@@ -139,6 +139,26 @@ ENGINE_SHAPES = {
     "theta range join": "join_theta_range",
     "interval overlap join": "join_interval_overlap",
     "salted skew join": "join_skew_salted",
+    # legacy batch 4: the remaining never-scale-tested heavy plan
+    # shapes — multi-broadcast chain, distinct expansion, Expand,
+    # lexical retrieval, decontamination join, lag-pair/ntile/LOCF
+    # event shapes, spatial joins, vector ops, per-column profile,
+    # islands, and the applyInPandas UDAF surface.
+    "multiway 5-join (lineitem)": "join_multiway_5",
+    "distinct count (orders)": "agg_distinct_count",
+    "grouping sets (lineitem)": "agg_grouping_sets",
+    "bm25 topk (documents)": "llm_bm25_topk",
+    "contamination ngrams (documents)": "llm_contamination_ngram",
+    "markov transitions (events)": "evt_markov_transitions",
+    "rfm segments (events)": "evt_rfm_segments",
+    "time weighted avg (events)": "evt_time_weighted_avg",
+    "od matrix k-suppressed (events)": "geo_od_matrix",
+    "bbox join (events)": "geo_bbox_join",
+    "kmeans step (embeddings)": "llm_kmeans_step",
+    "vector quantize (embeddings)": "llm_vector_quantize",
+    "profile table (orders)": "dq_profile_table",
+    "gap islands (events)": "evt_gap_islands",
+    "grouped-map udaf (events)": "udaf_grouped_map",
     "correlated subquery (orders)": "sql_correlated_subquery",
     "dau/wau rolling (events)": "evt_dau_wau_rolling",
     "range frame window (orders)": "win_range_frame",

@@ -733,6 +733,20 @@ def test_cosine_adaptive_paths_agree(spark, sf_dir):
     assert hof.equals(arrow), (hof, arrow)
 
 
+def test_vector_quantize_adaptive_paths_agree(spark, sf_dir):
+    """llm_vector_quantize round-6 adaptive strategy (same contract
+    as llm_cosine_topk): the mapInArrow numpy path must produce
+    EXACTLY the staged-HOF path's rows — ids, rounded cosines, and
+    quantization error, same dtypes — on the full driver table, so
+    the row-count threshold switch can never change results."""
+    from atd_dockless_processing_spark.operators import dedup_ann
+
+    hof = QUERIES["llm_vector_quantize"](spark, sf_dir).toPandas()
+    arrow = dedup_ann._vector_quantize_arrow(spark, sf_dir).toPandas()
+    assert list(hof.dtypes) == list(arrow.dtypes)
+    assert hof.equals(arrow), (hof, arrow)
+
+
 def test_cosine_threshold_routes_by_rowcount(sf_dir):
     """The adaptive switch reads parquet footers only (no Spark job):
     driver sf dirs are below the threshold (HOF path), and a missing/
