@@ -334,21 +334,98 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 cosine neighbors (ext). Query side broadcast; candidate
     scoring is a broadcast nested-loop, ranked per query. At 100 TB
     the candidate set comes from LSH bucketing instead of the full
-    corpus — the rank/verify tail is identical."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("ve")
+    corpus — the rank/verify tail is identical.
+
+    ADAPTIVE like llm_cosine_topk (round-6 legacy sweep): below the
+    Arrow threshold, the staged HOF form — both norms staged BEFORE
+    the join so they evaluate once per vector, not once per pair
+    (the un-staged form re-derived _norm(ve) 20x per vector); at or
+    above it, mapInArrow numpy — each Arrow batch scores (n,dim) @
+    (dim,20) as ONE BLAS matrix product and emits only batch-local
+    top-3 per query (<=60 rows/batch), so the per-query rank window
+    sorts a metadata-sized stream instead of 20 corpus-size
+    partitions."""
+    if _embeddings_nrows(sf_dir) >= _COSINE_ARROW_MIN_ROWS:
+        return _knn_join_arrow(spark, sf_dir)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("ve"))
+        .select("vec_id", "ve", _norm(F.col("ve")).alias("nrm"))
     )
-    q = (
-        emb.where((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500))
-        .select(F.col("vec_id").alias("query_id"), F.col("ve").alias("qv"))
+    q = emb.where((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ve").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = emb.join(F.broadcast(q), emb.vec_id != q.query_id).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            _dot(F.col("ve"), F.col("qv")) / (_norm(F.col("ve")) * _norm(F.col("qv"))), 4
-        ).alias("cos_sim"),
+        F.round(_dot(F.col("ve"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4).alias(
+            "cos_sim"
+        ),
     )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def _knn_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batch numpy path of ``llm_knn_join`` (large corpora).
+    One float64 (n,dim)@(dim,m) BLAS product per batch; batch-local
+    top-3 per query under the global order (rounded cos desc,
+    neighbor_id asc) necessarily contains each query's global top-3,
+    so the final window ranks <=3*m rows per batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_rows = (
+        emb.where((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_rows.sort(key=lambda r: r[0])
+    qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.asarray([r[1] for r in q_rows], dtype=np.float64).T  # (dim, m)
+    qn = np.sqrt(np.einsum("ij,ij->j", qmat, qmat))
+
+    out_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
+
+    def score(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            col = b.column(b.schema.get_field_index("embedding"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = np.asarray(col.flatten(), dtype=np.float64).reshape(n, -1)
+            ids = np.asarray(
+                b.column(b.schema.get_field_index("vec_id")), dtype=np.int64
+            )
+            nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            cos = np.round((mat @ qmat) / (nrm[:, None] * qn[None, :]), 4)
+            oq, on, oc = [], [], []
+            for j in range(len(qids)):
+                valid = np.flatnonzero(ids != qids[j])
+                order = np.lexsort((ids[valid], -cos[valid, j]))[:3]
+                sel = valid[order]
+                oq.extend([qids[j]] * len(sel))
+                on.extend(ids[sel].tolist())
+                oc.extend(cos[sel, j].tolist())
+            yield pa.record_batch(
+                [
+                    pa.array(oq, type=pa.int64()),
+                    pa.array(on, type=pa.int64()),
+                    pa.array(oc, type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cos_sim"],
+            )
+
+    pairs = emb.mapInArrow(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         pairs.withColumn("rnk", F.row_number().over(w))

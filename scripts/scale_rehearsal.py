@@ -159,6 +159,14 @@ ENGINE_SHAPES = {
     "profile table (orders)": "dq_profile_table",
     "gap islands (events)": "evt_gap_islands",
     "grouped-map udaf (events)": "udaf_grouped_map",
+    # legacy batch 5: the vector/ANN family closers + two cheap
+    # stragglers (z-score screen, exact corr/cov power sums)
+    "knn join (20 queries x corpus)": "llm_knn_join",
+    "ann ivf (coarse quantize + probe)": "llm_ann_ivf",
+    "ann hyperplane (16-bit LSH + rerank)": "llm_ann_hyperplane",
+    "centroid per label (embeddings)": "llm_centroid_per_label",
+    "anomaly zscore (events)": "evt_anomaly_zscore",
+    "corr/cov power sums (lineitem)": "agg_corr_cov",
     "correlated subquery (orders)": "sql_correlated_subquery",
     "dau/wau rolling (events)": "evt_dau_wau_rolling",
     "range frame window (orders)": "win_range_frame",

@@ -747,6 +747,53 @@ def test_vector_quantize_adaptive_paths_agree(spark, sf_dir):
     assert hof.equals(arrow), (hof, arrow)
 
 
+def test_knn_join_adaptive_paths_agree(spark, sf_dir):
+    """llm_knn_join round-6 adaptive strategy: the mapInArrow numpy
+    path (batch-local top-3 per query + tiny rank window) must
+    produce EXACTLY the staged-HOF path's rows on the full driver
+    table — per-query neighbors, rounded cosines, ranks, dtypes."""
+    from atd_dockless_processing_spark.operators import llm
+
+    hof = (
+        QUERIES["llm_knn_join"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    arrow = (
+        llm._knn_join_arrow(spark, sf_dir)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert list(hof.dtypes) == list(arrow.dtypes)
+    assert hof.equals(arrow), (hof, arrow)
+
+
+def test_ann_hyperplane_adaptive_paths_agree(spark, sf_dir):
+    """llm_ann_hyperplane round-6 adaptive strategy: the mapInArrow
+    path computes signatures/norms/rerank dots with an exact
+    sequential fold (same products, same addition order as the HOF
+    fold), so the sign gate and every output row must be IDENTICAL
+    to the JVM path on the full driver table."""
+    from atd_dockless_processing_spark.operators import pipeline_ext
+
+    hof = (
+        QUERIES["llm_ann_hyperplane"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    arrow = (
+        pipeline_ext._ann_hyperplane_arrow(spark, sf_dir)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert list(hof.dtypes) == list(arrow.dtypes)
+    assert hof.equals(arrow), (hof, arrow)
+
+
 def test_cosine_threshold_routes_by_rowcount(sf_dir):
     """The adaptive switch reads parquet footers only (no Spark job):
     driver sf dirs are below the threshold (HOF path), and a missing/
