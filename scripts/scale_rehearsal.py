@@ -167,6 +167,16 @@ ENGINE_SHAPES = {
     "centroid per label (embeddings)": "llm_centroid_per_label",
     "anomaly zscore (events)": "evt_anomaly_zscore",
     "corr/cov power sums (lineitem)": "agg_corr_cov",
+    # legacy batch 6: one representative per remaining cheap family
+    # (window frames, set ops, text scoring, LM quality, geo derive,
+    # rule classification) — closes the "every family has a scale
+    # row" claim
+    "moving avg window (orders)": "win_moving_avg",
+    "intersect all (lineitem)": "set_intersect_all",
+    "entropy filter (documents)": "txt_entropy_filter",
+    "unigram logprob (documents)": "llm_unigram_logprob",
+    "trip length (events)": "geo_trip_length",
+    "text classify (documents)": "llm_text_classify",
     "correlated subquery (orders)": "sql_correlated_subquery",
     "dau/wau rolling (events)": "evt_dau_wau_rolling",
     "range frame window (orders)": "win_range_frame",
