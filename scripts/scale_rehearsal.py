@@ -146,7 +146,7 @@ ENGINE_SHAPES = {
     # islands, and the applyInPandas UDAF surface.
     "multiway 5-join (lineitem)": "join_multiway_5",
     "distinct count (orders)": "agg_distinct_count",
-    "grouping sets (lineitem)": "agg_grouping_sets",
+    "grouping sets (orders)": "agg_grouping_sets",
     "bm25 topk (documents)": "llm_bm25_topk",
     "contamination ngrams (documents)": "llm_contamination_ngram",
     "markov transitions (events)": "evt_markov_transitions",
