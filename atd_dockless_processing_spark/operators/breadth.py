@@ -77,22 +77,24 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically — count desc, then status desc — identically in
     both engines; native mode() has engine-defined ties).
 
-    Tie-safety: the ordering key embeds the tie-breaker in one
-    zero-padded string '%013d|%013d' (cents | orderkey) — lexicographic
-    order equals (price, orderkey) order, and 13 digits cover cents to
-    ~1e13 and orderkeys to ~1e13 (TPC-H SF ~1.6M), with no bigint
-    packing overflow (a cents*1e12+orderkey scalar would overflow
-    bigint already at max TPC-H price). Same printf on both engines,
-    so the result is deterministic under any partitioning."""
+    Tie-safety: the oracle's ordering key embeds the tie-breaker in
+    one zero-padded string '%013d|%013d' (cents | orderkey) —
+    lexicographic order equals (price, orderkey) order. The Spark
+    side orders by the equivalent STRUCT key (cents, orderkey):
+    struct comparison is field-by-field, which equals the padded
+    string's lexicographic order for non-negative fixed-width ints,
+    so the ARGMAX — the only value that crosses engines — is
+    identical, while the engine skips 15M java.util.Formatter calls
+    per column (×100 A/B, scripts/ab_minmax.py: format_string 4.79 s,
+    lpad-concat 2.70 s, struct 1.69 s — results equal)."""
     o = load(spark, sf_dir, "orders").select(
         "o_orderpriority",
         "o_orderstatus",
         "o_orderkey",
         "o_totalprice",
-        F.format_string(
-            "%013d|%013d",
-            F.round(F.col("o_totalprice") * 100).cast("bigint"),
-            F.col("o_orderkey"),
+        F.struct(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.col("o_orderkey").alias("k"),
         ).alias("price_key"),
     )
     base = o.groupBy("o_orderpriority").agg(
@@ -108,7 +110,7 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by(
                 "o_orderstatus",
-                F.format_string("%010d|%s", "n", "o_orderstatus"),
+                F.struct(F.col("n").alias("n"), F.col("o_orderstatus").alias("s")),
             ).alias("modal_status")
         )
     )

@@ -72,6 +72,13 @@ def get_spark(app_name: str = "atd-dockless-spark", master: str | None = None) -
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Default 1g (Spark's own default). The xN rehearsal raises it
+        # via env: map-only shapes (fn_/flt_/prj_) produce table-sized
+        # result sets, and the harness's toPandas intentionally pays
+        # the same full-materialization cost DuckDB's fetchall pays —
+        # at x100 that legitimately exceeds 1 GiB of task results. A
+        # production pipeline writes such outputs to a sink instead.
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_MAX_RESULT", "1g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

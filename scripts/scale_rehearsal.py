@@ -183,6 +183,54 @@ ENGINE_SHAPES = {
     "cohort retention (events)": "evt_cohort_retention",
     "exact percentiles (lineitem)": "agg_percentiles",
 }
+# legacy batch 7 — COMPLETION sweep: every remaining compute-only
+# key, labeled by its own name (one honest x100 row per key).
+# Exclusions, each for a stated reason: llm_dedup_* are measured on
+# scale_rehearsal_llm.py's token-suffixed corpus (on THIS naive
+# replication texts repeat xN, so near-dup groups go quadratic —
+# not a design any corpus should survive); agg_approx_distinct has
+# no oracle (rows-only by contract); join_scd2_temporal and
+# mm_audio_silence_trim are constant-size at any N (documented in
+# their docstrings); geo_point_in_polygon_table's ORACLE is the
+# deliberately naive O(points x edges) cross join (960M rows at x10
+# — the engine path is grid-blocked with a plan assertion in
+# test_engine_units.py, so the xN row would time the oracle, not
+# the operator); sql_recursive_cte's DENSE-user_id precondition
+# (docstring) holds only on driver testdata — replica key-shifts
+# orphan every non-replica-0 subtree, so at xN the recursion and the
+# closed-form oracle legitimately disagree (its bounded-superstep
+# scale posture is measured via gph_bfs_reachability, 1.13x at
+# x100); stm_*/snk_*/src_* execute side effects at plan
+# build and are timed inclusively in their own BASELINE sections.
+_COMPLETION_KEYS = [
+    "agg_collect_sorted", "agg_cube", "agg_filtered", "agg_global",
+    "agg_histogram", "agg_minmax_by", "agg_pivot", "agg_rollup",
+    "agg_stats", "dq_constraint_report", "dq_dp_noise_counts", "dq_psi_drift",
+    "evt_attribution_last_touch", "evt_rebalance_detect", "evt_session_batch", "evt_session_window_native",
+    "evt_sliding_window", "evt_time_spine", "flt_in_set", "flt_like_regex",
+    "flt_null_coalesce", "flt_range", "fn_array_ops", "fn_bitwise",
+    "fn_cast_coercion", "fn_date_arith", "fn_date_derive", "fn_date_derive_tz",
+    "fn_date_interval", "fn_epoch_ts", "fn_explode", "fn_from_json_struct",
+    "fn_geojson_route", "fn_json_extract", "fn_levenshtein", "fn_map_ops",
+    "fn_math_core", "fn_regexp_extract", "fn_split_tokens", "fn_string_core",
+    "fn_struct_nested", "fn_surrogate_key", "fn_try_arith", "fn_url_parse",
+    "fn_variant_json", "geo_grid_bin", "gph_degree_distribution",
+    "join_anti", "join_bloom_prefilter", "join_broadcast_dim", "join_cross_small",
+    "join_full_outer", "join_inner", "join_left_outer", "join_null_safe",
+    "join_semi", "llm_dataset_mixture", "llm_doc_sample_per_source", "llm_stratified_sample",
+    "llm_term_topk", "llm_vector_norm_filter", "mm_audio_features", "mm_decode_stub",
+    "mm_decode_wav", "mm_frame_sample", "mm_image_histogram", "mm_image_resize",
+    "prj_case_when", "prj_derived_expr", "prj_select_rename", "prj_unpivot",
+    "set_except", "set_intersect", "set_union_all", "set_union_distinct",
+    "sql_tpch_q6", "srt_limit_offset", "srt_multi_nulls",
+    "txt_chunk_docs", "txt_fingerprint", "txt_lang_id", "txt_pii_mask",
+    "txt_quality_score", "txt_repetition_filter", "txt_token_bpe", "udf_pandas_vectorized",
+    "udf_scalar_python", "udtf_posexplode", "win_cume_dist", "win_distinct_count",
+    "win_first_last", "win_lag_lead", "win_ntile_pct", "win_percent_rank",
+    "win_rank_dense", "win_ratio_to_report", "win_running_sum",
+]
+ENGINE_SHAPES.update({k: k for k in _COMPLETION_KEYS})
+
 # Dims that do NOT replicate: copied through at base size so keys
 # auditing fact->dim edges (dq_fk_orphans) run against the scaled dir.
 STATIC = ["region", "nation", "part", "supplier"]
