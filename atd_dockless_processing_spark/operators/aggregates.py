@@ -229,11 +229,24 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE(status, priority) aggregate (core)."""
-    return (
+    """CUBE(status, priority) aggregate (core).
+
+    Pairs-first form (round-6 completion sweep): Catalyst plans CUBE
+    as Expand ×4 over every input row — 60M expanded rows at ×100.
+    COUNT is exactly decomposable, so the corpus first collapses to
+    the ~15 distinct (status, priority) pairs with a plain
+    map-combinable count, and the CUBE's Expand runs over the pair
+    summary (SUM(n) ≡ COUNT(*) per subset, integer-exact — the same
+    rewrite is NOT applied to agg_grouping_sets/agg_rollup, whose
+    float SUMs would change accumulation order at the ROUND margin)."""
+    pairs = (
         load(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        pairs.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"))
     )
 
 
