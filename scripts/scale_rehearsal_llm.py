@@ -70,6 +70,15 @@ SHAPES = {
     "boilerplate strip (df-threshold)": "txt_boilerplate_strip",
     "sequence packing (window cumsum)": "llm_pack_sequences",
     "corpus funnel (one-pass gates)": "llm_corpus_funnel",
+    # round-6 completion: the rest of the dedup family on the SAME
+    # suffixed corpus (cross-replica Jaccard 0 — linear true-pair
+    # growth; the naive scale_rehearsal replication would create
+    # groups of N identical docs and a quadratic blowup)
+    "simhash near-dup (4x8-bit bands)": "llm_dedup_simhash",
+    "ngram jaccard near-dup (minhash-gated)": "llm_dedup_ngram",
+    "url canonical dedup": "llm_dedup_url_canon",
+    "keep-list dedup (minhash-gated)": "llm_dedup_keep_list",
+    "dedup clusters (connected components)": "llm_dedup_clusters",
 }
 
 
