@@ -1,0 +1,195 @@
+"""Generate SCALE.md: one scale-evidence line per SURVEY §2 key.
+
+Sources, in priority order:
+1. label -> key maps from scripts/scale_rehearsal.py (SHAPES,
+   ENGINE_SHAPES, incl. the completion keys whose label IS the key)
+   and scripts/scale_rehearsal_llm.py (SHAPES);
+2. every markdown table row in BASELINE.md whose first cell matches
+   a known label (the LAST such row wins — later sections supersede
+   earlier measurements of the same shape);
+3. a hand-maintained pointer map for keys whose evidence is prose
+   (inclusive stream/sink timings, CSE-sweep decompositions) or an
+   exclusion with a stated reason.
+
+Usage: python scripts/scale_index.py          # writes SCALE.md
+       python scripts/scale_index.py --check  # exit 1 if any §2 key
+                                              # has no evidence line
+"""
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# Prose-evidence pointers and exclusions. Every entry names where the
+# evidence lives so a reader can verify without grepping.
+POINTERS = {
+    # measured rows whose BASELINE display label differs from the
+    # rehearsal registry label — numbers restated with their section
+    "agg_bloom_membership": "BASELINE round-6 de-weak — 1.10x at x100 (2.22/2.44 s)",
+    "agg_cms_heavy_hitters": "BASELINE round-4 shapes — 0.61x at x100 (Spark faster)",
+    "agg_hll_deterministic": "BASELINE round-4 shapes — 0.80x at x100 (Spark faster)",
+    "agg_quantile_sketch": "BASELINE round-6 de-weak — 1.41x at x100",
+    "agg_weighted_avg": "BASELINE round-6d/e — 1.04x at x100 (integer-cents core)",
+    "etl_publish_funnel": "BASELINE round-6 de-weak — 0.91x at x100 (Spark faster, 2-exchange lifecycle)",
+    "evt_cusum_changepoint": "BASELINE round-6c — 0.27x at x10 (engine fold 3.7x faster than the SQL fixpoint oracle; 22.9 s x100 near-linear)",
+    "evt_ewma": "BASELINE round-6c — 0.25x at x10 (same fold-vs-fixpoint asymmetry; 25.3 s x100)",
+    "evt_new_vs_returning": "BASELINE round-6g — 1.87x at x100 (pair-summary form)",
+    "evt_outlier_mad": "BASELINE round-6b — 3.72x at x100 (exact nested-median TypedImperativeAggregate constant, decomposed; sketch family is the scale path)",
+    "evt_state_intervals": "BASELINE round-6 de-weak — 0.24x at x100 (Spark 4.2x faster)",
+    "evt_ts_interpolate": "BASELINE round-6b — 0.93x at x100 (1M grid points)",
+    "geo_hex_ring_smooth": "BASELINE round-6d/e — 1.08x at x100 (single-pass is-center re-group, was 25.5x as a self-join)",
+    "gph_jaccard_neighbors": "BASELINE round-6b — 0.08x at x100 (Spark 12.8x faster, wedge join)",
+    "join_asof": "BASELINE legacy sweep 1 — 0.87x at x100, union-tag ordered-window form BEATS DuckDB's native ASOF JOIN",
+    "join_interval_overlap": "BASELINE legacy sweep 2 — canonical-bucket emission, 12.0 s sink-mode for 171.7M pairs = 1.79x vs IEJoin",
+    "join_skew_salted": "BASELINE legacy sweep 3 — SMJ-pinned 2.85 s; honest 2.4x replication tax vs the plain join",
+    "join_theta_range": "BASELINE legacy sweep 2 — 0.59 s / 2.44x (dispatch-floor regime, 240 ms oracle)",
+    "llm_ann_ivf": "BASELINE legacy sweep 5 — 2.28x at x10 (honest config; the x100 fixed-nlist row is quadratic BY CONFIG, 2.19x)",
+    "llm_dedup_simhash": "BASELINE dedup-family rows — 1.77/4.31/15.95 s at x1/x10/x100 on the suffixed corpus (sublinear steps)",
+    "llm_kmeans_step": "BASELINE legacy sweep batch 4 — 0.84x at x100 (2M x 64d)",
+    "llm_knn_join": "BASELINE legacy sweep 5 — 0.71x at x100 (Spark faster; staged norms + Arrow batch scoring)",
+    "llm_rouge_overlap": "BASELINE round-6f — 1.87x at x100 (same asymptotics both engines)",
+    "llm_semdedup": "BASELINE round-6 de-weak — 0.24x at x10 (honest fixed-k config; Spark 4.2x faster)",
+    "mm_image_embed_sim": "BASELINE round-6f — 0.12x at x100 (32-core Arrow decode beats the closed-form oracle 8x)",
+    "set_intersect_all": "BASELINE legacy sweep 6 — 0.57x at x100 (Spark faster)",
+    "txt_dedup_paragraphs": "BASELINE round-6g — 3.0x at x100 (630 ms absolute — staged-HOF/dispatch floor)",
+    "win_moving_avg": "BASELINE legacy sweep 6 — 0.56x at x100 (Spark faster, 15M rows / 1.5M partitions)",
+    # geo CSE-sweep decompositions (hot x100 engine timings in prose)
+    "geo_hex_bin": "BASELINE 'CSE-gap sweep' — staged cube rounding, 10.3 -> 1.4 s hot at x100",
+    "geo_point_in_polygon": "BASELINE 'CSE-gap sweep follow-up' — staged x/y Project, 1.08 -> 0.375 s hot at x100",
+    "geo_nearest_hub": "BASELINE 'CSE-gap sweep follow-up' — struct-array argmin ties when-chain A/B (1.53 vs 1.57 s)",
+    "geo_point_in_polygon_table": "EXCLUDED from xN harness: oracle is the deliberately naive O(points*edges) cross join; engine path is grid-blocked with a no-CartesianProduct plan assertion (test_engine_units.py)",
+    # dedup family measured on the suffixed corpus
+    "llm_dedup_near_minhash": "BASELINE 'LLM-pipeline scale rehearsal' — 12.65 s x1 / 130.5 s x10 / 416 s x100 sink-mode (296.8M verified pairs)",
+    "llm_dedup_exact": "BASELINE 'round-4 shapes' table — 1.75x at x100",
+    "llm_dedup_embedding": "BASELINE 'Ball-cover gate' — T=0.9 on clustered x10 corpus: 62.1x pruning, recall 1.0",
+    # iterative / precondition-bound
+    "sql_recursive_cte": "EXCLUDED from xN harness: replica key-shifts violate the documented DENSE-user_id precondition (orphaned subtrees); the valid iterative-join scale row is gph_bfs_reachability (1.13x at x100)",
+    # constant-size-by-construction configs
+    "join_scd2_temporal": "EXCLUDED: custkey<30 dim is constant-size at any N (docstring); equi+range-residual shape shares join_asof's measured form",
+    "mm_audio_silence_trim": "EXCLUDED: clip list is user_id % 200 — fixed 200 clips at any N (docstring)",
+    # rows-only contract key
+    "agg_approx_distinct": "rows-only by contract (no oracle); scale path of agg_distinct_count — fixed-size HLL sketch, no distinct expansion",
+    # streams: the four inclusive measurements carry the family
+    "stm_cdc_stream_apply": "BASELINE 'Round-6g rows' — 33.9 s INCLUSIVE of 3 incremental merges + snapshot rewrites vs DuckDB 3.24 s fold-once (semantics priced; batch twin snk_cdc_apply 1.85x)",
+    "stm_join_stream_left": "BASELINE round-6e — probe-measured watermark-flush gap closed via sentinel; streaming-vs-batch cost decomposed",
+    "stm_sketch_hll_merge": "register state merged across forced micro-batches (r6b); bounded sketch state — the stateful-agg scale shape",
+    # remaining stm_* keys: availableNow micro-batch semantics; the
+    # per-batch plan equals the measured batch twin named per row
+    "stm_tumbling_availablenow": "batch twin evt_tumbling_hour (0.46x on production us layout, BASELINE µs-staged table)",
+    "stm_sliding_watermark": "batch twin evt_sliding_window (2.02x x100)",
+    "stm_watermark_dedup": "batch twin llm_dedup_exact-shape dedup (1.75x x100)",
+    "stm_session_window": "batch twin evt_session_window_native (0.47x x100)",
+    "stm_stateful_running": "batch twin win_running_sum (0.51x x10)",
+    "stm_stateful_session": "batch twin evt_sessionize_lag (1.17-1.37x x100)",
+    "stm_join_stream_static": "batch twin join_broadcast_dim (floor-regime x10); static side broadcast per micro-batch",
+    "stm_join_stream_stream": "stream-stream inner; the LEFT OUTER twin's decomposition (stm_join_stream_left) prices the watermark machinery",
+    "stm_late_data_drop": "rows-only by contract (engine-specific watermark-drop semantics)",
+    "stm_foreachbatch_sink": "per-batch sink write; write path measured under snk_parquet/snk_partitioned family (manifest row, 2.66x INCLUSIVE)",
+    # sinks: side effects execute at plan build; inclusive rows carry
+    "snk_cdc_apply": "BASELINE round-6d — 1.85x at x100 INCLUSIVE of the published write",
+    "snk_manifest_publish": "BASELINE round-6e — 2.66x vs DuckDB's own partitioned COPY+verify (INCLUSIVE)",
+    "snk_parquet": "write-shape of the manifest row (2.66x inclusive); plain parquet sink",
+    "snk_partitioned": "write-shape of the manifest row; partitionBy layout",
+    "snk_upsert_merge": "merge logic measured via snk_cdc_apply (1.85x inclusive fold-once)",
+    "snk_scd2": "SCD2 window-merge shares the cdc-apply merge shape (1.85x inclusive)",
+    "snk_bucketed_join": "bucketed-table write + hinted SMJ; shuffle-free join asserted in tests",
+    "snk_jdbc_derby": "live JDBC MERGE round-trip (embedded Derby) — IO-bound, not a compute scale shape",
+    "snk_zorder_layout": "z-order clustered write with ASSERTED file pruning (tests); layout job, priced by its pruning assertion",
+    "snk_compact_small_files": "shuffle-free compaction maintenance job (r6b) — coalesce-write, IO-bound",
+    # sources: staged-scratch roundtrips (side effect at plan build)
+    "src_parquet_scan": "pushdown/pruning asserted in PLANS.md (PushedFilters non-empty); scan path underlies every measured row",
+    "src_csv_roundtrip": "staged roundtrip; format-IO, not a compute shape",
+    "src_json_roundtrip": "staged roundtrip; JSON parse tax measured via fn_from_json_struct/json_events rows",
+    "src_orc_roundtrip": "staged roundtrip; format-IO",
+    "src_text_log_parse": "regex parse of staged logs; regexp cost measured via fn_regexp_extract row",
+    "src_binary_files": "binaryFile datasource scan feeding the measured mm_ decode family",
+    "src_partition_prune": "partition pruning ASSERTED (PartitionFilters row in PLANS.md — 2 of ~30 dirs read)",
+    "src_schema_merge": "mergeSchema scan; footer-bound IO",
+    "src_incremental_extract": "watermark-bounded extract; pruning asserted via its predicate row",
+    "src_json_corrupt": "corrupt-record intake (r6b); parse tax as json family",
+    "src_xml_roundtrip": "staged XML roundtrip (r6c); format-IO",
+}
+
+
+def label_maps():
+    import importlib.util
+
+    maps = {}
+    for mod in ("scale_rehearsal", "scale_rehearsal_llm"):
+        spec = importlib.util.spec_from_file_location(mod, REPO / "scripts" / f"{mod}.py")
+        m = importlib.util.module_from_spec(spec)
+        src = (REPO / "scripts" / f"{mod}.py").read_text()
+        # extract dict literals without importing (import starts Spark
+        # transitively via module-level imports in some environments)
+        for dname in ("SHAPES", "ENGINE_SHAPES"):
+            mm = re.search(rf"^{dname} = \{{(.*?)^\}}", src, re.S | re.M)
+            if not mm:
+                continue
+            for lbl, key in re.findall(r'"([^"]+)":\s*"([a-z0-9_]+)"', mm.group(1)):
+                maps[lbl] = key
+        ck = re.search(r"_COMPLETION_KEYS = \[(.*?)\]", src, re.S)
+        if ck:
+            for key in re.findall(r'"([a-z0-9_]+)"', ck.group(1)):
+                maps[key] = key
+    return maps
+
+
+def main():
+    maps = label_maps()
+    base = (REPO / "BASELINE.md").read_text()
+    rows = {}
+    for line in base.splitlines():
+        m = re.match(r"\|\s*([^|]+?)\s*\|(.*)\|", line)
+        if not m:
+            continue
+        lbl = m.group(1)
+        key = maps.get(lbl)
+        if key:
+            rows[key] = line.strip()
+    # completion-sweep families are summarized in prose tables whose
+    # first cell is the family; individual keys were measured in the
+    # session logs — map the named ratios from the completion section
+    comp = re.search(r"Completion sweep \(2026-08-15\).*", base, re.S)
+    comp_text = comp.group(0) if comp else ""
+    import importlib
+
+    sys.path.insert(0, str(REPO))
+    from atd_dockless_processing_spark import QUERIES  # noqa: E402
+
+    out = ["# SCALE.md — per-key scale evidence index",
+           "",
+           "Generated by `python scripts/scale_index.py`. One line per",
+           "SURVEY §2 key: either the measured ×N row (from BASELINE.md",
+           "tables — the LAST row wins when a shape was re-measured after",
+           "a fix), a named prose/assertion pointer, or a documented",
+           "exclusion. `--check` fails if any key lacks a line.",
+           ""]
+    missing = []
+    for key in sorted(QUERIES):
+        if key in rows:
+            out.append(f"- `{key}`: {rows[key]}")
+        elif key in POINTERS:
+            out.append(f"- `{key}`: {POINTERS[key]}")
+        elif f"{key}" in comp_text:
+            # named in the completion-section prose tables
+            for ln in comp_text.splitlines():
+                if key in ln:
+                    out.append(f"- `{key}`: completion sweep — {ln.strip().lstrip('|').strip()}")
+                    break
+        else:
+            missing.append(key)
+            out.append(f"- `{key}`: MISSING")
+    out.append("")
+    out.append(f"Coverage: {len(QUERIES) - len(missing)}/{len(QUERIES)} keys with evidence lines.")
+    (REPO / "SCALE.md").write_text("\n".join(out) + "\n")
+    print(f"{len(QUERIES) - len(missing)}/{len(QUERIES)} covered; missing: {missing}")
+    if "--check" in sys.argv and missing:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
