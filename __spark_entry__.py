@@ -51,26 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _KEY_ORDER = [
     # --- evidence-needed block (no green latest driver row):
     # new keys first, then previously-ranked ones ---
-    "snk_zorder_layout", "agg_bloom_membership", "agg_quantile_sketch",
-    "llm_semdedup", "etl_publish_funnel", "evt_state_intervals",
-    "evt_new_vs_returning", "stm_cdc_stream_apply", "txt_dedup_paragraphs",
-    "join_scd2_temporal", "llm_rouge_overlap", "mm_image_embed_sim",
-    "dq_skew_report", "stm_join_stream_left", "agg_gini", "dq_fk_orphans",
-    "llm_curriculum_order", "mm_audio_silence_trim", "snk_manifest_publish",
-    "dq_freshness", "evt_path_topk", "geo_hex_ring_smooth",
-    "llm_train_val_split", "mm_video_scene_cut", "snk_cdc_apply",
-    "win_rolling_median", "agg_mode", "dq_pk_uniqueness",
-    "evt_attribution_linear", "evt_cusum_changepoint", "evt_ewma",
-    "fn_ip_cidr", "gph_bfs_reachability", "llm_doc_sample_per_source",
-    "mm_audio_features", "mm_image_histogram", "src_xml_roundtrip",
-    "txt_readability", "snk_compact_small_files", "join_bloom_prefilter",
-    "stm_sketch_hll_merge", "evt_outlier_mad", "gph_pagerank_scaled",
-    "llm_shard_assign", "src_json_corrupt", "agg_kmv_theta_sketch",
-    "dq_benford_digits", "evt_rebalance_detect", "evt_ts_interpolate",
-    "gph_degree_distribution", "gph_jaccard_neighbors", "gph_triangle_count",
-    "llm_importance_resample", "mm_image_resize", "txt_ngram_topk",
-    "win_distinct_count", "evt_interarrival_hist", "fn_base64_roundtrip",
-    "agg_weighted_avg",
+    "gph_jaccard_neighbors", "gph_triangle_count", "llm_importance_resample",
+    "mm_image_resize", "txt_ngram_topk", "win_distinct_count",
+    "evt_interarrival_hist", "fn_base64_roundtrip", "agg_weighted_avg",
     # --- ever-green tail, oldest evidence first ---
     "win_range_frame", "win_cume_dist", "fn_regexp_extract", "txt_pii_mask",
     "fn_split_tokens", "llm_token_stats", "srt_multi_nulls", "fn_date_arith",
@@ -128,6 +111,23 @@ _KEY_ORDER = [
     "win_moving_avg", "win_rank_dense", "prj_derived_expr",
     "src_parquet_scan", "win_first_last", "win_ntile_pct",
     "win_percent_rank", "win_ratio_to_report", "prj_case_when",
+    "snk_zorder_layout", "agg_bloom_membership", "agg_quantile_sketch",
+    "llm_semdedup", "etl_publish_funnel", "evt_state_intervals",
+    "evt_new_vs_returning", "stm_cdc_stream_apply", "txt_dedup_paragraphs",
+    "join_scd2_temporal", "llm_rouge_overlap", "mm_image_embed_sim",
+    "dq_skew_report", "stm_join_stream_left", "agg_gini", "dq_fk_orphans",
+    "llm_curriculum_order", "mm_audio_silence_trim", "snk_manifest_publish",
+    "dq_freshness", "evt_path_topk", "geo_hex_ring_smooth",
+    "llm_train_val_split", "mm_video_scene_cut", "snk_cdc_apply",
+    "win_rolling_median", "agg_mode", "dq_pk_uniqueness",
+    "evt_attribution_linear", "evt_cusum_changepoint", "evt_ewma",
+    "fn_ip_cidr", "gph_bfs_reachability", "llm_doc_sample_per_source",
+    "mm_audio_features", "mm_image_histogram", "src_xml_roundtrip",
+    "txt_readability", "snk_compact_small_files", "join_bloom_prefilter",
+    "stm_sketch_hll_merge", "evt_outlier_mad", "gph_pagerank_scaled",
+    "llm_shard_assign", "src_json_corrupt", "agg_kmv_theta_sketch",
+    "dq_benford_digits", "evt_rebalance_detect", "evt_ts_interpolate",
+    "gph_degree_distribution",
 ]
 
 
