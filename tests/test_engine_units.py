@@ -1996,3 +1996,69 @@ def test_new_vs_returning_conservation(spark, sf_dir):
     assert got["cum_users"].is_monotonic_increasing
     assert (got["n_returning"] == got["n_active"] - got["n_new"]).all()
     assert int(got.iloc[0]["n_returning"]) == 0
+
+
+def test_win_distinct_count_cross_formulation(spark, sf_dir):
+    """The engine expresses running COUNT(DISTINCT) as
+    size(collect_set) over the running frame; pin it against a pure-
+    Python recomputation (ordered scan + set) for a sample of users —
+    an algorithm independent of BOTH the Spark formulation and the
+    DuckDB oracle's native windowed DISTINCT."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = QUERIES["win_distinct_count"](spark, sf_dir).toPandas()
+    ev = _pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    sample = sorted(ev["user_id"].unique())[:25]
+    got_s = got[got["user_id"].isin(sample)]
+    assert len(got) == len(ev)  # one output row per event, no drops
+    for uid, grp in ev[ev["user_id"].isin(sample)].groupby("user_id"):
+        seen: set = set()
+        expect = {}
+        for _, r in grp.sort_values(["ts", "event_id"]).iterrows():
+            seen.add(r["event_type"])
+            expect[r["event_id"]] = len(seen)
+        g = got_s[got_s["user_id"] == uid]
+        assert dict(zip(g["event_id"], g["n_types_seen"])) == expect, uid
+
+
+def test_image_resize_matches_closed_form_grid(spark, sf_dir):
+    """The 8x8 nearest-neighbor thumbnail decodes REAL BMP bytes with
+    struct/numpy; pin it against the closed form the oracle uses
+    (buffer pixel q is ascii(text[q mod L]); sample (r,c) at row
+    r*h//8, col c*w//8, blue byte row*stride + col*3) recomputed in
+    plain Python over the parquet text — any stride, offset, or
+    floor-vs-round divergence in the decode path breaks the sum or a
+    corner pixel."""
+    import pandas as _pd
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    got = (
+        QUERIES["mm_image_resize"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = _pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    assert len(got) == len(docs)
+    for _, d in docs.sort_values("doc_id").head(40).iterrows():
+        text, L = d["text"], int(d["n_chars"])
+        w, h = (L % 64) + 1, (L % 48) + 1
+        stride = ((3 * w + 3) // 4) * 4
+        px = [
+            ord(text[((r * h // 8) * stride + (c * w // 8) * 3) % L])
+            for r in range(8)
+            for c in range(8)
+        ]
+        row = got.loc[int(d["doc_id"])]
+        assert (int(row["src_w"]), int(row["src_h"])) == (w, h)
+        assert int(row["thumb_sum"]) == sum(px)
+        assert int(row["px_first"]) == px[0]
+        assert int(row["px_last"]) == px[-1]
