@@ -81,14 +81,20 @@ def _bench_spark():
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
     )
     if os.path.isdir("/dev/shm"):
-        shm = "/dev/shm/spark-bench"
-        # clear leftovers from any previous killed run: Spark deletes
-        # its spark-* scratch dirs via shutdown hooks, which a kill -9
-        # skips — stale dirs here are RAM, not disk, so they must not
-        # accumulate across driver rounds
+        # per-PID scratch dir so concurrent bench invocations cannot
+        # delete each other's live shuffle files; stale siblings from
+        # killed runs (shutdown hooks skipped by kill -9) are swept
+        # only when their owning process is gone — RAM, not disk, so
+        # they must not accumulate across driver rounds
         import shutil
 
-        shutil.rmtree(shm, ignore_errors=True)
+        root = "/dev/shm/spark-bench"
+        os.makedirs(root, exist_ok=True)
+        for entry in os.listdir(root):
+            pid_s = entry.rsplit("-", 1)[-1]
+            if pid_s.isdigit() and not os.path.exists(f"/proc/{pid_s}"):
+                shutil.rmtree(f"{root}/{entry}", ignore_errors=True)
+        shm = f"{root}/run-{os.getpid()}"
         os.makedirs(shm, exist_ok=True)
         b = b.config("spark.local.dir", shm)
     spark = b.getOrCreate()
