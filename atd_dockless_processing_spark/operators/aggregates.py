@@ -275,6 +275,34 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCTL_EXACT_MAX_ROWS = 5_000_000
+
+
+def _percentiles_plan(o: DataFrame, exact: bool) -> DataFrame:
+    """Shared p50/p90/p99-per-priority plan; ``exact`` picks the
+    aggregate. ONE array-argument call either way — three separate
+    ``percentile(c, q)`` calls build three independent
+    TypedImperativeAggregate value→count buffers over the same column
+    (3× the per-row update cost; the r7 ×100 A/B measured the single
+    array call at ~2.4× faster)."""
+    agg = (
+        "percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"
+        if exact
+        else "percentile_approx(o_totalprice, array(0.5D, 0.9D, 0.99D), 2500)"
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.expr(agg).alias("ps"))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("ps")[0], 4).alias("p50"),
+            F.round(F.col("ps")[1], 4).alias("p90"),
+            F.round(F.col("ps")[2], 4).alias("p99"),
+        )
+    )
+
+
 @query(
     "agg_percentiles",
     oracle="""
@@ -288,18 +316,27 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolated percentiles (p50/p90/p99) per group —
-    Spark's ``percentile`` matches DuckDB's ``quantile_cont``
-    definition (verified equal at 4dp this session). At 100 TB prefer
-    ``percentile_approx`` (mergeable t-digest-style sketch, bounded
-    memory) — exact percentile materializes each group's values; the
-    approx twin is ``agg_approx_distinct``-style rows-only territory."""
-    o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    """Percentiles (p50/p90/p99) per group, ADAPTIVE (r7 de-weak):
+
+    - at/below ``_PCTL_EXACT_MAX_ROWS`` input rows (driver/bench
+      scale; footer-metadata count, no job): EXACT linear-interpolated
+      ``percentile`` — matches DuckDB's ``quantile_cont`` at 4dp
+      (hash-green), but its TypedImperativeAggregate materializes a
+      value→count map per group, an O(group-distinct) memory term no
+      100 TB group should pay;
+    - above it: ``percentile_approx`` (Greenwald-Khanna quantile
+      summary, accuracy 2500 → rank error ≤ n/2500 (×100 A/B: 1.24 s at 10000, 1.11 s at 2500 — the summary size is the update cost)) — MERGEABLE
+      bounded state, the production sketch path. Boundary agreement
+      asserted in tests (approx within 0.2% of exact at sf0.1).
+
+    Unknown input size (provider-served table, non-local path) falls
+    back to exact — fail-accurate, and ``parquet_nrows`` warns."""
+    from ..tables import parquet_nrows
+
+    nrows = parquet_nrows(sf_dir, "orders")
+    return _percentiles_plan(
+        load(spark, sf_dir, "orders"),
+        exact=nrows is None or nrows <= _PCTL_EXACT_MAX_ROWS,
     )
 
 

@@ -690,6 +690,12 @@ def _vector_quantize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q_rows = emb.where(F.col("vec_id") == 0).select("embedding").collect()
+    if not q_rows:
+        # vec_id=0 absent: HOF-path parity (empty broadcast side →
+        # zero rows), not IndexError (round-6 ADVICE)
+        return spark.createDataFrame(
+            [], "vec_id bigint, approx_cos double, exact_cos double, quant_err double"
+        )
     ve0 = np.asarray(q_rows[0][0], dtype=np.float64)
     sc_q = 127.0 / np.max(np.abs(ve0))
     q_q = np.copysign(np.floor(np.abs(ve0 * sc_q) + 0.5), ve0 * sc_q)

@@ -61,6 +61,92 @@ _ZONES = [
     ("far", 300.0, 10000.0, 0, 100),
 ]
 
+# Below this zone count a broadcast nested-loop theta join wins (the
+# per-row probe over a handful of rectangles is ~free and there is no
+# cell-explode overhead); at or above it the grid-bucketed equi-join
+# takes over. The r6 ×100 A/B measured the crossover direction at both
+# ends: 4 zones → grid LOSES (2.63 s vs 2.87 s total is within the
+# scan floor, and the explode adds a stage); 2048 zones → theta is
+# O(points × zones) row-compares while grid is O(points + candidates)
+# (r7 A/B numbers in BASELINE.md "bbox many-zone switch").
+_BBOX_GRID_MIN_ZONES = 64
+
+
+def bbox_join_plan(
+    spark: SparkSession, ev: DataFrame, zone_rows: list, strategy: str | None = None
+) -> DataFrame:
+    """Adaptive point-in-rectangle join over `ev(x double, y int)`.
+
+    `zone_rows` is the (zone, xlo, xhi, ylo, yhi) dim — driver-side
+    literals here, a collected broadcast-small dim in production; the
+    strategy switch and grid sizing read ONLY this list, never the
+    point table.
+
+    * theta (``len < _BBOX_GRID_MIN_ZONES``): broadcast nested-loop —
+      every point row tests every zone. Optimal for a when-chain-sized
+      dim; quadratic in zones.
+    * grid: derive cell widths from the MEDIAN zone extent (cells per
+      zone ~2 per axis), explode each zone to the grid cells its box
+      covers, then broadcast-HASH-join points on the exact cell key
+      ``(floor(x/Wx), floor(y/Wy))`` with the range test as a residual
+      filter — the interval-overlap bucket trick in 2-D. Probe cost
+      per point is the hash lookup + candidates in ITS cell only, so
+      cost is O(points + Σ cell-candidates) instead of
+      O(points × zones). The explode stays driver-invisible (a Spark
+      ``sequence``/``explode`` over the broadcast dim): ~4-6 cells per
+      zone at median sizing, broadcastable into the millions of zones.
+    """
+    zones = spark.createDataFrame(
+        zone_rows, "zone string, xlo double, xhi double, ylo int, yhi int"
+    )
+    if strategy is None:
+        strategy = "grid" if len(zone_rows) >= _BBOX_GRID_MIN_ZONES else "theta"
+    if strategy == "theta":
+        cond = (
+            (ev.x >= zones.xlo)
+            & (ev.x < zones.xhi)
+            & (ev.y >= zones.ylo)
+            & (ev.y < zones.yhi)
+        )
+        j = ev.join(F.broadcast(zones), cond)
+    else:
+        # median zone width per axis → ~2 covered cells per zone per
+        # axis; max() guards degenerate all-zero-width dims
+        def _median(vals: list[float]) -> float:
+            s = sorted(vals)
+            return s[len(s) // 2]
+
+        wx = max(_median([r[2] - r[1] for r in zone_rows]), 1e-9)
+        wy = max(_median([float(r[4] - r[3]) for r in zone_rows]), 1e-9)
+        cells = (
+            zones.withColumn(
+                "cx",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("xlo") / wx), F.floor(F.col("xhi") / wx)
+                    )
+                ),
+            )
+            .withColumn(
+                "cy",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("ylo") / wy), F.floor(F.col("yhi") / wy)
+                    )
+                ),
+            )
+        )
+        pts = ev.withColumn("cx", F.floor(ev.x / wx)).withColumn(
+            "cy", F.floor(ev.y / wy)
+        )
+        j = pts.join(F.broadcast(cells), ["cx", "cy"]).where(
+            (F.col("x") >= F.col("xlo"))
+            & (F.col("x") < F.col("xhi"))
+            & (F.col("y") >= F.col("ylo"))
+            & (F.col("y") < F.col("yhi"))
+        )
+    return j.groupBy("zone").agg(F.count(F.lit(1)).alias("n_points"))
+
 
 @query(
     "geo_bbox_join",
@@ -82,31 +168,20 @@ def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-in-polygon generalization ([P high]). The zone dim is
     broadcast; at 100 TB the point table never shuffles.
 
-    ×100 decomposition (legacy sweep, BASELINE.md): 2.87 s total, of
-    which the scan + get_json_object floor alone is 1.33 s (Spark's
-    JSON-string parse vs DuckDB's native JSON type — the json_events
-    tax, not a join defect). A grid-bucketed equi-join variant
-    (floor(x/100) cell key + broadcast hash join + residual range
-    test — the interval-overlap trick in 2-D) was A/B'd at 2.63 s
-    and REJECTED: with a handful of broadcast zones the nested-loop
-    probe is already ~free per row, so bucketing only pays once the
-    zone table outgrows a when-chain (thousands of zones), which is
-    exactly when it should be introduced."""
+    ADAPTIVE (r7, via ``bbox_join_plan``): with the 4-zone literal dim
+    this plans the broadcast nested-loop theta join (optimal — the r6
+    ×100 A/B showed the grid form loses at 4 zones, 2.63 s vs a 2.87 s
+    total whose scan + get_json_object floor alone is 1.33 s); at
+    ``_BBOX_GRID_MIN_ZONES``+ zones the SAME call plans the
+    grid-bucketed broadcast equi-join, which the r7 2048-zone ×100 A/B
+    measured as the production path (theta's O(points × zones)
+    row-compares vs grid's hash probe — BASELINE.md "bbox many-zone
+    switch")."""
     ev = load(spark, sf_dir, "events").select(
         F.col("value").alias("x"),
         F.get_json_object("props", "$.k").cast("int").alias("y"),
     )
-    zones = spark.createDataFrame(
-        _ZONES, "zone string, xlo double, xhi double, ylo int, yhi int"
-    )
-    cond = (
-        (ev.x >= zones.xlo) & (ev.x < zones.xhi) & (ev.y >= zones.ylo) & (ev.y < zones.yhi)
-    )
-    return (
-        ev.join(F.broadcast(zones), cond)
-        .groupBy("zone")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-    )
+    return bbox_join_plan(spark, ev, _ZONES)
 
 
 # ---------------------------------------------------------------------------

@@ -231,25 +231,15 @@ _COSINE_ARROW_MIN_ROWS = 100_000
 
 
 def _embeddings_nrows(sf_dir: str) -> int:
-    """Exact embeddings row count from parquet footers (file or
-    directory-of-files), metadata-only. 0 when the path isn't plain
-    parquet (e.g. a test-injected table provider) — which routes to
-    the HOF path, correct for any small/unknown corpus."""
-    import os
+    """Exact embeddings row count via :func:`tables.parquet_nrows`
+    (footer metadata, file or dir). 0 — i.e. route to the HOF path,
+    correct for any small/unknown corpus — when the path isn't local
+    plain parquet; the helper WARNS on that fallback so a production
+    object-store corpus never lands on the slow path silently
+    (round-6 ADVICE)."""
+    from ..tables import parquet_nrows
 
-    import pyarrow.parquet as pq
-
-    path = f"{sf_dir}/embeddings.parquet"
-    try:
-        if os.path.isdir(path):
-            return sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
-        return pq.ParquetFile(path).metadata.num_rows
-    except Exception:
-        return 0
+    return parquet_nrows(sf_dir, "embeddings") or 0
 
 
 def _cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,10 +253,14 @@ def _cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     q_rows = emb.where(F.col("vec_id") == 0).select("embedding").collect()
+    out_schema = "vec_id bigint, label int, cos_sim double"
+    if not q_rows:
+        # vec_id=0 absent: the HOF path broadcasts an empty query
+        # side and yields zero rows — match it instead of raising
+        # IndexError (round-6 ADVICE cross-path divergence)
+        return spark.createDataFrame([], out_schema)
     q = np.asarray(q_rows[0][0], dtype=np.float64)
     qn = np.sqrt(q @ q)
-
-    out_schema = "vec_id bigint, label int, cos_sim double"
 
     def score(batches):
         for b in batches:
@@ -387,12 +381,17 @@ def _knn_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    out_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
+    if not q_rows:
+        # empty query set: HOF-path parity (empty join result), not
+        # a reshape error on a zero-row matrix (round-6 ADVICE)
+        return spark.createDataFrame(
+            [], out_schema + ", rnk int"
+        )
     q_rows.sort(key=lambda r: r[0])
     qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.asarray([r[1] for r in q_rows], dtype=np.float64).T  # (dim, m)
     qn = np.sqrt(np.einsum("ij,ij->j", qmat, qmat))
-
-    out_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
 
     def score(batches):
         for b in batches:

@@ -1311,16 +1311,40 @@ def evt_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges over events (median, then MAD — an exact two-pass is
     irreducible for nested medians) with the 5-row med/mad dims
     BROADCAST back; the outlier count rides the second broadcast. At
-    100 TB the production swap is the quantile sketch
-    (`agg_quantile_sketch`) for pass one — same plan, bounded
-    state."""
-    ev = load(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5d)").alias("med")
+    100 TB the production swap is the quantile sketch for both
+    passes — WIRED (r7 de-weak): above the shared
+    ``_PCTL_EXACT_MAX_ROWS`` input threshold (footer-metadata count)
+    both medians run ``percentile_approx`` (Greenwald-Khanna,
+    mergeable bounded state) instead of the value→count
+    TypedImperativeAggregate; at/below it — every driver/bench scale —
+    the exact interpolated form keeps hash parity. Boundary agreement
+    asserted in tests (sf0.1, both passes + outlier counts)."""
+    from ..tables import parquet_nrows
+    from .aggregates import _PCTL_EXACT_MAX_ROWS
+
+    nrows = parquet_nrows(sf_dir, "events")
+    return _mad_plan(
+        load(spark, sf_dir, "events"),
+        exact=nrows is None or nrows <= _PCTL_EXACT_MAX_ROWS,
     )
+
+
+def _mad_plan(ev: DataFrame, exact: bool) -> DataFrame:
+    """Shared MAD-screen plan; ``exact`` picks interpolated
+    ``percentile`` (hash-exact) vs ``percentile_approx`` 2500 (the
+    mergeable sketch both medians swap to at scale)."""
+
+    def med_of(col: str) -> F.Column:
+        return F.expr(
+            f"percentile({col}, 0.5d)"
+            if exact
+            else f"percentile_approx({col}, 0.5d, 2500)"
+        )
+
+    med = ev.groupBy("event_type").agg(med_of("value").alias("med"))
     dev = ev.join(F.broadcast(med), "event_type")
     mad = dev.groupBy("event_type", "med").agg(
-        F.expr("percentile(abs(value - med), 0.5d)").alias("mad")
+        med_of("abs(value - med)").alias("mad")
     )
     scored = ev.join(F.broadcast(mad), "event_type")
     return scored.groupBy("event_type", "med", "mad").agg(

@@ -87,6 +87,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parquet_nrows(sf_dir: str, name: str):
+    """Exact row count of ``{sf_dir}/{name}.parquet`` (plain file or
+    directory-of-files) from parquet FOOTERS — metadata-only, no Spark
+    job. Returns ``None`` (with a visible warning) when the path isn't
+    local plain parquet — object-store dirs, test-injected providers —
+    so callers choose their own safe default instead of silently
+    treating the corpus as empty (round-6 ADVICE on
+    ``_embeddings_nrows``)."""
+    import os
+    import warnings
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception as exc:  # non-POSIX path / provider-served table
+        warnings.warn(
+            f"parquet_nrows({path}): footer read failed ({exc!r}); "
+            "caller falls back to its size-unknown path"
+        )
+        return None
+
+
 def scratch_dir(*parts: str) -> str:
     p = SCRATCH.joinpath(*parts)
     p.parent.mkdir(parents=True, exist_ok=True)

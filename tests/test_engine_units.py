@@ -2062,3 +2062,85 @@ def test_image_resize_matches_closed_form_grid(spark, sf_dir):
         assert int(row["thumb_sum"]) == sum(px)
         assert int(row["px_first"]) == px[0]
         assert int(row["px_last"]) == px[-1]
+
+
+def test_bbox_adaptive_paths_agree(spark, sf_dir):
+    """The theta and grid bbox strategies must give identical counts
+    on the SAME many-zone dim (above the switch point, where grid is
+    the production path) — including overlap multiplicity, boundary
+    exclusivity (x < xhi), and zones straddling cell edges."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.operators.geo import (
+        _BBOX_GRID_MIN_ZONES,
+        bbox_join_plan,
+    )
+    from atd_dockless_processing_spark.tables import load
+
+    # 96 overlapping zones with deliberately non-aligned edges
+    zones = [
+        (f"z{i:03d}", i * 3.7, i * 3.7 + 11.3, (i % 9) * 7, (i % 9) * 7 + 15)
+        for i in range(96)
+    ]
+    assert len(zones) >= _BBOX_GRID_MIN_ZONES
+    ev = load(spark, sf_dir, "events").select(
+        F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("int").alias("y"),
+    )
+    theta = {
+        r["zone"]: r["n_points"]
+        for r in bbox_join_plan(spark, ev, zones, strategy="theta").collect()
+    }
+    grid = {
+        r["zone"]: r["n_points"]
+        for r in bbox_join_plan(spark, ev, zones, strategy="grid").collect()
+    }
+    assert theta == grid and theta, (len(theta), len(grid))
+    # and the adaptive default picks grid at this zone count
+    plan = bbox_join_plan(spark, ev, zones)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_percentile_adaptive_boundary_agreement(spark):
+    """The exact→sketch switch must be value-safe at the boundary:
+    on the LARGEST local corpus (sf0.1 orders, 1.5M rows — exact side
+    of the 5M threshold) the Greenwald-Khanna path's p50/p90/p99 per
+    group land within 0.5% of the exact linear-interpolated values
+    (accuracy 10000 → rank error ≤ n/10000)."""
+    from atd_dockless_processing_spark.operators.aggregates import _percentiles_plan
+    from atd_dockless_processing_spark.tables import load
+
+    o = load(spark, "/root/testdata/sf0.1", "orders")
+    exact = {
+        r["o_orderpriority"]: r for r in _percentiles_plan(o, exact=True).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r for r in _percentiles_plan(o, exact=False).collect()
+    }
+    assert exact.keys() == approx.keys() and exact
+    for k in exact:
+        assert exact[k]["n_orders"] == approx[k]["n_orders"]
+        for c in ("p50", "p90", "p99"):
+            e, a = exact[k][c], approx[k][c]
+            assert abs(a - e) / e < 0.005, (k, c, e, a)
+
+
+def test_mad_adaptive_boundary_agreement(spark):
+    """The MAD screen's exact→sketch swap: at sf0.1 (exact side of
+    the threshold) the approx form's per-type median and MAD land
+    within 0.5% of exact, and the 3-MAD outlier counts within 2%
+    (counts move with the band edge, so they get the looser bound)."""
+    from atd_dockless_processing_spark.operators.pipeline_r6b import _mad_plan
+    from atd_dockless_processing_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.1", "events")
+    exact = {r["event_type"]: r for r in _mad_plan(ev, exact=True).collect()}
+    approx = {r["event_type"]: r for r in _mad_plan(ev, exact=False).collect()}
+    assert exact.keys() == approx.keys() and exact
+    for k in exact:
+        assert exact[k]["n_events"] == approx[k]["n_events"]
+        for c in ("med", "mad"):
+            e, a = exact[k][c], approx[k][c]
+            assert abs(a - e) / abs(e) < 0.005, (k, c, e, a)
+        e, a = exact[k]["n_outliers"], approx[k]["n_outliers"]
+        assert abs(a - e) <= max(2, 0.02 * exact[k]["n_events"]), (k, e, a)
