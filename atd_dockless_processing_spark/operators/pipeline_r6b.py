@@ -492,40 +492,60 @@ def txt_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable count aggregate and a deterministic
     (count desc, bigram) top-20.
 
-    Plan shape: scan -> codegen split+transform+explode -> ONE agg
-    exchange on bigram (map-side partial counts absorb the Zipf
-    head: frequent bigrams combine before the shuffle) ->
-    TakeOrderedAndProject. The distinct-doc count rides the same
-    exchange via the 2-phase distinct expansion. At 100 TB bigram
-    cardinality is bounded by vocabulary^2 in theory but Zipf in
-    practice; a production variant adds a count-min prefilter (the
-    agg_cms_heavy_hitters composition) before the exact pass.
-    Integer-exact; the LIMIT boundary is tie-broken by bigram, so
-    the result set is deterministic on both engines."""
+    Plan shape (r7 single-shuffle form): scan -> codegen
+    split+transform -> per-doc RUN-LENGTH ENCODING of the sorted
+    bigram array (array_sort + run-start indices via filter, then one
+    struct per distinct in-doc bigram with its count — all HOFs,
+    map-side, each tier staged in its own Project) -> explode ->
+    ONE agg exchange on bigram (sum(c) = occurrences, count(*) =
+    distinct docs, both combinable) -> TakeOrderedAndProject. The
+    previous (bigram, doc) pre-agg form shuffled the distinct-pair
+    stream TWICE (pair agg, then bigram agg); RLE produces exactly
+    one row per distinct (bigram, doc) map-side, so the pair shuffle
+    disappears — ×100 A/B: 7.43 -> 5.62 s, identical 20 rows. At
+    100 TB bigram cardinality is bounded by vocabulary^2 in theory
+    but Zipf in practice; a production variant adds a count-min
+    prefilter (the agg_cms_heavy_hitters composition) before the
+    exact pass. Integer-exact; the LIMIT boundary is tie-broken by
+    bigram, so the result set is deterministic on both engines."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     bigrams = toks.select(
         "doc_id",
+        F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i + 1]))"
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("bg"),
+    )
+    srt = bigrams.select("doc_id", F.array_sort("bg").alias("b"))
+    # size guard: sequence(0, n) infers a NEGATIVE step for n < 0
+    # (house hazard list #10), so an empty bigram array must map to an
+    # empty index list, not [0, -1]
+    starts = srt.select(
+        "doc_id",
+        "b",
+        F.expr(
+            "CASE WHEN size(b) = 0 THEN array()"
+            " ELSE filter(sequence(0, size(b) - 1),"
+            " i -> i = 0 or b[i] != b[i - 1]) END"
+        ).alias("st"),
+    )
+    pairs = starts.select(
         F.explode(
-            F.when(
-                F.size("t") >= 2,
-                F.expr(
-                    "transform(sequence(0, size(t) - 2),"
-                    " i -> concat(t[i], ' ', t[i + 1]))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bigram"),
-    )
-    # (bigram, doc) pre-aggregation instead of count_distinct(doc):
-    # the distinct-agg Expand doubles the exploded stream before the
-    # exchange, while the composite-key pre-agg ships only distinct
-    # (bigram, doc) pairs (map-side combined) and the second exchange
-    # is the pair count — measured 13.8 -> 8.9 s at x100
-    per_doc = bigrams.groupBy("bigram", "doc_id").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+            F.expr(
+                "CASE WHEN size(st) = 0"
+                " THEN CAST(array() AS array<struct<bigram:string,c:int>>)"
+                " ELSE transform(sequence(0, size(st) - 1),"
+                " j -> struct(b[st[j]] as bigram,"
+                " (if(j + 1 < size(st), st[j + 1], size(b))) - st[j] as c)) END"
+            )
+        ).alias("p")
+    ).select("p.bigram", "p.c")
     return (
-        per_doc.groupBy("bigram")
+        pairs.groupBy("bigram")
         .agg(
             F.sum("c").alias("n_occurrences"),
             F.count(F.lit(1)).alias("n_docs"),
@@ -1514,21 +1534,32 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mask"
         ),
     ).groupBy("word").agg(F.bit_or("mask").alias("wordmask"))
+    # one array of (word, mask) ENTRIES per agg buffer row — explicit
+    # pairing via map_from_entries instead of positional alignment of
+    # two collect_list buffers (r6 ADVICE: the two-buffer form leans
+    # on an undocumented same-order implementation detail)
     bitmap = words.agg(
-        F.map_from_arrays(
-            F.collect_list("word"), F.collect_list("wordmask")
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "wordmask"))
         ).alias("bm")
     )
     o = load(spark, sf_dir, "orders")
     probed = o.crossJoin(F.broadcast(bitmap))
-    test = None
-    for i in range(_JBF_K):
-        p = _JBF_POS_SPARK.format(key="o_custkey", i=i)
-        hit = F.expr(
-            f"(coalesce(element_at(bm, ({p}) div 64), cast(0 as bigint))"
-            f" & shiftleft(cast(1 as bigint), cast(({p}) % 64 as int))) != 0"
-        )
-        test = hit if test is None else (test & hit)
+    # membership test as a forall over the position ARRAY: each of the
+    # K md5 positions is computed ONCE as an array element and the
+    # lambda variable binds its VALUE, so deriving word + mask costs no
+    # re-evaluation — 4 md5/row, not 8 (r6 ADVICE; a staged projection
+    # would NOT survive here: the filter predicate is deterministic, so
+    # PushDownPredicates would substitute the alias back to the full
+    # md5 subtree on both references)
+    poss = ", ".join(
+        _JBF_POS_SPARK.format(key="o_custkey", i=i) for i in range(_JBF_K)
+    )
+    test = F.expr(
+        f"forall(array({poss}), p ->"
+        " (coalesce(element_at(bm, p div 64), cast(0 as bigint))"
+        " & shiftleft(cast(1 as bigint), cast(p % 64 as int))) != 0)"
+    )
     prefiltered = probed.where(test).drop("bm")
     exact = prefiltered.join(
         F.broadcast(dim),

@@ -2144,3 +2144,33 @@ def test_mad_adaptive_boundary_agreement(spark):
             assert abs(a - e) / abs(e) < 0.005, (k, c, e, a)
         e, a = exact[k]["n_outliers"], approx[k]["n_outliers"]
         assert abs(a - e) <= max(2, 0.02 * exact[k]["n_events"]), (k, e, a)
+
+
+def test_ntile_range_partitioned_matches_single_reducer(spark, sf_dir):
+    """The distributed global rank MUST equal the single-reducer
+    window bit-for-bit: same quartile buckets (SQL remainder rule)
+    and same rounded percent_rank. Also pins the ReuseExchange
+    assumption — if the two consumers of the range exchange ever
+    sampled boundaries independently, offsets would diverge and this
+    fails loudly."""
+    from pyspark.sql import Window as W
+
+    from atd_dockless_processing_spark.registry import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    got = {
+        r["o_orderkey"]: (r["quartile"], r["pct_rank"])
+        for r in QUERIES["win_ntile_pct"](spark, sf_dir).collect()
+    }
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    ref = {
+        r["o_orderkey"]: (r["quartile"], r["pct_rank"])
+        for r in load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .collect()
+    }
+    assert got == ref and len(got) > 1000
