@@ -283,8 +283,8 @@ def _percentiles_plan(o: DataFrame, exact: bool) -> DataFrame:
     aggregate. ONE array-argument call either way — three separate
     ``percentile(c, q)`` calls build three independent
     TypedImperativeAggregate value→count buffers over the same column
-    (3× the per-row update cost; the r7 ×100 A/B measured the single
-    array call at ~2.4× faster)."""
+    (3× the per-row update cost; r7 ×100 A/B: 3.80 s three-call vs
+    1.49 s single-array — 2.55× faster)."""
     agg = (
         "percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"
         if exact
