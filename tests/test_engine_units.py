@@ -2174,3 +2174,28 @@ def test_ntile_range_partitioned_matches_single_reducer(spark, sf_dir):
         .collect()
     }
     assert got == ref and len(got) > 1000
+
+
+def test_distinct_bitmap_matches_count_distinct(spark, sf_dir):
+    """The 64-bit bucket-bitmap distinct must equal the planner's
+    two-phase distinct aggregate exactly — any div/mod/shift slip
+    (sign handling, bucket offset, mask overflow) shows up as an
+    off-by-one here."""
+    from atd_dockless_processing_spark.registry import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    got = {
+        r["o_orderpriority"]: (r["n_custs"], r["n_orders"])
+        for r in QUERIES["agg_distinct_count"](spark, sf_dir).collect()
+    }
+    ref = {
+        r["o_orderpriority"]: (r["n_custs"], r["n_orders"])
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    }
+    assert got == ref and got
