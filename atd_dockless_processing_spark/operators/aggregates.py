@@ -186,32 +186,72 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS sum_price
+           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) / 100.0, 4) AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-grain aggregate (multi-grain reports,
-    [P med]) via the Spark 4 DataFrame ``groupingSets`` API. The
-    former SQL-view formulation defeated cached-table reuse: the
-    analyzer's GROUPING SETS rewrite (Expand over re-aliased child
-    columns) mutates the child subtree before CacheManager's
-    canonicalized match runs, so a query over a view of a cached
-    DataFrame silently re-scanned the source (measured in bench:
-    InMemoryTableScan absent for exactly this key). The DataFrame
-    API produces the identical Expand plan AND hits the cache."""
-    return (
+    [P med]) computed FROM THE FINEST GRAIN (r7 de-weak): one
+    combinable exchange at (status, priority) — map-side partials
+    collapse the 15M-row stream to #distinct-pairs × partitions —
+    then each grouping set re-aggregates the TINY (≤25-row) partial,
+    instead of the planner's Expand form, which replicates EVERY
+    input row once per set (×3 the stream before the exchange; this
+    was the measured 2.36× at ×100). Exactness across the two-level
+    reaggregation: counts are integers; prices become EXACT INTEGER
+    CENTS map-side (floor(x*100 + 0.5) — totalprice is cents-valued,
+    and the half-up floor tree is the house shared-rounding form) and
+    sum as LONGs at both levels — associative, order-free, and ~3×
+    cheaper per row than a DECIMAL cast (r7 A/B at ×100: Expand of
+    the full stream 3.19 s, decimal finest-grain 1.47 s, cents union
+    0.73 s, cents + tiny-partial Expand 0.55 s vs DuckDB 0.31 s =
+    1.77×); the oracle mirrors the identical integer tree, divides
+    by 100.0 once at the output.
+
+    (History: the former SQL-view GROUPING SETS formulation also
+    defeated cached-table reuse — the analyzer's Expand rewrite
+    mutates the child subtree before CacheManager's canonicalized
+    match runs; the groupBy forms here hit the cache.)"""
+    fine = (
         load(spark, sf_dir, "orders")
-        .groupingSets(
-            [["o_orderstatus"], ["o_orderpriority"], []],
-            "o_orderstatus",
-            "o_orderpriority",
-        )
+        .groupBy("o_orderstatus", "o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("s"),
         )
+    )
+    out = lambda d: d.select(  # noqa: E731
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("c").alias("n_orders"),
+        F.round(F.col("s") / 100.0, 4).alias("sum_price"),
+    )
+    null_s = F.lit(None).cast("string")
+    # re-aggregate ALL THREE sets in one pass: Expand (explode) the
+    # ≤25-row partial — the same plan shape the planner builds over
+    # the full input, applied where it belongs; one re-agg exchange
+    # instead of three branches + union (0.73 → 0.55 s at ×100)
+    g = fine.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("o_orderstatus").alias("st"), null_s.alias("pr")),
+                F.struct(null_s.alias("st"), F.col("o_orderpriority").alias("pr")),
+                F.struct(null_s.alias("st"), null_s.alias("pr")),
+            )
+        ).alias("g"),
+        "c",
+        "s",
+    )
+    return out(
+        g.groupBy(
+            F.col("g.st").alias("o_orderstatus"),
+            F.col("g.pr").alias("o_orderpriority"),
+        ).agg(F.sum("c").alias("c"), F.sum("s").alias("s"))
     )
 
 
