@@ -292,7 +292,19 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_multiway_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shape 6-table join + group agg (core). Fact⋈fact joins
-    shuffle on keys; supplier/nation/region broadcast."""
+    shuffle on keys; supplier/nation/region broadcast.
+
+    Scale posture (r7, ×100 measurements): the ad-hoc plan costs
+    4.11 s (2.66× DuckDB — two fact exchanges, lineitem 60M +
+    join-result on custkey). The PRODUCTION fix is storage layout,
+    not plan surgery: with lineitem and orders bucketed on orderkey
+    (``snk_bucketed_join`` pattern — one-time 12.7 s + 5.1 s write at
+    ×100) the orderkey join goes exchange-free and the same query
+    runs 3.13 s (≈2.09×, identical results); the residual is the
+    irreducible custkey exchange + DuckDB's in-process hash-build
+    advantage. Join-order alternatives were separately A/B'd and
+    REJECTED (orders⋈customer-first 3× worse — scripts/ab_multiway.py,
+    BASELINE round-6)."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")

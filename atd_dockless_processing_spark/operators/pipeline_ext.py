@@ -275,12 +275,14 @@ def llm_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 16 signature dots are HOF folds — 32M lambda-driven dots at
     ×100 measured 15.3× DuckDB's native list_dot_product — so at or
     above the Arrow threshold a mapInArrow path computes signatures
-    with an EXACT SEQUENTIAL FOLD (64 ordered vectorized steps, the
-    same products and the same addition order as the HOF fold, so
-    the sign gate is bit-identical — a BLAS matmul's reordered sums
-    could flip a near-zero dot's sign) and reranks gated candidates
-    with the same exact fold; only batch-local top-3 per query cross
-    back."""
+    via ONE BLAS dgemm guarded by a rigorous forward-error
+    certificate (r7; see the in-body comment): any row whose |dot|
+    falls inside the provable BLAS-vs-fold divergence bound reruns
+    the bit-exact sequential fold, so the sign gate remains EXACTLY
+    the HOF gate while the bulk runs at matmul speed (the r6 form ran
+    the exact fold for EVERY row — 64 vectorized passes, 3.12× at
+    ×100). Gated candidates rerank with the exact fold; only
+    batch-local top-3 per query cross back."""
     from .llm import _COSINE_ARROW_MIN_ROWS, _embeddings_nrows
 
     if _embeddings_nrows(sf_dir) >= _COSINE_ARROW_MIN_ROWS:
@@ -369,20 +371,37 @@ def _ann_hyperplane_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = np.asarray(
                 b.column(b.schema.get_field_index("vec_id")), dtype=np.int64
             )
-            # all 16 plane folds in ONE d-loop over an (n, 16)
-            # accumulator — per (row, plane) the products and the
-            # addition order are unchanged (still bit-identical to
-            # the HOF fold), but 64 vectorized passes instead of
-            # 1024 (measured ~5x on the signature stage)
+            # signature dots via ONE BLAS dgemm plus a RIGOROUS
+            # error-bound gate (r7, replaces the 64-pass exact d-loop
+            # at 3.12×): for ANY summation order the computed dot
+            # satisfies |comp - true| <= gamma * sum|a_i b_i| with
+            # gamma = dim*u/(1-dim*u), u = 2^-53 (Higham 3.5) — both
+            # the BLAS product and the HOF fold individually. So when
+            # |blas| > 2*gamma*(|mat|@|planes|) the TRUE dot (hence
+            # the fold) provably shares its sign; only rows failing
+            # that certificate — none in the synthetic corpus, a
+            # measure-zero sliver in general — rerun the bit-exact
+            # sequential fold. The sign gate stays EXACTLY the HOF
+            # gate, now at dgemm speed.
             pt = planes.T  # (dim, 16)
-            sacc = np.zeros((n, _N_PLANES), dtype=np.float64)
-            nacc = np.zeros(n, dtype=np.float64)
-            for d in range(mat.shape[1]):
-                cold = mat[:, d]
-                sacc += cold[:, None] * pt[d]
-                nacc += cold * cold
+            dim = mat.shape[1]
+            sacc = mat @ pt  # (n, 16) BLAS
+            u = 2.0 ** -53
+            gamma = dim * u / (1 - dim * u)
+            absb = np.abs(mat) @ np.abs(pt)
+            unsafe = np.flatnonzero(
+                (np.abs(sacc) <= 2 * gamma * absb).any(axis=1)
+            )
+            for r in unsafe:
+                sacc[r] = _fold_dot(
+                    np.ascontiguousarray(planes), mat[r]
+                )
             sig = ((sacc >= 0) * weights).sum(axis=1)
-            nrm = np.sqrt(nacc)
+            # norms feed only the 4dp-ROUNDED cosine (no gate):
+            # einsum's reordered sum differs from the fold by ~1 ulp,
+            # tie at the rounding boundary is measure-zero — the
+            # llm_cosine_topk precedent, pinned by the cross-path test
+            nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
             oq, on, oc = [], [], []
             for j in range(len(qids)):
                 ham = pop[np.bitwise_xor(sig, qsig[j])]
