@@ -56,7 +56,8 @@ _PACK_CAPACITY = 512  # tokens per training sequence
     "llm_pack_sequences",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      SELECT doc_id, lang,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
       FROM documents
     ), offs AS (
       SELECT lang, n_tok,
@@ -83,12 +84,25 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one window cumsum per lang partition (single
     exchange), then a partial-aggregable groupBy — no joins, no
-    collect. At 100 TB the lang partitions are further keyed by shard
+    collect. Token counts come from a SPACE COUNT
+    (length - length(replace)) rather than materializing the split
+    array — identical by construction for single-char split
+    (n_tokens = n_spaces + 1, empties included), two string passes
+    and no per-row array alloc (r7 ×100 A/B: 1.07 → 0.96 s; the
+    residual vs DuckDB is the text-column scan tax — reading the
+    ~1 KB text payloads dominates BOTH engines' identical plan
+    shape). At 100 TB the lang partitions are further keyed by shard
     (the window key becomes (lang, shard) with per-shard offsets), so
     no single partition must hold a whole language.
     """.format(cap=_PACK_CAPACITY)
     toks = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+        "doc_id",
+        "lang",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("n_tok"),
     )
     w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
