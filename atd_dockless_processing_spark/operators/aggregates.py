@@ -194,35 +194,53 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-grain aggregate (multi-grain reports,
-    [P med]) computed FROM THE FINEST GRAIN (r7 de-weak): one
-    combinable exchange at (status, priority) — map-side partials
-    collapse the 15M-row stream to #distinct-pairs × partitions —
-    then each grouping set re-aggregates the TINY (≤25-row) partial,
-    instead of the planner's Expand form, which replicates EVERY
-    input row once per set (×3 the stream before the exchange; this
-    was the measured 2.36× at ×100). Exactness across the two-level
-    reaggregation: counts are integers; prices become EXACT INTEGER
-    CENTS map-side (floor(x*100 + 0.5) — totalprice is cents-valued,
-    and the half-up floor tree is the house shared-rounding form) and
-    sum as LONGs at both levels — associative, order-free, and ~3×
-    cheaper per row than a DECIMAL cast (r7 A/B at ×100: Expand of
-    the full stream 3.19 s, decimal finest-grain 1.47 s, cents union
-    0.73 s, cents + tiny-partial Expand 0.55 s vs DuckDB 0.31 s =
-    1.77×); the oracle mirrors the identical integer tree, divides
-    by 100.0 once at the output.
+    [P med]), ADAPTIVE on input size (r7 de-weak; footer-metadata
+    count, same switch as agg_percentiles):
+
+    - at/below ``_PCTL_EXACT_MAX_ROWS`` (driver/bench scale): the
+      planner's ``groupingSets`` Expand — ONE exchange, the fewest
+      stages, right when the ×3 row replication is cheap;
+    - above it: FROM THE FINEST GRAIN — one combinable exchange at
+      (status, priority) collapses the stream to #distinct-pairs ×
+      partitions map-side, then all three sets re-aggregate via an
+      Expand of the ≤25-row PARTIAL (×100 A/B: full-stream Expand
+      3.19 s, decimal finest-grain 1.47 s, cents union 0.73 s, cents
+      tiny-partial Expand 0.55 s vs DuckDB 0.31 s = 1.77×, was 2.36×).
+
+    Both forms produce IDENTICAL values at any size: counts are
+    integers and prices become EXACT INTEGER CENTS map-side
+    (floor(x*100 + 0.5) — totalprice is cents-valued, the house
+    half-up floor tree), summed as LONGs — associative, order-free,
+    ~3× cheaper per row than a DECIMAL cast; the oracle mirrors the
+    identical integer tree and divides by 100.0 once at the output.
+    Cross-form equality is pinned in tests.
 
     (History: the former SQL-view GROUPING SETS formulation also
     defeated cached-table reuse — the analyzer's Expand rewrite
     mutates the child subtree before CacheManager's canonicalized
-    match runs; the groupBy forms here hit the cache.)"""
+    match runs; the DataFrame forms here hit the cache.)"""
+    from ..tables import parquet_nrows
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    nrows = parquet_nrows(sf_dir, "orders")
+    if nrows is not None and nrows <= _PCTL_EXACT_MAX_ROWS:
+        return (
+            o.groupingSets(
+                [["o_orderstatus"], ["o_orderpriority"], []],
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum(cents) / 100.0, 4).alias("sum_price"),
+            )
+        )
     fine = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus", "o_orderpriority")
+        o.groupBy("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("c"),
-            F.sum(
-                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-            ).alias("s"),
+            F.sum(cents).alias("s"),
         )
     )
     out = lambda d: d.select(  # noqa: E731

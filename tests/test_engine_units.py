@@ -2199,3 +2199,24 @@ def test_distinct_bitmap_matches_count_distinct(spark, sf_dir):
         .collect()
     }
     assert got == ref and got
+
+
+def test_grouping_sets_adaptive_forms_equal(spark, sf_dir):
+    """Planner-Expand (small side) and finest-grain (scale side)
+    grouping-sets forms must be value-identical — both sum exact
+    integer cents, so this is bit-equality, not tolerance."""
+    from atd_dockless_processing_spark.operators import aggregates as agg_mod
+
+    small = sorted(
+        map(tuple, agg_mod.agg_grouping_sets(spark, sf_dir).collect()), key=str
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        agg_mod, "_PCTL_EXACT_MAX_ROWS", -1
+    ):  # force the finest-grain branch
+        big = sorted(
+            map(tuple, agg_mod.agg_grouping_sets(spark, sf_dir).collect()),
+            key=str,
+        )
+    assert small == big and len(small) >= 3
