@@ -2220,3 +2220,55 @@ def test_grouping_sets_adaptive_forms_equal(spark, sf_dir):
             key=str,
         )
     assert small == big and len(small) >= 3
+
+
+def test_distinct_bitmap_plan_has_no_expand(spark, sf_dir):
+    """The bitmap distinct must plan as two plain hash aggregates —
+    no Expand node (the distinct-aggregate rewrite) and no more than
+    the two expected exchanges."""
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["agg_distinct_count"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan, plan[:1500]
+
+
+def test_ntile_plan_is_range_partitioned_not_single_reducer(spark, sf_dir):
+    """The distributed global rank must range-partition the data
+    window — the ONLY single-partition window allowed is the P-row
+    offsets prefix sum (its input is the per-partition count table,
+    not the data)."""
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["win_ntile_pct"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "RepartitionByExpression" in plan or "repartitionbyrange" in plan.lower(), (
+        plan[:1500]
+    )
+
+
+def test_ngram_topk_single_aggregate_exchange(spark, sf_dir):
+    """The RLE bigram form must reach the agg with ONE shuffle: no
+    second (pair) aggregate exchange. Count Exchange nodes above the
+    scan — exactly 1 before the TakeOrdered."""
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["txt_ngram_topk"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, (n_exchanges, plan[:1500])
+    assert "TakeOrderedAndProject" in plan
