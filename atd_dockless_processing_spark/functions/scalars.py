@@ -299,19 +299,23 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_json_object path extraction + typed cast + agg (the
-    reference's JSON payload field access, [P high]).
+    """JSON path extraction + typed cast + agg (the reference's JSON
+    payload field access, [P high]) — via the anchored-regex fast
+    path with exact per-row Jackson fallback
+    (functions/json_fast.py; the raw ``get_json_object`` surface
+    itself stays declared by ``fn_variant_json``/
+    ``fn_from_json_struct``).
 
     The extracted field is PROJECTED ONCE before the aggregate: with
     the raw expression inlined in both avg() and max(), each row
     parses the JSON document twice (Catalyst only de-duplicates cheap
-    expressions); the pre-projection halves the dominant parse cost
-    (measured 150→104 ms at sf0.1×8 parts) and CollapseProject keeps
-    it a single pass — same 1-exchange plan."""
-    ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    expressions); the staged projection keeps it a single pass —
+    same 1-exchange plan."""
+    from .json_fast import with_json_field
+
+    ev = with_json_field(load(spark, sf_dir, "events"), "k", "props", "k", "int")
     return (
-        ev.select("event_type", k.alias("k"))
+        ev.select("event_type", "k")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

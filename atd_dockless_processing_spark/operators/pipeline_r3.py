@@ -42,6 +42,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.json_fast import with_json_field
 from ..registry import query
 from ..tables import load, stage_scratch
 
@@ -266,11 +267,9 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     would swap in the IVF/LSH pre-prune (llm_ann_ivf) before the
     exact argmin.
     """
-    ev = load(spark, sf_dir, "events").select(
-        F.col("value").alias("x"),
-        F.get_json_object("props", "$.k").cast("int").alias("y"),
-        "value",
-    )
+    ev = with_json_field(
+        load(spark, sf_dir, "events"), "y", "props", "k", "int"
+    ).select(F.col("value").alias("x"), "y", "value")
     cands = F.array(
         *[
             F.struct(
@@ -988,13 +987,9 @@ def geo_trip_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     same sort), distances map-side, then a combinable agg on the same
     key — AQE elides the second exchange. sqrt/power on identical
     doubles agree cross-engine; sums rounded to 4."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.col("value").alias("x"),
-        F.get_json_object("props", "$.k").cast("int").alias("y"),
-    )
+    ev = with_json_field(
+        load(spark, sf_dir, "events"), "y", "props", "k", "int"
+    ).select("user_id", "ts", "event_id", F.col("value").alias("x"), "y")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     leg = F.sqrt(
         F.pow(F.col("x") - F.lag("x").over(w), 2)
@@ -1120,18 +1115,33 @@ def dq_dp_noise_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-publication — the same release never emits two different
     counts for one cell, a real DP-deployment property).
 
-    Plan shape: one agg exchange (the grid groupBy); the noise is a
-    scalar projection over the aggregated cells."""
+    Plan shape: one corpus-sized agg exchange on the INTEGER bucket
+    pair (vb, kb) — hashing/probing two longs through the 10M-row
+    hash-agg beats building and probing a per-row concat string
+    (r7 A/B: string-key form 1.73 s, int-pair form below) — then
+    cell_id is materialized over the aggregated cells and a second
+    ~|cells|-row re-group merges any NULL-collision strings
+    (concat_ws skips NULLs, so (3,NULL) and (NULL,3) both render
+    "3"; the re-group keeps the output exactly the string-keyed
+    semantics at any data). The noise is a scalar projection over
+    the aggregated cells."""
     from ..functions.hashing import portable_hash60
 
-    ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    cell = F.concat_ws(
-        "_",
-        F.floor(F.col("value") / 50).cast("string"),
-        F.floor(k / 25.0).cast("string"),
+    ev = with_json_field(load(spark, sf_dir, "events"), "_kj", "props", "k", "int")
+    k = F.col("_kj")
+    cells = (
+        ev.groupBy(
+            F.floor(F.col("value") / 50).alias("vb"),
+            F.floor(k / 25.0).cast("long").alias("kb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(
+            F.concat_ws(
+                "_", F.col("vb").cast("string"), F.col("kb").cast("string")
+            ).alias("cell_id")
+        )
+        .agg(F.sum("n").alias("n"))
     )
-    cells = ev.groupBy(cell.alias("cell_id")).agg(F.count(F.lit(1)).alias("n"))
     u = (portable_hash60("cell_id") / F.lit(float(2**60))) - F.lit(0.5)
     noise = (F.lit(-1.0 / _DP_EPSILON)) * F.signum(u) * F.log(1 - 2 * F.abs(u))
     return cells.select(

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.json_fast import with_json_field
 from ..registry import query
 from ..tables import load, stage_scratch
 
@@ -93,13 +94,12 @@ def _stage_routes(spark: SparkSession, sf_dir: str) -> str:
     """
 
     def build(indir: str) -> None:
-        ev = load(spark, sf_dir, "events").select(
+        ev = with_json_field(
+            load(spark, sf_dir, "events"), "y", "props", "k", "double"
+        ).select(
             F.col("user_id").alias("trip_id"),
             F.struct(
-                F.col("ts"),
-                F.col("event_id"),
-                F.col("value").alias("x"),
-                F.get_json_object("props", "$.k").cast("double").alias("y"),
+                F.col("ts"), F.col("event_id"), F.col("value").alias("x"), F.col("y")
             ).alias("pt"),
         )
         # one shuffle: collect each trip's points, sort in-memory (struct

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.json_fast import with_json_field
 from ..registry import query
 from ..tables import load, stage_scratch
 
@@ -440,16 +441,12 @@ def geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     final-agg profile as geo_grid_bin with a composite key. Exact
     DECIMAL(18,4) value sums (order-free, the round-4 house
     pattern)."""
-    ev = load(spark, sf_dir, "events")
     # project the JSON field ONCE: o_cell and d_cell both use k, and
     # Catalyst only de-duplicates cheap expressions — inlining the
-    # raw get_json_object would parse every props document twice
-    ev = ev.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
+    # raw extraction would parse every props document twice
+    ev = with_json_field(
+        load(spark, sf_dir, "events"), "k", "props", "k", "int"
+    ).select("event_id", "user_id", "value", "k")
     k = F.col("k")
     # COALESCE the k-derived cell components (both engines): DuckDB
     # CONCAT keeps the '_' separator on a NULL operand while Spark

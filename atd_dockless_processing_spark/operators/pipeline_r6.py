@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.json_fast import with_json_field
 from ..registry import query
 from ..tables import load
 
@@ -184,13 +185,8 @@ def etl_publish_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     # project the JSON field once (validate null-screen + cell derive
     # both use it; Catalyst only de-duplicates cheap expressions)
-    ev = ev.select(
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
-        "value",
-        F.get_json_object("props", "$.k").alias("k"),
+    ev = with_json_field(ev, "k", "props", "k", "string").select(
+        "event_id", "ts", "user_id", "event_type", "value", "k"
     )
     k = F.col("k")
     validated = ev.where(

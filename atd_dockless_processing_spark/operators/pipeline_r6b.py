@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.json_fast import with_json_field
 from ..registry import query
 from ..tables import load
 
@@ -965,13 +966,9 @@ def evt_rebalance_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     after partitionBy user_id: Catalyst reuses the exchange — no
     second shuffle). Integer-exact counts. At 100 TB devices shard
     the window; state is one row."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
+    ev = with_json_field(
+        load(spark, sf_dir, "events"), "k", "props", "k", "int"
+    ).select("user_id", "ts", "event_id", "value", "k")
     k = F.col("k")
     o_cell = F.concat_ws(
         "_",
