@@ -797,13 +797,21 @@ def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     global NTILE becomes a range-partitioned sort (or approx-quantile
     bucketing, documented trade).
 
-    ×100 decomposition (legacy sweep, BASELINE.md): 1.13 s total =
-    0.59 s scan + per-user agg floor (10M events → 1M users) +
-    ~0.18 s per single-partition ntile window at 1M users. The
-    windows are NOT the local bottleneck, so the form stays; the
-    documented range-partition/approx-quantile rewrite is the switch
-    to flip when the user dimension outgrows one partition's sort
-    (~100M+ users), not before."""
+    ×100 decomposition (r7 re-measure, BASELINE.md): ~1.4 s total =
+    0.36 s purchase scan + ~0.55 s per-user agg (2.0M purchase rows
+    → 150k users; the 32-map-partition partial agg emits ~32×150k
+    partial rows — repartition-first A/B'd at 0.82 vs 1.05 s on the
+    isolated agg but NO reliable win on the full query) + ~0.6 s for
+    the three chained 150k-row ntile sorts. Rejected by measurement
+    (r7): unpivot → ONE window partitionBy(metric) with 3 PARALLEL
+    sorts + pivot-back (1.54 s vs 1.38 s — the explode ×3 and the
+    extra user_id re-group outweigh parallelizing 150k-row sorts);
+    r6: distributed range-partition ntile (<20% of cost here). The
+    residual vs DuckDB (~0.30 s) is the in-process constant at
+    sub-second absolutes — no plan defect (minimal exchanges, no
+    skew, no O(n²)). At 100M+ users the MEASURED crossover path is
+    the unpivot/range-partition form (win_ntile_pct machinery):
+    sorts parallelize and the explode tax amortizes."""
     ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     per_user = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_seen"),
@@ -883,13 +891,14 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree — DataFrame DAGs have no cross-consumer reuse — so
     merging it removes a full corpus pass and a broadcast job);
     final ranking is TakeOrderedAndProject, never a global sort.
-    Score ties break on doc_id. At 100 TB this is two corpus passes
-    (tf + the unavoidable re-execution under the joined projection)
-    + one scalar broadcast — embarrassingly parallel. Residual ×100
-    ratio (~2.1×) is the tf HOF-lambda constant vs DuckDB's native
-    list_filter; A/B'd-and-rejected alternatives: space-count dl
-    decoupling (2.47 s vs 2.18 s — adds a replace pass to the hot tf
-    projection).
+    Score ties break on doc_id. At 100 TB this is ONE corpus pass:
+    the narrow tf projection (ints only) is localCheckpoint'd, so
+    the stats agg and the scoring projection both read the
+    materialized intermediate instead of re-running the text scan +
+    split + HOF filters (r7 ×100 A/B: 2.26 s re-execute → 1.37 s;
+    ~1.3× vs DuckDB). A/B'd-and-rejected alternatives: space-count
+    dl decoupling (2.47 s vs 2.18 s — adds a replace pass to the
+    hot tf projection).
 
     idf uses the +1-inside-the-log BM25+ variant (always positive, no
     negative-idf edge for terms in >half the corpus — this synthetic
@@ -909,7 +918,16 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.size(F.filter("toks", lambda t: t == F.lit(term)))
 
     tf_cols = [_tf(term).alias(f"f_{i}") for i, term in enumerate(_BM25_QUERY)]
-    tfd = docs.select("doc_id", "dl", *tf_cols)
+    # MATERIALIZE the narrow tf projection (5 int columns — no toks,
+    # no text): both consumers (the df/stats agg and the scoring
+    # projection) would otherwise re-execute the text scan + split +
+    # HOF filters, since DataFrame DAGs have no cross-consumer reuse.
+    # r7 ×100 A/B: re-execute 2.26 s, localCheckpoint 1.37 s, cache
+    # 1.33 s — checkpoint chosen (no executor-storage residency to
+    # unpersist after the query returns). At 100 TB this is the
+    # classic narrow-intermediate materialization: ints-only, ~2% of
+    # the text payload, spill-safe.
+    tfd = docs.select("doc_id", "dl", *tf_cols).localCheckpoint(eager=False)
     # per-term document frequencies + corpus stats: ONE tiny agg row,
     # broadcast back (see docstring — merging stats here saves a
     # whole corpus pass)
