@@ -89,12 +89,21 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (length - length(replace)) rather than materializing the split
     array — identical by construction for single-char split
     (n_tokens = n_spaces + 1, empties included), two string passes
-    and no per-row array alloc (r7 ×100 A/B: 1.07 → 0.96 s; the
-    residual vs DuckDB is the text-column scan tax — reading the
-    ~1 KB text payloads dominates BOTH engines' identical plan
-    shape). At 100 TB the lang partitions are further keyed by shard
-    (the window key becomes (lang, shard) with per-shard offsets), so
-    no single partition must hold a whole language.
+    and no per-row array alloc (r7 ×100 A/B: 1.07 → 0.96 s).
+
+    ×100 decomposition (r7): 0.94 s total = 0.51 s scan+token count
+    (DuckDB's ENTIRE query is 0.44 s — its string kernel is ~2×
+    faster per byte, an engine constant, not a plan gap) + ~0.4 s
+    per-lang window cumsum. Rejected by measurement (r7): the
+    range-partitioned distributed prefix-sum (repartitionByRange +
+    local cumsum + per-(pid,lang) offset broadcast, the
+    win_ntile_pct machinery) at 1.81 s — the boundary-sampling pass
+    re-executes the text scan — and 1.18 s with the slim toks frame
+    localCheckpoint'd first: the extra exchange + offset join still
+    exceed the parallel-sort win at ~1M rows/lang. That distributed
+    form IS the 100 TB path (the docstring's (lang, shard) window
+    key): sorts parallelize and the exchange amortizes once lang
+    partitions outgrow one task's sort.
     """.format(cap=_PACK_CAPACITY)
     toks = load(spark, sf_dir, "documents").select(
         "doc_id",
