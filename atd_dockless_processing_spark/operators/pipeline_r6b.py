@@ -1340,8 +1340,20 @@ def evt_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical on both engines) times Spark's per-pass exchange
     constant. The sketch form remains available for genuinely
     unbounded-cardinality deployments and its boundary agreement is
-    pinned in tests (sf0.1, both passes + outlier counts)."""
-    return _mad_plan(load(spark, sf_dir, "events"), exact=True)
+    pinned in tests (sf0.1, both passes + outlier counts).
+
+    r7 defuse of the 3-pass constant: the registered plan is now
+    ``_mad_hist_plan`` — ONE events pass building a per-type
+    (value, count) histogram (map-side combinable; events.value is a
+    2-decimal reading so the histogram is bounded by the value domain,
+    ~56k cells/type, independent of row count), with the median, the
+    MAD, and the 3·MAD screen all derived from the tiny histogram.
+    Bit-equality with the 3-pass ``percentile`` form is pinned in
+    tests (sf0.1 + sf0.01); ×100 A/B in BASELINE round-7 de-weak. The
+    3-pass form remains the fallback for unbounded value domains
+    (continuous doubles), where the histogram degenerates to row
+    cardinality — same switch philosophy as agg_percentiles."""
+    return _mad_hist_plan(load(spark, sf_dir, "events"))
 
 
 def _mad_plan(ev: DataFrame, exact: bool) -> DataFrame:
@@ -1370,6 +1382,101 @@ def _mad_plan(ev: DataFrame, exact: bool) -> DataFrame:
             ).otherwise(0)
         ).alias("n_outliers"),
     ).select("event_type", "n_events", "med", "mad", "n_outliers")
+
+
+def _wmedian(h: DataFrame, key: str, out: str) -> DataFrame:
+    """Interpolated weighted median of histogram column ``key``
+    (weights ``cnt_nn``/ordered cumsum ``cum``/group size ``n`` must
+    already be attached) — EXACTLY Spark ``percentile(x, 0.5)``:
+    position p = 0.5·(n−1) (0-based), and between the straddling
+    order statistics the interpolation is
+    ``(hi−p)·lower + (p−lo)·higher`` (Percentile.scala's form [P]),
+    which the cross-form test pins bit-identical to the aggregate.
+    NULL values carry cnt_nn = 0 so no index can land on them."""
+    p = (F.col("n") - 1).cast("double") * F.lit(0.5)
+    lo = F.floor(p)
+    hi = F.ceil(p)
+    prev = F.col("cum") - F.col("cnt_nn")
+    nn = F.col("cnt_nn") > 0
+    at = lambda i: F.max(  # noqa: E731  (the unique covering row)
+        F.when(nn & (prev <= i) & (i < F.col("cum")), F.col(key))
+    )
+    parts = h.groupBy("event_type", "n").agg(
+        at(lo).alias("_lo_v"), at(hi).alias("_hi_v")
+    )
+    med = F.when(F.col("_lo_v") == F.col("_hi_v"), F.col("_lo_v")).otherwise(
+        (hi.cast("double") - p) * F.col("_lo_v")
+        + (p - lo.cast("double")) * F.col("_hi_v")
+    )
+    return parts.select("event_type", "n", med.alias(out))
+
+
+def _mad_hist_plan(ev: DataFrame) -> DataFrame:
+    """Single-pass histogram MAD screen (r7). The raw table is read
+    ONCE into a per-(event_type, value) count — partial-aggregated
+    map-side, so the exchange carries the value-domain cardinality,
+    not the row count — and the three logical passes (median, MAD,
+    3·MAD screen) all run over that tiny histogram: the median as an
+    interpolated weighted quantile (ordered-window cumsum + index
+    lookup), the MAD as the same weighted quantile over |v − med|
+    (re-sorting the histogram, no re-grouping — duplicate deviations
+    need no merge for an order statistic), and the screen as a
+    conditional weighted sum. Identical doubles to the 3-pass
+    ``_mad_plan``: same interpolation formula, and |v−med|, 3·mad,
+    and the strict > compare are single correctly-rounded IEEE ops on
+    the same values (hazard #6). The event_type exchange after the
+    histogram is 5-partition-tiny; med/mad ride back as broadcasts."""
+    hist = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hist = hist.localCheckpoint(eager=False)  # 3 consumers, one agg
+
+    def attach(df: DataFrame, key: str) -> DataFrame:
+        wp = Window.partitionBy("event_type")
+        wc = wp.orderBy(F.col(key).asc_nulls_last(), "value").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cnt_nn = F.when(
+            F.col(key).isNotNull(), F.col("cnt")
+        ).otherwise(F.lit(0))
+        return df.select(
+            "event_type",
+            "value",
+            "cnt",
+            cnt_nn.alias("cnt_nn"),
+            key,
+        ).select(
+            "*",
+            F.sum("cnt_nn").over(wc).alias("cum"),
+            F.sum("cnt_nn").over(wp).alias("n"),
+        )
+
+    med = _wmedian(
+        attach(hist.withColumn("v", F.col("value")), "v"), "v", "med"
+    ).select("event_type", "med")
+    dev = hist.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = _wmedian(attach(dev, "dev"), "dev", "mad").select(
+        "event_type", "mad"
+    )
+    scored = hist.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    return (
+        scored.groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3.0 * F.col("mad"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n_events", "med", "mad", "n_outliers")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2146,6 +2146,30 @@ def test_mad_adaptive_boundary_agreement(spark):
         assert abs(a - e) <= max(2, 0.02 * exact[k]["n_events"]), (k, e, a)
 
 
+def test_mad_histogram_form_bit_equals_three_pass(spark):
+    """The r7 single-pass histogram MAD plan (the registered form)
+    must be BIT-identical to the 3-pass `percentile` form on every
+    column at BOTH sf0.01 and sf0.1 — it re-implements Spark's
+    interpolated median ((hi−p)·lower + (p−lo)·higher) over an
+    explicit (value, count) histogram, so any drift in the index
+    arithmetic, the interpolation formula, or the weighted re-sort
+    for the deviation pass shows up here as an ulp mismatch."""
+    from atd_dockless_processing_spark.operators.pipeline_r6b import (
+        _mad_hist_plan,
+        _mad_plan,
+    )
+    from atd_dockless_processing_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        ev = load(spark, sf, "events")
+        ref = {r["event_type"]: r for r in _mad_plan(ev, exact=True).collect()}
+        got = {r["event_type"]: r for r in _mad_hist_plan(ev).collect()}
+        assert ref.keys() == got.keys() and ref
+        for k in ref:
+            for c in ("n_events", "med", "mad", "n_outliers"):
+                assert repr(ref[k][c]) == repr(got[k][c]), (sf, k, c)
+
+
 def test_ntile_range_partitioned_matches_single_reducer(spark, sf_dir):
     """The distributed global rank MUST equal the single-reducer
     window bit-for-bit: same quartile buckets (SQL remainder rule)
