@@ -2146,6 +2146,41 @@ def test_mad_adaptive_boundary_agreement(spark):
         assert abs(a - e) <= max(2, 0.02 * exact[k]["n_events"]), (k, e, a)
 
 
+def test_cohort_set_form_equals_two_pass_join(spark):
+    """The r7 single-exchange cohort plan (per-user collect_set of
+    active weeks, cohort = array_min) must equal the classic two-pass
+    firsts⋈activity form exactly — pins the week(MIN ts) == MIN(week
+    ts) monotonicity argument and the once-per-week set semantics."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.registry import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        ev = load(spark, sf, "events").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        firsts = ev.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        )
+        activity = ev.select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("active_week"),
+        ).distinct()
+        ref = {
+            (r["cohort_week"], r["active_week"]): r["n_users"]
+            for r in firsts.join(activity, "user_id")
+            .groupBy("cohort_week", "active_week")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .collect()
+        }
+        got = {
+            (r["cohort_week"], r["active_week"]): r["n_users"]
+            for r in QUERIES["evt_cohort_retention"](spark, sf).collect()
+        }
+        assert ref == got and ref
+
+
 def test_mad_histogram_form_bit_equals_three_pass(spark):
     """The r7 single-pass histogram MAD plan (the registered form)
     must be BIT-identical to the 3-pass `percentile` form on every
