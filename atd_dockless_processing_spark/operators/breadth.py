@@ -184,36 +184,94 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def evt_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands: per-user consecutive-day activity streaks via
-    the row_number-difference trick (day_num - rn is constant within
-    a consecutive run). Trip/visit streak reconstruction ([P med] —
-    the session/trip rebuild family, SURVEY §2.10) without self-joins
-    or iteration: one shuffle to user partitions, then in-partition
-    window + two combinable aggs. best_start_day = start of the
-    longest streak, earliest-start tie-break via one composite
-    argmin key."""
-    days = (
+    """Gaps-and-islands: per-user consecutive-day activity streaks.
+    Trip/visit streak reconstruction ([P med] — the session/trip
+    rebuild family, SURVEY §2.10) without self-joins or iteration.
+
+    r7 single-exchange form: ONE pass collecting each user's distinct
+    active days as a set (partial collect_set dedupes map-side, so
+    the exchange carries per-task (user, day) partials bounded by the
+    calendar, not events), then the whole island structure — count,
+    longest streak, its start — falls out of ONE linear fold over the
+    sorted day array (`F.aggregate`): a day extends the current run
+    iff it is prev+1, otherwise the run closes and a strictly-longer
+    run displaces the best (strict > keeps the EARLIEST start on
+    ties, matching the composite argmin key in the oracle; starts are
+    visited in chronological order). All-integer state → exact. The
+    classic row_number-difference window form (two exchanges:
+    distinct at (user, day), then re-shuffle to user partitions +
+    sort) is pinned equal in tests; A/B at ×100: 1.97 s → 1.85 s, and
+    one fewer full exchange is the 100 TB win."""
+    per = (
         load(spark, sf_dir, "events")
         .select(
             "user_id",
-            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
-                "day_num"
-            ),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day_num"),
         )
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("day_num")).alias("ds"))
     )
-    w = Window.partitionBy("user_id").orderBy("day_num")
-    grp = days.withColumn("island", F.col("day_num") - F.row_number().over(w))
-    islands = grp.groupBy("user_id", "island").agg(
-        F.count(F.lit(1)).alias("streak"),
-        F.min("day_num").alias("start_day"),
+    init = F.struct(
+        F.element_at("ds", 1).alias("prev"),
+        F.element_at("ds", 1).alias("cur_start"),
+        F.lit(1).alias("cur_len"),
+        F.lit(1).alias("n"),
+        F.lit(0).alias("max_streak"),
+        F.lit(0).alias("best"),
     )
-    return islands.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_islands"),
-        F.max("streak").alias("max_streak"),
-        F.min_by(
-            "start_day", (-F.col("streak")) * F.lit(100000) + F.col("start_day")
-        ).alias("best_start_day"),
+
+    def step(acc: F.Column, d: F.Column) -> F.Column:
+        closes_better = acc.cur_len > acc.max_streak
+        return F.when(
+            d == acc.prev + F.lit(1),
+            F.struct(
+                d.alias("prev"),
+                acc.cur_start.alias("cur_start"),
+                (acc.cur_len + 1).alias("cur_len"),
+                acc.n.alias("n"),
+                acc.max_streak.alias("max_streak"),
+                acc.best.alias("best"),
+            ),
+        ).otherwise(
+            F.struct(
+                d.alias("prev"),
+                d.alias("cur_start"),
+                F.lit(1).alias("cur_len"),
+                (acc.n + 1).alias("n"),
+                F.when(closes_better, acc.cur_len)
+                .otherwise(acc.max_streak)
+                .alias("max_streak"),
+                F.when(closes_better, acc.cur_start)
+                .otherwise(acc.best)
+                .alias("best"),
+            )
+        )
+
+    def fin(acc: F.Column) -> F.Column:
+        closes_better = acc.cur_len > acc.max_streak
+        return F.struct(
+            acc.n.alias("n"),
+            F.when(closes_better, acc.cur_len)
+            .otherwise(acc.max_streak)
+            .alias("max_streak"),
+            F.when(closes_better, acc.cur_start)
+            .otherwise(acc.best)
+            .alias("best"),
+        )
+
+    st = F.aggregate(
+        F.slice("ds", 2, F.greatest(F.size("ds") - 1, F.lit(0))),
+        init,
+        step,
+        fin,
+    )
+    return per.select("user_id", st.alias("_st")).select(
+        "user_id",
+        F.col("_st.n").cast("long").alias("n_islands"),
+        F.col("_st.max_streak").cast("long").alias("max_streak"),
+        F.col("_st.best").cast("long").alias("best_start_day"),
     )
 
 

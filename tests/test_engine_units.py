@@ -2146,6 +2146,64 @@ def test_mad_adaptive_boundary_agreement(spark):
         assert abs(a - e) <= max(2, 0.02 * exact[k]["n_events"]), (k, e, a)
 
 
+def test_gap_islands_fold_equals_window_form(spark):
+    """The r7 array-fold gap-islands plan must equal the classic
+    row_number-difference window form exactly — pins the fold's
+    run-extension rule (d == prev+1), the strict-> displacement
+    (earliest start wins ties), and the final-island close."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.registry import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        days = (
+            load(spark, sf, "events")
+            .select(
+                "user_id",
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+                ).alias("day_num"),
+            )
+            .distinct()
+        )
+        w = W.partitionBy("user_id").orderBy("day_num")
+        grp = days.withColumn(
+            "island", F.col("day_num") - F.row_number().over(w)
+        )
+        islands = grp.groupBy("user_id", "island").agg(
+            F.count(F.lit(1)).alias("streak"),
+            F.min("day_num").alias("start_day"),
+        )
+        ref = {
+            r["user_id"]: (
+                r["n_islands"],
+                r["max_streak"],
+                r["best_start_day"],
+            )
+            for r in islands.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_islands"),
+                F.max("streak").alias("max_streak"),
+                F.min_by(
+                    "start_day",
+                    (-F.col("streak")) * F.lit(100000) + F.col("start_day"),
+                ).alias("best_start_day"),
+            )
+            .collect()
+        }
+        got = {
+            r["user_id"]: (
+                r["n_islands"],
+                r["max_streak"],
+                r["best_start_day"],
+            )
+            for r in QUERIES["evt_gap_islands"](spark, sf).collect()
+        }
+        assert ref == got and ref
+
+
 def test_cohort_set_form_equals_two_pass_join(spark):
     """The r7 single-exchange cohort plan (per-user collect_set of
     active weeks, cohort = array_min) must equal the classic two-pass
