@@ -634,7 +634,17 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     The temp view is uuid-scoped (like sql_tpch_q6) so a concurrent
     session's view named 'orders' is never clobbered; spark.sql
     resolves the view eagerly at analysis, so the immediate drop
-    keeps the returned DataFrame valid."""
+    keeps the returned DataFrame valid.
+
+    Scale posture (r7): this key DELIBERATELY keeps the correlated
+    SQL surface (its point is the decorrelation demo — the
+    udf_scalar_python precedent), but the decorrelated plan scans
+    orders twice and joins; the production rewrite is
+    ``_corr_max_window_form`` — one custkey exchange + unbounded-
+    frame window max + filter — measured at ×100: decorrelated SQL
+    2.38 s, window 1.37 s (1.08× vs DuckDB 1.27 s), collect_list+HOF
+    REJECTED at 3.45 s (struct-array materialization tax). Equality
+    pinned in tests."""
     import uuid as _uuid
 
     v = f"orders_corr_{_uuid.uuid4().hex[:8]}"
@@ -642,6 +652,23 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.sql(_CORR_SQL_T.format(orders=v))
     spark.catalog.dropTempView(v)
     return out
+
+
+def _corr_max_window_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production rewrite of sql_correlated_subquery: 'rows equal to
+    their group's max' as ONE exchange — window max over custkey,
+    filter, small re-agg. Exact: the compared value is a member of
+    the group (bitwise equality, no FP arithmetic)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("mx", F.max("o_totalprice").over(w))
+        .where(F.col("o_totalprice") == F.col("mx"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_max_orders"))
+    )
 
 
 _LATERAL_SQL_T = """

@@ -2146,6 +2146,26 @@ def test_mad_adaptive_boundary_agreement(spark):
         assert abs(a - e) <= max(2, 0.02 * exact[k]["n_events"]), (k, e, a)
 
 
+def test_corr_subquery_window_rewrite_equality(spark, sf_dir):
+    """The documented production rewrite of sql_correlated_subquery
+    (single-exchange window max) must equal the registered correlated
+    SQL surface exactly."""
+    from atd_dockless_processing_spark.operators.pipeline_ext import (
+        _corr_max_window_form,
+    )
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    ref = {
+        r["o_orderpriority"]: r["n_max_orders"]
+        for r in QUERIES["sql_correlated_subquery"](spark, sf_dir).collect()
+    }
+    got = {
+        r["o_orderpriority"]: r["n_max_orders"]
+        for r in _corr_max_window_form(spark, sf_dir).collect()
+    }
+    assert ref == got and ref
+
+
 def test_gap_islands_fold_equals_window_form(spark):
     """The r7 array-fold gap-islands plan must equal the classic
     row_number-difference window form exactly — pins the fold's
