@@ -38,7 +38,7 @@ POINTERS = {
     "evt_cusum_changepoint": "BASELINE round-6c — 0.27x at x10 (engine fold 3.7x faster than the SQL fixpoint oracle; 22.9 s x100 near-linear)",
     "evt_ewma": "BASELINE round-6c — 0.25x at x10 (same fold-vs-fixpoint asymmetry; 25.3 s x100)",
     "evt_new_vs_returning": "BASELINE round-6g — 1.87x at x100 (pair-summary form)",
-    "evt_outlier_mad": "BASELINE round-6b — 3.72x at x100 (exact nested-median TypedImperativeAggregate constant, decomposed; sketch family is the scale path)",
+    "evt_outlier_mad": "BASELINE round-7 de-weak — 1.46x at x100 (single-pass value-domain histogram form)",
     "evt_state_intervals": "BASELINE round-6 de-weak — 0.24x at x100 (Spark 4.2x faster)",
     "evt_ts_interpolate": "BASELINE round-6b — 0.93x at x100 (1M grid points)",
     "geo_hex_ring_smooth": "BASELINE round-6d/e — 1.08x at x100 (single-pass is-center re-group, was 25.5x as a self-join)",
@@ -70,6 +70,7 @@ POINTERS = {
     "sql_recursive_cte": "EXCLUDED from xN harness: replica key-shifts violate the documented DENSE-user_id precondition (orphaned subtrees); the valid iterative-join scale row is gph_bfs_reachability (1.13x at x100)",
     # constant-size-by-construction configs
     "join_scd2_temporal": "EXCLUDED: custkey<30 dim is constant-size at any N (docstring); equi+range-residual shape shares join_asof's measured form",
+    "stm_rate_source_window": "EXCLUDED from xN harness: fixed 5-batch exactly-once-restart demo (10k synthetic rows by construction); the scale dimension is offset-log/state recovery, not volume — windowed-agg volume shape measured under stm_tumbling_availablenow/evt_tumbling_hour",
     "mm_audio_silence_trim": "EXCLUDED: clip list is user_id % 200 — fixed 200 clips at any N (docstring)",
     # rows-only contract key
     "agg_approx_distinct": "rows-only by contract (no oracle); scale path of agg_distinct_count — fixed-size HLL sketch, no distinct expansion",

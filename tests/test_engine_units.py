@@ -1080,6 +1080,27 @@ def test_pagerank_scaled_conserves_mass_bounds(spark, sf_dir):
     assert ranks == sorted(ranks, reverse=True)
 
 
+def test_rate_source_exactly_once_across_restarts(spark):
+    """stm_rate_source_window's core claim — five SEPARATE
+    availableNow drains over one checkpoint yield the exact 5-batch
+    aggregate: batch b contributes one minute window with exactly
+    2000 rows and sum(value) = Σ(2000b .. 2000b+1999) in closed form.
+    A duplicated batch (offset log ignored) or a dropped batch (state
+    not recovered) breaks the closed-form equality."""
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    rows = {
+        r["minute_idx"]: (r["n_rows"], r["sum_value"])
+        for r in QUERIES["stm_rate_source_window"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    for b in range(5):
+        lo = 2000 * b
+        assert rows[b] == (2000, 2000 * lo + (1999 * 2000) // 2), (b, rows[b])
+
+
 def test_stream_hll_merges_across_four_batches(spark, sf_dir):
     """stm_sketch_hll_merge's premise: the staged dir must hold FOUR
     parquet part files (maxFilesPerTrigger=1 => four micro-batches,
