@@ -78,7 +78,16 @@ def evt_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour window sliding every 30 minutes: each event lands in 2
     windows. Oracle reproduces the window algebra with epoch math
-    (core stream shape)."""
+    (core stream shape).
+
+    Scale note (r7): the classic two-level rewrite (tumbling 30-min
+    pre-agg, then the tiny bin summary exploded ×2 and re-summed —
+    halves the agg hash probes) was A/B'd at ×100 and REJECTED as a
+    wash (0.757 s native vs 0.760 s two-level, exact-equal outputs):
+    the per-row cost here is scan + window assignment, not the
+    Expand through the combinable partial agg. The 2.02× ×100 row is
+    the sub-second dispatch/agg-constant regime (same disposition as
+    evt_tumbling_hour's µs-staged decomposition)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
