@@ -203,3 +203,108 @@ def src_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("val"), 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# src_python_datasource — PySpark 4 Python DataSource API (V2) demo
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SyntheticFeedDataSource(DataSource):
+        """Custom batch source via the PySpark 4 Python DataSource
+        API: a deterministic synthetic feed (the sandbox-honest
+        stand-in for a REST/provider puller — the reference's ingest
+        is scheduled provider-API pulls [P high]). Demonstrates the
+        full V2 surface: name registration, DDL schema declaration,
+        option handling, partition PLANNING on the driver
+        (InputPartition per shard) and per-partition generator reads
+        on the workers — rows enter Spark in parallel, never through
+        a driver collect. The class lives in the shipped package zip
+        (session._ship_package), so workers can unpickle the
+        by-reference cloudpickle pointer under any driver cwd."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_feed"
+
+        def schema(self) -> str:
+            return "id BIGINT, shard INT"
+
+        def reader(self, schema):  # noqa: ANN001 - pyspark API type
+            return _SyntheticFeedReader(dict(self.options))
+
+    class _SyntheticFeedReader(DataSourceReader):
+        def __init__(self, opts: dict):
+            self.n_shards = int(opts.get("numshards", 8))
+            self.rows_per = int(opts.get("rowspershard", 25000))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.n_shards)]
+
+        def read(self, partition):
+            p = partition.value
+            base = p * self.rows_per
+            for i in range(base, base + self.rows_per):
+                yield (i, p)
+
+    _HAVE_PY_DATASOURCE = True
+except ImportError:  # pragma: no cover - pyspark < 4 fallback
+    _HAVE_PY_DATASOURCE = False
+
+
+@query(
+    "src_python_datasource",
+    oracle="""
+    SELECT CAST(v // 25000 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_id,
+           CAST(SUM(CASE WHEN v % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div7
+    FROM generate_series(0, 199999) t(v)
+    GROUP BY 1
+    """,
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through a CUSTOM Python DataSource (PySpark 4 V2 API) and
+    aggregate per shard. The source plans 8 InputPartitions on the
+    driver; each worker generates its shard's rows (id = global row
+    index, deterministic), so the oracle is closed-form over
+    generate_series. All-integer outputs (count / sum / divisibility
+    screen — DuckDB HUGEINT sums cast back to BIGINT, hazard #1).
+
+    Scale posture: the Python-source path crosses the Python-worker
+    boundary by construction — it is the SURFACE demo (like
+    udf_scalar_python); production columnar ingest stays on the JVM
+    parquet/orc readers (src_parquet_scan). What the key pins is the
+    V2 contract: driver-side partition planning, per-partition
+    generator reads, schema-declared Arrow handoff, and package-zip
+    unpickling of the source class under a foreign-cwd driver."""
+    if not _HAVE_PY_DATASOURCE:  # pragma: no cover
+        raise NotImplementedError(
+            "Python DataSource API requires pyspark >= 4.0"
+        )
+    try:
+        spark.dataSource.register(SyntheticFeedDataSource)
+    except Exception:
+        # already registered in this session — re-registration is the
+        # only failure mode worth swallowing (name is session-scoped)
+        pass
+    feed = (
+        spark.read.format("synthetic_feed")
+        .option("numshards", 8)
+        .option("rowspershard", 25000)
+        .load()
+    )
+    return feed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("sum_id"),
+        F.sum(
+            F.when(F.col("id") % 7 == 0, 1).otherwise(0)
+        ).cast("long").alias("n_div7"),
+    )
