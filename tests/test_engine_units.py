@@ -2167,6 +2167,37 @@ def test_mad_adaptive_boundary_agreement(spark):
         assert abs(a - e) <= max(2, 0.02 * exact[k]["n_events"]), (k, e, a)
 
 
+def test_r7_single_exchange_plan_shapes(spark, sf_dir):
+    """Pins the r7 single-pass plan shapes: gap islands = ONE parquet
+    scan + ONE exchange (the set-fold form); cohort retention = ONE
+    scan + two exchanges (user_id agg + the tiny matrix re-agg); the
+    MAD screen's final plan reads the checkpointed histogram RDD for
+    ALL its consumers — zero parquet scans in the plan (the single
+    events pass happens once at checkpoint materialization)."""
+    p = (
+        QUERIES["evt_gap_islands"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Scan parquet") == 1 and p.count("Exchange ") == 1, p
+    p = (
+        QUERIES["evt_cohort_retention"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Scan parquet") == 1 and p.count("Exchange ") == 2, p
+    p = (
+        QUERIES["evt_outlier_mad"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Scan parquet") == 0, p
+    assert p.count("Scan ExistingRDD") >= 3, p
+
+
 def test_corr_subquery_window_rewrite_equality(spark, sf_dir):
     """The documented production rewrite of sql_correlated_subquery
     (single-exchange window max) must equal the registered correlated
