@@ -159,3 +159,75 @@ def udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# udtf_python_custom — PySpark 4 user-defined table function (@udtf)
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 3.5 (arrow-optimized in 4.x)
+    from pyspark.sql.functions import udtf as _udtf_decorator
+
+    @_udtf_decorator(returnType="pos INT, token STRING")
+    class _TokenizeUDTF:
+        """Custom Python UDTF: one input string -> (pos, token) rows.
+        Python str.split(' ') keeps empty tokens between consecutive
+        separators and yields [''] for the empty string — EXACTLY
+        DuckDB string_split semantics (verified), so the oracle can
+        reproduce positions with a (value, index) list_transform."""
+
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.split(" ")):
+                yield (i, t)
+
+    _HAVE_PY_UDTF = True
+except ImportError:  # pragma: no cover - pyspark < 3.5
+    _HAVE_PY_UDTF = False
+
+
+@query(
+    "udtf_python_custom",
+    oracle="""
+    SELECT doc_id, CAST(x.pos AS INT) AS pos, x.token
+    FROM (
+      SELECT doc_id,
+             UNNEST(list_transform(string_split(text, ' '),
+                    (t, i) -> struct_pack(pos := i - 1, token := t))) AS x
+      FROM documents WHERE doc_id < 20
+    )
+    """,
+)
+def udtf_python_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM Python table function via the PySpark @udtf decorator —
+    the user-authored generator counterpart to udtf_posexplode's
+    built-in: registered into the session catalog and applied with a
+    SQL LATERAL join, each eval() yielding (pos, token) rows through
+    the Arrow UDTF channel. Completes the §2.12 Python surface
+    (scalar UDF / pandas UDF / grouped-map UDAF / built-in UDTF /
+    custom UDTF).
+
+    Scale posture: a Python generator per row is the SURFACE demo
+    (udf_scalar_python precedent) — the production form of THIS
+    transform is the JVM posexplode(split(...)) one key above; the
+    key pins the @udtf contract (registration, lateral application,
+    per-row generator semantics, empty-token parity with the
+    oracle). The uuid-scoped function name and temp view keep
+    re-runs and concurrent sessions from clobbering each other."""
+    if not _HAVE_PY_UDTF:  # pragma: no cover
+        raise NotImplementedError("@udtf requires pyspark >= 3.5")
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    fname, vname = f"tokenize_{tag}", f"docs_{tag}"
+    spark.udtf.register(fname, _TokenizeUDTF)
+    load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView(vname)
+    out = spark.sql(
+        f"SELECT d.doc_id, t.pos, t.token "
+        f"FROM {vname} d, LATERAL {fname}(d.text) t"
+    )
+    spark.catalog.dropTempView(vname)
+    return out

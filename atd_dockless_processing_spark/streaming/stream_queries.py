@@ -261,6 +261,74 @@ def stm_rate_source_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(ckpt), ignore_errors=True)
 
 
+@query(
+    "stm_state_store_read",
+    oracle="""
+    SELECT CAST(v // 2000 AS BIGINT) AS minute_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM generate_series(0, 5999) t(v)
+    GROUP BY 1
+    """,
+)
+def stm_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATE STORE READER (Spark 4 `statestore` data source): a
+    checkpointed streaming aggregation's internal state inspected
+    OFFLINE as a DataFrame — the ops/debugging surface for a 24/7
+    pipeline (what is my watermark holding? which window's count is
+    wrong?) that file-sink outputs can't show. A 3-restart
+    deterministic rate-micro-batch windowed count builds the
+    checkpoint (same exactly-once machinery as
+    stm_rate_source_window), then `spark.read.format("statestore")
+    .load(ckpt)` reads the LAST committed state: key = the window
+    struct, value = the running count. The minute index is emitted
+    via unix_millis (tz-immune) and the state counts are
+    closed-form, so the read is hash-checkable — a dropped batch,
+    double-applied batch, or state-schema drift flips it."""
+    ckpt = os.path.join(
+        scratch_dir("stm_ssr_ckpt", uuid.uuid4().hex[:8]), "ckpt"
+    )
+    try:
+        for _ in range(3):
+            src = (
+                spark.readStream.format("rate-micro-batch")
+                .option("rowsPerBatch", 2000)
+                .option("numPartitions", 4)
+                .option("startTimestamp", 0)
+                .option("advanceMillisPerBatch", 60000)
+                .load()
+            )
+            agg = src.groupBy(
+                F.window("timestamp", "1 minute").alias("w")
+            ).agg(F.count(F.lit(1)).alias("n_rows"))
+            with _stream_partitions(spark):
+                q = (
+                    agg.writeStream.format("memory")
+                    .queryName(f"stm_ssr_{uuid.uuid4().hex[:8]}")
+                    .outputMode("complete")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                (F.unix_millis(F.col("key.window.start")) / F.lit(60000))
+                .cast("long")
+                .alias("minute_idx"),
+                # the state schema names the field after the PHYSICAL
+                # aggregate (count), not the DataFrame alias
+                F.col("value.count").cast("long").alias("n_rows"),
+            )
+        )
+        # materialize BEFORE the checkpoint (the reader's backing
+        # files) is removed
+        return spark.createDataFrame(state.collect(), state.schema)
+    finally:
+        shutil.rmtree(os.path.dirname(ckpt), ignore_errors=True)
+
+
 @query("stm_late_data_drop")  # rows-only: engine-specific watermark semantics
 def stm_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data semantics demo (rows-only). Two files —

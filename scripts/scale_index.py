@@ -72,6 +72,8 @@ POINTERS = {
     "join_scd2_temporal": "EXCLUDED: custkey<30 dim is constant-size at any N (docstring); equi+range-residual shape shares join_asof's measured form",
     "stm_rate_source_window": "EXCLUDED from xN harness: fixed 5-batch exactly-once-restart demo (10k synthetic rows by construction); the scale dimension is offset-log/state recovery, not volume — windowed-agg volume shape measured under stm_tumbling_availablenow/evt_tumbling_hour",
     "src_python_datasource": "SURFACE demo (PySpark 4 Python DataSource V2 contract) — the python-worker generator path is the api's cost by construction (udf_scalar_python precedent); production columnar ingest is the JVM reader, measured under src_parquet_scan",
+    "udtf_python_custom": "SURFACE demo (@udtf contract) — production form of this transform is the JVM posexplode(split) measured under udtf_posexplode; per-row Python generator cost is the api, not a plan defect",
+    "stm_state_store_read": "EXCLUDED from xN harness: offline state-checkpoint inspection over a fixed 3-batch demo stream; volume shape of the underlying windowed agg measured under stm_tumbling_availablenow",
     "mm_audio_silence_trim": "EXCLUDED: clip list is user_id % 200 — fixed 200 clips at any N (docstring)",
     # rows-only contract key
     "agg_approx_distinct": "rows-only by contract (no oracle); scale path of agg_distinct_count — fixed-size HLL sketch, no distinct expansion",
