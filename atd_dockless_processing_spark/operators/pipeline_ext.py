@@ -654,6 +654,52 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "sql_scripting",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(6084 AS BIGINT) AS cube_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 / SQL:2023 PSM): a BEGIN…END compound
+    with DECLAREd variables and a WHILE loop (Σ i³ for i=1..12 =
+    (12·13/2)² = 6084 — the loop result is verifiable in closed
+    form), whose final statement projects the loop accumulator
+    alongside a real aggregate over orders. Pins the procedural SQL
+    entry surface: variable scoping, iteration, and that the script
+    returns its LAST statement's DataFrame. The oracle folds the
+    closed form as a constant — any drift in loop semantics
+    (off-by-one, variable shadowing) flips the hash. The scripting
+    conf is runtime-settable; the uuid-scoped view keeps concurrent
+    sessions from clobbering each other (sql_tpch_q6 pattern)."""
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    v = f"orders_script_{_uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(v)
+    out = spark.sql(
+        f"""
+        BEGIN
+          DECLARE i INT DEFAULT 1;
+          DECLARE acc BIGINT DEFAULT 0;
+          WHILE i <= 12 DO
+            SET acc = acc + i * i * i;
+            SET i = i + 1;
+          END WHILE;
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 acc AS cube_sum
+          FROM {v} GROUP BY o_orderpriority;
+        END
+        """
+    )
+    spark.catalog.dropTempView(v)
+    return out
+
+
 def _corr_max_window_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production rewrite of sql_correlated_subquery: 'rows equal to
     their group's max' as ONE exchange — window max over custkey,

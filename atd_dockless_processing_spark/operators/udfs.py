@@ -231,3 +231,80 @@ def udtf_python_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(vname)
     return out
+
+
+# ---------------------------------------------------------------------------
+# udf_arrow_native — PySpark 4.1 pyarrow-native vectorized UDF
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 4.1
+    from pyspark.sql.functions import arrow_udf as _arrow_udf
+
+    _HAVE_ARROW_UDF = True
+except ImportError:  # pragma: no cover - pyspark < 4.1
+    _HAVE_ARROW_UDF = False
+
+_KNUTH_BUCKET_UDF = None  # built lazily: @arrow_udf needs a live session
+
+
+def _knuth_bucket_udf():
+    """Build (once) the arrow-native mix UDF. Decoration is deferred
+    because `@arrow_udf` resolves the active SparkSession eagerly —
+    a module-level decorator would crash any sessionless import."""
+    global _KNUTH_BUCKET_UDF
+    if _KNUTH_BUCKET_UDF is None:
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        def _knuth_bucket(k):  # pa.Array -> pa.Array, no pandas hop
+            # Knuth multiplicative mix, all int64-exact:
+            # ((k * 2654435761) & 0xFFFFFFFF) >> 7. Max orderkey ~6e7
+            # keeps the product < 2^63, so both engines match exactly.
+            mixed = _pc.multiply(
+                k, _pa.scalar(2654435761, type=_pa.int64())
+            )
+            masked = _pc.bit_wise_and(
+                mixed, _pa.scalar(4294967295, type=_pa.int64())
+            )
+            return _pc.shift_right(
+                masked, _pa.scalar(7, type=_pa.int64())
+            )
+
+        _KNUTH_BUCKET_UDF = _arrow_udf(_knuth_bucket, "long")
+    return _KNUTH_BUCKET_UDF
+
+
+@query(
+    "udf_arrow_native",
+    oracle="""
+    SELECT CAST((((o_orderkey * 2654435761) & 4294967295) >> 7) % 16
+           AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(((o_orderkey * 2654435761) & 4294967295) >> 7)
+           AS BIGINT) AS sum_mix
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def udf_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE vectorized UDF (PySpark 4.1 `@arrow_udf`): the
+    function receives and returns `pyarrow.Array` directly — one step
+    past `@pandas_udf` on the vectorization ladder (§2.12: scalar →
+    pandas → arrow), skipping the Arrow↔pandas conversion entirely
+    and staying in pyarrow.compute kernels. The mix is integer-exact
+    on both engines (multiply/mask/shift in int64), so the per-bucket
+    count and mix-sum hash-check.
+
+    Scale posture: still a Python-worker hop, but the cheapest one
+    the API offers — zero-copy Arrow batches both ways, SIMD compute
+    kernels; the pure-JVM twin of this expression is one `pmod(
+    shiftright(...))` projection (the production form, same plan
+    family as fn_bitwise)."""
+    if not _HAVE_ARROW_UDF:  # pragma: no cover
+        raise NotImplementedError("@arrow_udf requires pyspark >= 4.1")
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    mixed = o.select(_knuth_bucket_udf()("o_orderkey").alias("mix"))
+    return mixed.groupBy((F.col("mix") % 16).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("mix").alias("sum_mix"),
+    )

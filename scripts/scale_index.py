@@ -74,6 +74,8 @@ POINTERS = {
     "src_python_datasource": "SURFACE demo (PySpark 4 Python DataSource V2 contract) — the python-worker generator path is the api's cost by construction (udf_scalar_python precedent); production columnar ingest is the JVM reader, measured under src_parquet_scan",
     "udtf_python_custom": "SURFACE demo (@udtf contract) — production form of this transform is the JVM posexplode(split) measured under udtf_posexplode; per-row Python generator cost is the api, not a plan defect",
     "stm_state_store_read": "EXCLUDED from xN harness: offline state-checkpoint inspection over a fixed 3-batch demo stream; volume shape of the underlying windowed agg measured under stm_tumbling_availablenow",
+    "udf_arrow_native": "SURFACE demo (@arrow_udf contract) — cheapest python-worker hop the api offers (zero-copy arrow both ways); the pure-JVM twin is one pmod/shiftright projection (fn_bitwise plan family)",
+    "sql_scripting": "SURFACE demo (SQL:2023 PSM entry) — the script's data work is one orders aggregate (agg_groupby_q1 plan family); the loop is driver-side constant folding by construction",
     "mm_audio_silence_trim": "EXCLUDED: clip list is user_id % 200 — fixed 200 clips at any N (docstring)",
     # rows-only contract key
     "agg_approx_distinct": "rows-only by contract (no oracle); scale path of agg_distinct_count — fixed-size HLL sketch, no distinct expansion",
