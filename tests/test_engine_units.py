@@ -1080,6 +1080,43 @@ def test_pagerank_scaled_conserves_mass_bounds(spark, sf_dir):
     assert ranks == sorted(ranks, reverse=True)
 
 
+def test_python_datasource_partition_planning(spark):
+    """src_python_datasource's V2 contract: the source's 8
+    InputPartitions must surface as 8 RDD partitions (driver-side
+    planning -> parallel worker reads), and each shard's rows must
+    come from its own partition (no driver-side funnel)."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.sources.scans import (
+        SyntheticFeedDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticFeedDataSource)
+    except Exception:
+        pass
+    feed = (
+        spark.read.format("synthetic_feed")
+        .option("numshards", 8)
+        .option("rowspershard", 1000)
+        .load()
+    )
+    assert feed.rdd.getNumPartitions() == 8
+    per = {
+        r["shard"]: (r["n"], r["mn"], r["mx"])
+        for r in feed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("mn"),
+            F.max("id").alias("mx"),
+        )
+        .collect()
+    }
+    assert sorted(per) == list(range(8))
+    for p in range(8):
+        assert per[p] == (1000, p * 1000, p * 1000 + 999), (p, per[p])
+
+
 def test_rate_source_exactly_once_across_restarts(spark):
     """stm_rate_source_window's core claim — five SEPARATE
     availableNow drains over one checkpoint yield the exact 5-batch
