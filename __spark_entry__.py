@@ -54,6 +54,7 @@ _KEY_ORDER = [
     "stm_rate_source_window", "src_python_datasource",
     "udtf_python_custom", "stm_state_store_read",
     "udf_arrow_native", "sql_scripting", "llm_temperature_mixture",
+    "geo_trip_quality_flags",
     "gph_jaccard_neighbors", "gph_triangle_count", "llm_importance_resample",
     "mm_image_resize", "txt_ngram_topk", "win_distinct_count",
     "evt_interarrival_hist", "fn_base64_roundtrip", "agg_weighted_avg",

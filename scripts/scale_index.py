@@ -77,6 +77,7 @@ POINTERS = {
     "udf_arrow_native": "SURFACE demo (@arrow_udf contract) — cheapest python-worker hop the api offers (zero-copy arrow both ways); the pure-JVM twin is one pmod/shiftright projection (fn_bitwise plan family)",
     "sql_scripting": "SURFACE demo (SQL:2023 PSM entry) — the script's data work is one orders aggregate (agg_groupby_q1 plan family); the loop is driver-side constant folding by construction",
     "llm_temperature_mixture": "one map-side-combinable count agg over documents (exchange = one row per language) + broadcast 1-row total — llm_dataset_mixture plan family (20.93x completion-sweep row is the shared dispatch floor at 260 ms absolute)",
+    "geo_trip_quality_flags": "geo_trip_length plan family (one user-window exchange, lags share the sort, map-side flags, combinable agg) — its 1.10x x100 json-fast row prices this shape",
     "mm_audio_silence_trim": "EXCLUDED: clip list is user_id % 200 — fixed 200 clips at any N (docstring)",
     # rows-only contract key
     "agg_approx_distinct": "rows-only by contract (no oracle); scale path of agg_distinct_count — fixed-size HLL sketch, no distinct expansion",
