@@ -1080,6 +1080,53 @@ def test_pagerank_scaled_conserves_mass_bounds(spark, sf_dir):
     assert ranks == sorted(ranks, reverse=True)
 
 
+def test_temperature_mixture_invariants(spark, sf_dir):
+    """llm_temperature_mixture: shares must sum to ~1, the integer
+    targets must sum to the budget within ±(#langs) rounding slack,
+    and the α=0.5 flattening property must hold — every language's
+    share sits strictly between uniform (1/k) and proportional
+    (n_i/N) on whichever side its size dictates."""
+    from atd_dockless_processing_spark.operators.pipeline_r7 import (
+        _MIX_BUDGET,
+    )
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    rows = QUERIES["llm_temperature_mixture"](spark, sf_dir).collect()
+    k = len(rows)
+    assert k >= 2
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["target_docs"] for r in rows) - _MIX_BUDGET) <= k
+    for r in rows:
+        prop = r["n_docs"] / total_docs
+        lo, hi = sorted((prop, 1.0 / k))
+        assert lo - 1e-9 <= r["share"] <= hi + 1e-9, (r, prop)
+
+
+def test_trip_quality_flags_bounded_by_legs(spark, sf_dir):
+    """geo_trip_quality_flags: every flag count is bounded by the
+    user's leg count, and the per-user leg counts must equal
+    geo_trip_length's (same window, same NULL-first-leg drop)."""
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    flags = {
+        r["user_id"]: r
+        for r in QUERIES["geo_trip_quality_flags"](spark, sf_dir).collect()
+    }
+    legs = {
+        r["user_id"]: r["n_legs"]
+        for r in QUERIES["geo_trip_length"](spark, sf_dir).collect()
+    }
+    assert flags.keys() == legs.keys() and flags
+    total_flagged = 0
+    for u, r in flags.items():
+        assert r["n_legs"] == legs[u]
+        for c in ("n_teleport", "n_gap_breaks", "n_speeding"):
+            assert 0 <= r[c] <= r["n_legs"], (u, c)
+        total_flagged += r["n_teleport"] + r["n_speeding"]
+    assert total_flagged > 0  # thresholds chosen to actually fire
+
+
 def test_python_datasource_partition_planning(spark):
     """src_python_datasource's V2 contract: the source's 8
     InputPartitions must surface as 8 RDD partitions (driver-side
