@@ -1080,6 +1080,103 @@ def test_pagerank_scaled_conserves_mass_bounds(spark, sf_dir):
     assert ranks == sorted(ranks, reverse=True)
 
 
+def test_custom_udtf_equals_jvm_posexplode(spark, sf_dir):
+    """udtf_python_custom must equal the pure-JVM
+    posexplode(split(text, ' ')) form row-for-row — pins the Python
+    generator's split/position semantics against the production
+    path."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.registry import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    ref = sorted(
+        map(
+            tuple,
+            load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 20)
+            .select(
+                "doc_id",
+                F.posexplode(F.split("text", " ")).alias("pos", "token"),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, QUERIES["udtf_python_custom"](spark, sf_dir).collect())
+    )
+    assert ref == got and ref
+
+
+def test_state_store_read_closed_form(spark):
+    """stm_state_store_read: the offline state read must show exactly
+    the 3 restart-accumulated windows with 2000 rows each — a
+    dropped/duplicated batch or state-recovery failure breaks it."""
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    rows = {
+        r["minute_idx"]: r["n_rows"]
+        for r in QUERIES["stm_state_store_read"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert rows == {0: 2000, 1: 2000, 2: 2000}
+
+
+def test_arrow_native_udf_equals_jvm_expression(spark, sf_dir):
+    """udf_arrow_native's pyarrow mix must equal the pure-JVM
+    shiftright(bitwise-and(multiply)) twin bit-for-bit (the docstring's
+    declared production form)."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.registry import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    jvm_mix = F.shiftright(
+        (F.col("o_orderkey") * F.lit(2654435761).cast("long")).bitwiseAND(
+            F.lit(4294967295).cast("long")
+        ),
+        7,
+    )
+    ref = {
+        r["bucket"]: (r["n_orders"], r["sum_mix"])
+        for r in o.select(jvm_mix.alias("mix"))
+        .groupBy((F.col("mix") % 16).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("mix").alias("sum_mix"),
+        )
+        .collect()
+    }
+    got = {
+        r["bucket"]: (r["n_orders"], r["sum_mix"])
+        for r in QUERIES["udf_arrow_native"](spark, sf_dir).collect()
+    }
+    assert ref == got and ref
+
+
+def test_sql_scripting_loop_and_agg(spark, sf_dir):
+    """sql_scripting: the WHILE-loop accumulator must equal the
+    closed form Σi³ = (12·13/2)² = 6084 on every row, and the
+    aggregate half must equal a plain DataFrame groupBy count."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.registry import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    rows = QUERIES["sql_scripting"](spark, sf_dir).collect()
+    assert rows and all(r["cube_sum"] == 6084 for r in rows)
+    ref = {
+        r["o_orderpriority"]: r["n"]
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["o_orderpriority"]: r["n_orders"] for r in rows} == ref
+
+
 def test_temperature_mixture_invariants(spark, sf_dir):
     """llm_temperature_mixture: shares must sum to ~1, the integer
     targets must sum to the budget within ±(#langs) rounding slack,
