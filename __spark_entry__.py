@@ -51,23 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _KEY_ORDER = [
     # --- evidence-needed block (no green latest driver row):
     # new keys first, then previously-ranked ones ---
-    "stm_rate_source_window", "src_python_datasource",
-    "udtf_python_custom", "stm_state_store_read",
-    "udf_arrow_native", "sql_scripting", "llm_temperature_mixture",
-    "geo_trip_quality_flags",
-    "gph_jaccard_neighbors", "gph_triangle_count", "llm_importance_resample",
-    "mm_image_resize", "txt_ngram_topk", "win_distinct_count",
-    "evt_interarrival_hist", "fn_base64_roundtrip", "agg_weighted_avg",
     # --- ever-green tail, oldest evidence first ---
-    "win_range_frame", "win_cume_dist", "fn_regexp_extract", "txt_pii_mask",
-    "fn_split_tokens", "llm_token_stats", "srt_multi_nulls", "fn_date_arith",
-    "fn_date_interval", "fn_epoch_ts", "prj_unpivot", "snk_scd2",
-    "srt_limit_offset", "udtf_posexplode", "fn_string_core",
-    "txt_chunk_docs", "sql_tpch_q6", "txt_fingerprint", "txt_token_bpe",
-    "fn_array_ops", "fn_math_core", "fn_cast_coercion", "fn_surrogate_key",
-    "llm_text_classify", "flt_null_coalesce", "llm_stratified_sample",
-    "fn_struct_nested", "llm_vector_norm_filter", "udf_pandas_vectorized",
-    "txt_quality_score", "flt_range", "win_topk_per_group", "flt_in_set",
     "flt_like_regex", "evt_rfm_segments", "txt_entropy_filter",
     "geo_trip_length", "evt_dau_wau_rolling", "dq_dp_noise_counts",
     "llm_dataset_mixture", "src_schema_merge", "evt_sessionize_lag",
@@ -131,7 +115,22 @@ _KEY_ORDER = [
     "stm_sketch_hll_merge", "evt_outlier_mad", "gph_pagerank_scaled",
     "llm_shard_assign", "src_json_corrupt", "agg_kmv_theta_sketch",
     "dq_benford_digits", "evt_rebalance_detect", "evt_ts_interpolate",
-    "gph_degree_distribution",
+    "gph_degree_distribution", "stm_rate_source_window",
+    "src_python_datasource", "udtf_python_custom", "stm_state_store_read",
+    "udf_arrow_native", "sql_scripting", "llm_temperature_mixture",
+    "geo_trip_quality_flags", "gph_jaccard_neighbors", "gph_triangle_count",
+    "llm_importance_resample", "mm_image_resize", "txt_ngram_topk",
+    "win_distinct_count", "evt_interarrival_hist", "fn_base64_roundtrip",
+    "agg_weighted_avg", "win_range_frame", "win_cume_dist",
+    "fn_regexp_extract", "txt_pii_mask", "fn_split_tokens",
+    "llm_token_stats", "srt_multi_nulls", "fn_date_arith",
+    "fn_date_interval", "fn_epoch_ts", "prj_unpivot", "snk_scd2",
+    "srt_limit_offset", "udtf_posexplode", "fn_string_core",
+    "txt_chunk_docs", "sql_tpch_q6", "txt_fingerprint", "txt_token_bpe",
+    "fn_array_ops", "fn_math_core", "fn_cast_coercion", "fn_surrogate_key",
+    "llm_text_classify", "flt_null_coalesce", "llm_stratified_sample",
+    "fn_struct_nested", "llm_vector_norm_filter", "udf_pandas_vectorized",
+    "txt_quality_score", "flt_range", "win_topk_per_group", "flt_in_set",
 ]
 
 
