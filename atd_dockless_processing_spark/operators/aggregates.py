@@ -195,7 +195,10 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-grain aggregate (multi-grain reports,
     [P med]), ADAPTIVE on input size (r7 de-weak; footer-metadata
-    count, same switch as agg_percentiles):
+    count). A silent size switch is SAFE here — unlike
+    agg_percentiles' exact→sketch swap (env-gated since r8), both
+    forms below are value-identical at any size, so the oracle
+    contract holds on either side:
 
     - at/below ``_PCTL_EXACT_MAX_ROWS`` (driver/bench scale): the
       planner's ``groupingSets`` Expand — ONE exchange, the fewest
@@ -357,6 +360,12 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PCTL_EXACT_MAX_ROWS = 5_000_000
 
+# Greenwald-Khanna summary accuracy for the opt-in sketch path:
+# rank error ≤ n/_PCTL_SKETCH_ACCURACY. 2500 chosen by ×100 A/B
+# (1.24 s at 10000 vs 1.11 s at 2500 — summary size is the update
+# cost) while keeping the sf0.1 boundary test inside 0.5%.
+_PCTL_SKETCH_ACCURACY = 2500
+
 
 def _percentiles_plan(o: DataFrame, exact: bool) -> DataFrame:
     """Shared p50/p90/p99-per-priority plan; ``exact`` picks the
@@ -368,7 +377,8 @@ def _percentiles_plan(o: DataFrame, exact: bool) -> DataFrame:
     agg = (
         "percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"
         if exact
-        else "percentile_approx(o_totalprice, array(0.5D, 0.9D, 0.99D), 2500)"
+        else "percentile_approx(o_totalprice, array(0.5D, 0.9D, 0.99D), "
+        f"{_PCTL_SKETCH_ACCURACY})"
     )
     return (
         o.groupBy("o_orderpriority")
@@ -396,27 +406,30 @@ def _percentiles_plan(o: DataFrame, exact: bool) -> DataFrame:
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentiles (p50/p90/p99) per group, ADAPTIVE (r7 de-weak):
+    """Percentiles (p50/p90/p99) per group. The REGISTERED key is
+    ALWAYS the EXACT linear-interpolated ``percentile`` — it must
+    satisfy its declared ``quantile_cont`` oracle at ANY scale the
+    driver sweeps, so no silent input-size switch is allowed here
+    (r8 contract fix: the former >5M-row auto-sketch would have
+    hash-failed a larger sweep while the registry still declared an
+    exact oracle).
 
-    - at/below ``_PCTL_EXACT_MAX_ROWS`` input rows (driver/bench
-      scale; footer-metadata count, no job): EXACT linear-interpolated
-      ``percentile`` — matches DuckDB's ``quantile_cont`` at 4dp
-      (hash-green), but its TypedImperativeAggregate materializes a
-      value→count map per group, an O(group-distinct) memory term no
-      100 TB group should pay;
-    - above it: ``percentile_approx`` (Greenwald-Khanna quantile
-      summary, accuracy 2500 → rank error ≤ n/2500 (×100 A/B: 1.24 s at 10000, 1.11 s at 2500 — the summary size is the update cost)) — MERGEABLE
-      bounded state, the production sketch path. Boundary agreement
-      asserted in tests (approx within 0.2% of exact at sf0.1).
+    The production scale path is ``percentile_approx``
+    (Greenwald-Khanna summary, accuracy ``_PCTL_SKETCH_ACCURACY`` →
+    rank error ≤ n/2500): MERGEABLE bounded state where exact
+    percentile's TypedImperativeAggregate materializes an
+    O(group-distinct) value→count map no 100 TB group should pay.
+    Because the sketch deliberately breaks exact-oracle parity, it is
+    an EXPLICIT opt-in — env ``SPARK_GRAFT_PCTL_SKETCH=1`` — not a
+    data-dependent surprise; a 100 TB deployment sets the flag (or
+    calls ``_percentiles_plan(df, exact=False)`` directly). Boundary
+    agreement (sketch within 0.5% of exact on the largest local
+    corpus) is asserted in tests."""
+    import os
 
-    Unknown input size (provider-served table, non-local path) falls
-    back to exact — fail-accurate, and ``parquet_nrows`` warns."""
-    from ..tables import parquet_nrows
-
-    nrows = parquet_nrows(sf_dir, "orders")
     return _percentiles_plan(
         load(spark, sf_dir, "orders"),
-        exact=nrows is None or nrows <= _PCTL_EXACT_MAX_ROWS,
+        exact=os.environ.get("SPARK_GRAFT_PCTL_SKETCH") != "1",
     )
 
 

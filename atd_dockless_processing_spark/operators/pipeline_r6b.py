@@ -1349,11 +1349,22 @@ def evt_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~56k cells/type, independent of row count), with the median, the
     MAD, and the 3·MAD screen all derived from the tiny histogram.
     Bit-equality with the 3-pass ``percentile`` form is pinned in
-    tests (sf0.1 + sf0.01); ×100 A/B in BASELINE round-7 de-weak. The
-    3-pass form remains the fallback for unbounded value domains
-    (continuous doubles), where the histogram degenerates to row
-    cardinality — same switch philosophy as agg_percentiles."""
-    return _mad_hist_plan(load(spark, sf_dir, "events"))
+    tests (sf0.1 + sf0.01); ×100 A/B in BASELINE round-7 de-weak. For
+    unbounded value domains (continuous doubles) the histogram
+    degenerates to row cardinality and the 3-pass ``_mad_plan`` is
+    the right form — that fallback is an EXPLICIT opt-in (env
+    ``SPARK_GRAFT_MAD_3PASS=1``; r8 ADVICE fix — no silent wired
+    switch exists, and since the two forms are pinned bit-identical
+    the flag is a pure performance posture, never a parity one).
+    There is no cheap automatic gate: distinct-cardinality of the
+    value column is not in parquet footers, and a discovery job would
+    cost more than the histogram it guards."""
+    import os
+
+    ev = load(spark, sf_dir, "events")
+    if os.environ.get("SPARK_GRAFT_MAD_3PASS") == "1":
+        return _mad_plan(ev, exact=True)
+    return _mad_hist_plan(ev)
 
 
 def _mad_plan(ev: DataFrame, exact: bool) -> DataFrame:

@@ -2304,13 +2304,20 @@ def test_bbox_adaptive_paths_agree(spark, sf_dir):
 
 
 def test_percentile_adaptive_boundary_agreement(spark):
-    """The exact→sketch switch must be value-safe at the boundary:
-    on the LARGEST local corpus (sf0.1 orders, 1.5M rows — exact side
-    of the 5M threshold) the Greenwald-Khanna path's p50/p90/p99 per
-    group land within 0.5% of the exact linear-interpolated values
-    (accuracy 10000 → rank error ≤ n/10000)."""
-    from atd_dockless_processing_spark.operators.aggregates import _percentiles_plan
+    """The opt-in sketch path must be value-safe where a deployment
+    would flip it on: on the LARGEST local corpus (sf0.1 orders,
+    1.5M rows) the Greenwald-Khanna path's p50/p90/p99 per group land
+    within 0.5% of the exact linear-interpolated values. Tolerance
+    derivation: accuracy ``_PCTL_SKETCH_ACCURACY`` → rank error ≤
+    n/accuracy = 0.04% of rows; 0.5% VALUE tolerance covers the value
+    spread across that rank band on this distribution."""
+    from atd_dockless_processing_spark.operators.aggregates import (
+        _PCTL_SKETCH_ACCURACY,
+        _percentiles_plan,
+    )
     from atd_dockless_processing_spark.tables import load
+
+    assert _PCTL_SKETCH_ACCURACY == 2500  # tolerance derived from this
 
     o = load(spark, "/root/testdata/sf0.1", "orders")
     exact = {
@@ -2642,3 +2649,63 @@ def test_ngram_topk_single_aggregate_exchange(spark, sf_dir):
     n_exchanges = len(_re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges == 1, (n_exchanges, plan[:1500])
     assert "TakeOrderedAndProject" in plan
+
+
+def test_json_fast_exact_jackson_parity_on_malformed_and_metachar(spark):
+    """with_json_field must equal get_json_object on EVERY document,
+    including the r8 ADVICE divergences: leading-zero numbers are
+    invalid JSON (Jackson → NULL; the old -?\\d+ fast token returned
+    7 for {"k": 007}), and a key containing regex metacharacters must
+    match literally, not as a pattern."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.functions.json_fast import with_json_field
+
+    docs = [
+        '{"k": 7}',
+        '{"k": 007}',          # invalid JSON: leading zero → NULL
+        '{"k": -0}',
+        '{"k": 0}',
+        '{"k": 01.5}',         # invalid: leading zero with fraction
+        '{"k": "7"}',          # string value → fallback path
+        '{"k": 7, "j": 1}',    # extra key → fallback path
+        '{"j": {"k": 9}}',     # nested → fallback ($.k is NULL)
+        "not json at all",
+        None,
+    ]
+    # exponent form separately: Jackson normalizes 1.25e2 -> "125.0",
+    # which ANSI cast("int") rejects in BOTH paths (parity holds by
+    # both throwing), so it only joins the non-int dtype loops
+    for dtype, extra in (
+        ("int", []),
+        ("double", ['{"k": 1.25e2}', '{"k": 1.50}', '{"k": -0.5}']),
+        # string dtype: exponent/decimal docs exercise the fallback
+        # (Jackson re-serializes 1.25e2→"125.0", 1.50→"1.5" — the
+        # fast path must NOT capture those verbatim)
+        ("string", ['{"k": 1.25e2}', '{"k": 1.50}', '{"k": -0.5}']),
+    ):
+        df = spark.createDataFrame([(d,) for d in docs + extra], "doc: string")
+        got = (
+            with_json_field(df, "v", "doc", "k", dtype)
+            .select("v")
+            .collect()
+        )
+        ref_col = F.get_json_object("doc", "$.k")
+        if dtype != "string":
+            ref_col = ref_col.cast(dtype)
+        ref = df.select(ref_col.alias("v")).collect()
+        assert [r["v"] for r in got] == [r["v"] for r in ref], dtype
+
+    meta = spark.createDataFrame(
+        [('{"a.b": 3}',), ('{"aXb": 3}',)], "doc: string"
+    )
+    vals = [
+        r["v"]
+        for r in with_json_field(meta, "v", "doc", "a.b", "string")
+        .select("v")
+        .collect()
+    ]
+    # Jackson's $['a.b'] path quirks aside, the FAST path must not
+    # treat '.' as a wildcard: the aXb document has no key "a.b", so
+    # only regex-metachar leakage could make it return 3.
+    assert vals[1] is None, vals
