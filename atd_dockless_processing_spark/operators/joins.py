@@ -294,22 +294,114 @@ def join_multiway_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shape 6-table join + group agg (core). Fact⋈fact joins
     shuffle on keys; supplier/nation/region broadcast.
 
-    Scale posture (r7, ×100 measurements): the ad-hoc plan costs
-    4.11 s (2.66× DuckDB — two fact exchanges, lineitem 60M +
-    join-result on custkey). The PRODUCTION fix is storage layout,
-    not plan surgery: with lineitem and orders bucketed on orderkey
-    (``snk_bucketed_join`` pattern — one-time 12.7 s + 5.1 s write at
-    ×100) the orderkey join goes exchange-free and the same query
-    runs 3.13 s (≈2.09×, identical results); the residual is the
-    irreducible custkey exchange + DuckDB's in-process hash-build
-    advantage. Join-order alternatives were separately A/B'd and
-    REJECTED (orders⋈customer-first 3× worse — scripts/ab_multiway.py,
+    r8 (verdict item 4): the registered key now routes through the
+    LAYOUT-AWARE ``multiway5_plan`` (the ``bbox_join_plan`` pattern).
+    When the one-time bucketed-orderkey layout built by
+    ``ensure_q5_bucketed_layout`` (``snk_bucketed_join`` machinery —
+    lineitem+orders bucketBy(orderkey)+sortBy as external tables) is
+    present for this sf_dir, the orderkey fact⋈fact join plans
+    EXCHANGE-FREE off the bucketed scans (plan-asserted in tests: no
+    Exchange on l_orderkey/o_orderkey below the merge join); without
+    the layout (driver sweep at sf0.01, any fresh deployment) the
+    ad-hoc two-exchange plan runs unchanged. Both forms are the same
+    logical query over the same rows — value-identical by
+    construction, pinned by a cross-form equality test — so the
+    layout probe is a pure physical-plan dispatch, never a parity
+    hazard.
+
+    Scale posture (×100 measurements): ad-hoc 4.11 s (2.66× DuckDB —
+    two fact exchanges, lineitem 60M + join-result on custkey);
+    bucketed layout (one-time 12.7 + 5.1 s write) ≈3.1 s ≈2.1× as
+    the DEFAULT path once built; the residual is the irreducible
+    custkey exchange + DuckDB's in-process hash-build advantage.
+    Join-order alternatives were separately A/B'd and REJECTED
+    (orders⋈customer-first 3× worse — scripts/ab_multiway.py,
     BASELINE round-6)."""
-    customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    return multiway5_plan(spark, sf_dir)
+
+
+_Q5_BUCKETS = 32
+
+
+def _q5_bucket_tables(sf_dir: str) -> tuple[str, str, str]:
+    sftag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    from ..tables import scratch_dir
+
+    base = scratch_dir("q5_bucketed", sf_dir.strip("/").replace("/", "_"))
+    return f"q5b_lineitem_{sftag}", f"q5b_orders_{sftag}", base
+
+
+def ensure_q5_bucketed_layout(
+    spark: SparkSession, sf_dir: str, buckets: int = _Q5_BUCKETS
+) -> tuple[str, str]:
+    """One-time bucketed-orderkey layout for the Q5 shape: lineitem
+    and orders (narrow column sets) written bucketBy(buckets,
+    orderkey) + sortBy as external tables, so every subsequent
+    orderkey join is exchange-free (the 100 TB repeated-join
+    amortizer — pay the layout once, reuse it for every Q3/Q5-shaped
+    query on the same keys). Idempotent: reuses existing tables."""
+    li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir)
+    if not _q5_layout_available(spark, sf_dir):
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+            .write.mode("overwrite")
+            .bucketBy(buckets, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{base}/{li_tbl}")
+            .saveAsTable(li_tbl)
+        )
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderdate")
+            .write.mode("overwrite")
+            .bucketBy(buckets, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{base}/{o_tbl}")
+            .saveAsTable(o_tbl)
+        )
+    return li_tbl, o_tbl
+
+
+def _q5_layout_available(spark: SparkSession, sf_dir: str) -> bool:
+    """Catalog entries present AND their external paths still on disk
+    (a wiped .scratch leaves stale metastore rows behind)."""
+    from pathlib import Path
+
+    li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir)
+    return (
+        spark.catalog.tableExists(li_tbl)
+        and spark.catalog.tableExists(o_tbl)
+        and Path(base, li_tbl).exists()
+        and Path(base, o_tbl).exists()
     )
-    li = load(spark, sf_dir, "lineitem")
+
+
+def multiway5_plan(
+    spark: SparkSession, sf_dir: str, layout: str = "auto"
+) -> DataFrame:
+    """Q5 plan dispatch: ``layout`` = 'auto' (bucketed when the
+    layout exists, else ad-hoc) | 'adhoc' | 'bucketed' (requires the
+    layout). Shared join tail keeps the two forms logically
+    identical."""
+    if layout == "auto":
+        layout = "bucketed" if _q5_layout_available(spark, sf_dir) else "adhoc"
+    date_filter = (F.col("o_orderdate") >= "1996-01-01") & (
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    if layout == "bucketed":
+        li_tbl, o_tbl, _ = _q5_bucket_tables(sf_dir)
+        li = spark.table(li_tbl)
+        # merge hint: keep the sort-merge join so the bucketed
+        # (pre-partitioned, pre-sorted) scans are consumed directly;
+        # without it small-SF stats would broadcast orders and hide
+        # the layout. The filter prunes AFTER the bucketed scan —
+        # bucketing on orderkey survives any non-key predicate.
+        orders = spark.table(o_tbl).where(date_filter).hint("merge")
+    else:
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").where(date_filter)
+    customer = load(spark, sf_dir, "customer")
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")

@@ -2743,3 +2743,29 @@ def test_rfm_gather_and_chained_forms_identical(spark, sf_dir):
         a = sorted(map(tuple, gather.collect()))
         b = sorted(map(tuple, chained.collect()))
         assert a == b and a, (d, a[:3], b[:3])
+
+
+def test_q5_bucketed_layout_exchange_free_and_identical(spark, sf_dir):
+    """The layout-aware Q5 dispatch (r8): once the bucketed-orderkey
+    layout exists, 'auto' must pick it, the orderkey fact-fact join
+    must consume the bucketed scans with NO Exchange on either side,
+    and the result must equal the ad-hoc plan row-for-row."""
+    import re as _re
+
+    from atd_dockless_processing_spark.operators.joins import (
+        _q5_layout_available,
+        ensure_q5_bucketed_layout,
+        multiway5_plan,
+    )
+
+    ensure_q5_bucketed_layout(spark, sf_dir, buckets=4)
+    assert _q5_layout_available(spark, sf_dir)
+
+    adhoc = sorted(map(tuple, multiway5_plan(spark, sf_dir, "adhoc").collect()))
+    auto = multiway5_plan(spark, sf_dir)  # must dispatch to bucketed
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert not _re.search(r"Exchange hashpartitioning\(l_orderkey", plan), plan[:3000]
+    assert not _re.search(r"Exchange hashpartitioning\(o_orderkey", plan), plan[:3000]
+    got = sorted(map(tuple, auto.collect()))
+    assert got == adhoc and got, (got[:3], adhoc[:3])
