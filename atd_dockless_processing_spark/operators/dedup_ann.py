@@ -572,6 +572,145 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_SEED_MIX = 2654435761  # Knuth multiplicative hash constant
+
+
+def ivf_scaled_plan(
+    spark: SparkSession, sf_dir: str, nlist: int, query_mod: int = 100
+) -> DataFrame:
+    """IVF ANN with a SIZED quantizer — the production-scaling form of
+    ``llm_ann_ivf`` (r8 verdict item 5: the registered key's fixed
+    nlist=10 label quantizer makes the ×100 rehearsal quadratic BY
+    CONFIG; this plan sizes nlist ∝ √n so probe work is O(n^1.5),
+    the true IVF asymptotic).
+
+    Quantizer: ``nlist`` seed vectors chosen by a deterministic
+    multiplicative-hash order over vec_id (corpus-spread, replica-
+    shift-proof — a modulus rule would collapse onto one id per
+    replica on the shifted-key rehearsal corpus). Seeds are BOUNDED
+    driver metadata (nlist×64 doubles ≤ √n rows — the ≤20-query-
+    vector collect precedent, documented cap). Assignment is one
+    Arrow ``mapInPandas`` pass: each batch scores (batch,64)@(64,
+    nlist) against the L2-normalized seed matrix and takes the
+    argmax (ties broken toward the smaller cell id by numpy argmax's
+    first-max rule, matching the SQL ``ORDER BY cos DESC, cell``
+    tie-break); vectors and their norms pass through so the probe
+    join needs no second corpus scan or re-derivation (staged-norm
+    rule). Probe: queries (vec_id % query_mod == 0, nprobe=1) are a
+    bounded broadcast side; candidates = equi-join on cell id, exact
+    cosine, top-3 per query via rank window.
+
+    nprobe=1 with a refined quantizer trades recall for probe size —
+    the honest ANN trade; recall@3 vs the exact brute-force top-3 is
+    measured by ``scripts/rehearsal_ivf_scaled.py`` and recorded in
+    BASELINE/SCALE. One-shot total work (assign n·nlist + probe
+    nq·n/nlist, nq = n/query_mod) is minimized at nlist ≈ √nq;
+    index-amortized deployments (build once, query forever) size
+    nlist ≈ √n. Both are ∝ √n on this corpus shape.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("ve")
+    )
+    h = F.pmod(F.col("vec_id") * F.lit(_IVF_SEED_MIX), F.lit(2**31))
+    seed_rows = (
+        emb.withColumn("h", h).orderBy("h", "vec_id").limit(nlist).select("ve").collect()
+    )
+    seeds = np.array([r["ve"] for r in seed_rows], dtype=np.float64)
+    seeds_n = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+
+    def assign(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["ve"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            # cosine argmax == dot argmax against UNIT seeds after
+            # dividing by the row norm (row norm is per-vector
+            # constant, so it cannot change the argmax — but keep it
+            # for the emitted norm column)
+            cell = (mat @ seeds_n.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "ve": pdf["ve"],
+                    "vnorm": norms,
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    # Barrier: the probe join references `assigned` on BOTH sides
+    # (corpus + query subset), and a self-join of a derived frame has
+    # NO DAG reuse — without the checkpoint the Arrow assignment pass
+    # (corpus matmul + transfer) executes twice plus once more for
+    # the broadcast side (r6 lesson; llm_bm25_topk precedent).
+    assigned = emb.mapInPandas(
+        assign, "vec_id long, ve array<double>, vnorm double, cell int"
+    ).localCheckpoint(eager=False)
+    q = assigned.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ve").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+        F.col("cell").alias("qcell"),
+    )
+
+    # Probe = COGROUP BY CELL + per-cell BLAS (the production IVF
+    # shape: posting lists are partitions, a probe scores one cell's
+    # members as a single (members,64)@(64,cell_queries) product and
+    # emits ONLY each query's top-3 — no per-candidate row stream
+    # exists anywhere in the plan). The broadcast-join + HOF-dot +
+    # rank-window alternative was MEASURED and replaced: 8.9M
+    # lambda-fold cosines cost ~12 s of the 13 s ×100 total; this
+    # form emits ≤ 3·nq rows straight out of the Arrow worker.
+    # Ranking matches the window form exactly: scores rounded to 4dp
+    # BEFORE ranking, ties broken by neighbor_id asc (np.lexsort on
+    # (id, -cos) == ORDER BY cos DESC, id).
+    def probe(members, queries):
+        import numpy as np  # noqa: F811 (worker-side import)
+        import pandas as pd
+
+        if not len(members) or not len(queries):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "cell": pd.Series(dtype="int32"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                    "rnk": pd.Series(dtype="int32"),
+                }
+            )
+        mat = np.array(members["ve"].tolist(), dtype=np.float64)
+        mid = members["vec_id"].to_numpy()
+        mn = members["vnorm"].to_numpy()
+        qmat = np.array(queries["qv"].tolist(), dtype=np.float64)
+        qid = queries["query_id"].to_numpy()
+        qn = queries["qnorm"].to_numpy()
+        sims = np.round((mat @ qmat.T) / np.outer(mn, qn), 4)
+        out = []
+        cell = int(members["cell"].iloc[0])
+        for j in range(len(qid)):
+            col = sims[:, j].copy()
+            col[mid == qid[j]] = -np.inf  # self-match excluded
+            top = np.lexsort((mid, -col))[: min(3, len(mid) - 1)]
+            for r, t in enumerate(top, start=1):
+                out.append((int(qid[j]), cell, int(mid[t]), float(col[t]), r))
+        return pd.DataFrame(
+            out, columns=["query_id", "cell", "neighbor_id", "cos_sim", "rnk"]
+        )
+
+    return (
+        assigned.groupby("cell")
+        .cogroup(q.groupby("qcell"))
+        .applyInPandas(
+            probe,
+            "query_id long, cell int, neighbor_id long, cos_sim double, rnk int",
+        )
+    )
+
+
 @query(
     "llm_vector_quantize",
     oracle="""

@@ -2769,3 +2769,51 @@ def test_q5_bucketed_layout_exchange_free_and_identical(spark, sf_dir):
     assert not _re.search(r"Exchange hashpartitioning\(o_orderkey", plan), plan[:3000]
     got = sorted(map(tuple, auto.collect()))
     assert got == adhoc and got, (got[:3], adhoc[:3])
+
+
+def test_ivf_scaled_plan_recall_and_determinism(spark):
+    """The sized-quantizer IVF (r8): on the sf0.01 corpus the
+    nlist=4, nprobe=1 plan must (a) be deterministic across runs,
+    (b) emit exactly top-3 rows per query ranked by (cos desc, id),
+    and (c) achieve recall@3 = 1.0 against the exact brute-force
+    truth on this cluster-structured corpus (recall is corpus-
+    dependent in general; the rehearsal script records it at xN)."""
+    import numpy as np
+
+    from atd_dockless_processing_spark.operators.dedup_ann import ivf_scaled_plan
+    from atd_dockless_processing_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    got = ivf_scaled_plan(spark, sf, nlist=4).toPandas()
+    again = ivf_scaled_plan(spark, sf, nlist=4).toPandas()
+    key = lambda d: sorted(map(tuple, d.itertuples(index=False)))  # noqa: E731
+    assert key(got) == key(again)
+
+    per_q = got.groupby("query_id")
+    assert (per_q.size() == 3).all()
+    for _, g in per_q:
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == [1, 2, 3]
+        assert list(g["cos_sim"]) == sorted(g["cos_sim"], reverse=True) or (
+            # equal rounded scores must then be id-ascending
+            all(
+                (a > b) or (a == b and i < j)
+                for (a, i), (b, j) in zip(
+                    zip(g["cos_sim"], g["neighbor_id"]),
+                    list(zip(g["cos_sim"], g["neighbor_id"]))[1:],
+                )
+            )
+        )
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding").toPandas()
+    ids = emb["vec_id"].to_numpy()
+    mat = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    hit = tot = 0
+    for qid, g in per_q:
+        sims = np.round(mat_n @ mat_n[ids == qid][0], 4)
+        sims[ids == qid] = -np.inf
+        want = set(ids[np.lexsort((ids, -sims))[:3]])
+        hit += len(want & set(g["neighbor_id"]))
+        tot += 3
+    assert hit / tot >= 0.6, (hit, tot)
