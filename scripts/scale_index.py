@@ -45,9 +45,9 @@ POINTERS = {
     "gph_jaccard_neighbors": "BASELINE round-6b — 0.08x at x100 (Spark 12.8x faster, wedge join)",
     "join_asof": "BASELINE legacy sweep 1 — 0.87x at x100, union-tag ordered-window form BEATS DuckDB's native ASOF JOIN",
     "join_interval_overlap": "BASELINE legacy sweep 2 — canonical-bucket emission, 12.0 s sink-mode for 171.7M pairs = 1.79x vs IEJoin",
-    "join_skew_salted": "BASELINE legacy sweep 3 — SMJ-pinned 2.85 s; honest 2.4x replication tax vs the plain join",
+    "join_skew_salted": "BASELINE legacy sweep 3 — SMJ-pinned 2.85 s; DELIBERATE 2.4x salt-replication-tax demo vs the plain join (production pays it only against a straggler)",
     "join_theta_range": "BASELINE legacy sweep 2 — 0.59 s / 2.44x (dispatch-floor regime, 240 ms oracle)",
-    "llm_ann_ivf": "BASELINE legacy sweep 5 — 2.28x at x10 (honest config; the x100 fixed-nlist row is quadratic BY CONFIG, 2.19x)",
+    "llm_ann_ivf": "CLOSED r8 — scaled rows: 0.38x x10 / 0.02x x100 (nlist ~ sqrt(nq), cogroup-BLAS probe, recall@3 1.000; rehearsal_ivf_scaled.py); the registered fixed-nlist key keeps its 2.28x x10 honest-config row and the old x100 row stays marked quadratic-by-config",
     "llm_dedup_simhash": "BASELINE dedup-family rows — 1.77/4.31/15.95 s at x1/x10/x100 on the suffixed corpus (sublinear steps)",
     "llm_kmeans_step": "BASELINE legacy sweep batch 4 — 0.84x at x100 (2M x 64d)",
     "llm_knn_join": "BASELINE legacy sweep 5 — 0.71x at x100 (Spark faster; staged norms + Arrow batch scoring)",
@@ -55,7 +55,7 @@ POINTERS = {
     "llm_semdedup": "BASELINE round-6 de-weak — 0.24x at x10 (honest fixed-k config; Spark 4.2x faster)",
     "mm_image_embed_sim": "BASELINE round-6f — 0.12x at x100 (32-core Arrow decode beats the closed-form oracle 8x)",
     "set_intersect_all": "BASELINE legacy sweep 6 — 0.57x at x100 (Spark faster)",
-    "txt_dedup_paragraphs": "BASELINE round-6g — 3.0x at x100 (630 ms absolute — staged-HOF/dispatch floor)",
+    "txt_dedup_paragraphs": "BASELINE round-6g — 3.0x at x100, CLOSED AS CONSTANT-FACTOR (630 ms absolute = staged-HOF/dispatch floor)",
     "win_moving_avg": "BASELINE legacy sweep 6 — 0.56x at x100 (Spark faster, 15M rows / 1.5M partitions)",
     # geo CSE-sweep decompositions (hot x100 engine timings in prose)
     "geo_hex_bin": "BASELINE 'CSE-gap sweep' — staged cube rounding, 10.3 -> 1.4 s hot at x100",
@@ -88,7 +88,7 @@ POINTERS = {
     # remaining stm_* keys: availableNow micro-batch semantics; the
     # per-batch plan equals the measured batch twin named per row
     "stm_tumbling_availablenow": "batch twin evt_tumbling_hour (0.46x on production us layout, BASELINE µs-staged table)",
-    "stm_sliding_watermark": "batch twin evt_sliding_window (2.02x x100)",
+    "stm_sliding_watermark": "batch twin evt_sliding_window (2.02x x100, CLOSED AS CONSTANT-FACTOR - two-level pre-agg rewrite measured a wash r7)",
     "stm_watermark_dedup": "batch twin llm_dedup_exact-shape dedup (1.75x x100)",
     "stm_session_window": "batch twin evt_session_window_native (0.47x x100)",
     "stm_stateful_running": "batch twin win_running_sum (0.51x x10)",
