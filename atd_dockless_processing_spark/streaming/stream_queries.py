@@ -1231,3 +1231,124 @@ def stm_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("m.sum_value"), 4).alias("sum_value"),
         )
     )
+
+
+def _stage_events_type_files(spark: SparkSession, sf_dir: str) -> str:
+    """events (user_id, event_type) as TWO parquet files for the
+    MapState drain (own stage name — schema differs from the
+    ValueState key's stage)."""
+    from ..tables import stage_scratch
+
+    def build(indir: str) -> None:
+        (
+            load(spark, sf_dir, "events")
+            .select("user_id", "event_type")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    return stage_scratch("stm_tws_types", sf_dir, "events", build)
+
+
+@query(
+    "stm_tws_map_state",
+    oracle="""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stm_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 arbitrary-state MAP STATE (`handle.getMapState`):
+    per-user map event_type → running count in RocksDB, maintained
+    across the same 2-micro-batch drain as `stm_transform_with_state`
+    (which exercises ValueState; together they cover the TWS state
+    family the container previously blocked — see §7.6). Each batch
+    folds its pandas chunk counts into the map with
+    getValue/updateValue and emits the FULL map via iterator(), so a
+    (user, type) whose events all arrived in batch 1 is re-emitted
+    in batch 2 with its state-carried count — the readback's per-
+    (user, type) max is the all-events total ONLY if the map
+    survived the batch boundary AND iterator() returns keys written
+    in earlier batches. Integer counts, no float hazard.
+
+    Scale shape: state = one RocksDB row per (user, type) — the
+    arbitrary-dimension generalization a built-in windowed agg can't
+    express when the map keys are dynamic; per-batch work is
+    map-side pandas folding."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    zip_path = _ensure_protobuf_runtime()
+    if zip_path is not None:
+        env = spark.sparkContext.environment
+        cur = env.get("PYTHONPATH", "")
+        if zip_path not in cur.split(":"):
+            env["PYTHONPATH"] = zip_path + (":" + cur if cur else "")
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState(
+                "type_counts", "event_type string", "c long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for et, n in pdf.groupby("event_type").size().items():
+                    batch[et] = batch.get(et, 0) + int(n)
+            for et, n in batch.items():
+                prev = self._m.getValue((et,))
+                self._m.updateValue((et,), ((prev[0] if prev else 0) + n,))
+            types, counts = [], []
+            for (et,), (c,) in self._m.iterator():
+                types.append(et)
+                counts.append(c)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(types),
+                    "event_type": types,
+                    "n_events": counts,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    indir = _stage_events_type_files(spark, sf_dir)
+    raw = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = f"stm_twsm_{uuid.uuid4().hex[:8]}"
+    try:
+        out = raw.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeCounts(),
+            outputStructType="user_id long, event_type string, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        _run_to_memory(out, name, "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return (
+        spark.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )

@@ -2817,3 +2817,51 @@ def test_ivf_scaled_plan_recall_and_determinism(spark):
         hit += len(want & set(g["neighbor_id"]))
         tot += 3
     assert hit / tot >= 0.6, (hit, tot)
+
+
+def test_bpe_merge_step_matches_pure_python(spark, sf_dir):
+    """llm_bpe_merge_step vs an independent pure-Python pair counter
+    (different code path from both the Spark plan and the DuckDB
+    oracle): identical top-10 pairs, counts, and rank order."""
+    from collections import Counter
+
+    from atd_dockless_processing_spark.registry import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    texts = [r["text"] for r in load(spark, sf_dir, "documents").select("text").collect()]
+    counts = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    counts[w[i : i + 2]] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["pair"], r["n_pairs"])
+        for r in QUERIES["llm_bpe_merge_step"](spark, sf_dir)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == want, (got[:3], want[:3])
+
+
+def test_tws_state_family_cross_key_consistency(spark, sf_dir):
+    """The two TWS keys must agree with each other: the MapState
+    key's per-user sum over event types == the ValueState key's
+    per-user n_events (both carried across the same 2-batch drain,
+    different state variables and stages)."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.registry import QUERIES
+
+    by_type = (
+        QUERIES["stm_tws_map_state"](spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.sum("n_events").alias("n"))
+    )
+    totals = QUERIES["stm_transform_with_state"](spark, sf_dir).select(
+        "user_id", F.col("n_events").alias("n")
+    )
+    a = sorted(map(tuple, by_type.collect()))
+    b = sorted(map(tuple, totals.collect()))
+    assert a == b and a, (a[:3], b[:3])
