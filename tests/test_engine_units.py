@@ -2865,3 +2865,31 @@ def test_tws_state_family_cross_key_consistency(spark, sf_dir):
     a = sorted(map(tuple, by_type.collect()))
     b = sorted(map(tuple, totals.collect()))
     assert a == b and a, (a[:3], b[:3])
+
+
+def test_python_stream_source_replay_equals_read():
+    """The streaming DataSource's restart path must replay exactly:
+    readBetweenOffsets(a, b) == the concatenation of read() batches
+    from offset a to b (offset-log recovery correctness), and both
+    must be picklable iterators (the two probed wrapper failure
+    modes)."""
+    import pickle
+
+    from atd_dockless_processing_spark.sources.scans import (
+        _CS_BATCHES,
+        _CounterStreamReader,
+    )
+
+    r = _CounterStreamReader()
+    off = r.initialOffset()
+    seq = []
+    for _ in range(_CS_BATCHES + 1):
+        rows, off2 = r.read(off)
+        rows = list(pickle.loads(pickle.dumps(rows)))
+        seq.extend(rows)
+        if off2 == off:
+            assert rows == []
+            break
+        off = off2
+    replay = list(r.readBetweenOffsets(r.initialOffset(), off))
+    assert replay == seq and len(seq) == 5000
