@@ -21,7 +21,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1352,3 +1352,130 @@ def stm_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+_TWS_TOPK = 3
+
+
+@query(
+    "stm_tws_list_state",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+      FROM events
+    )
+    SELECT user_id, event_id FROM ranked WHERE rn <= {_TWS_TOPK}
+    """,
+)
+def stm_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 arbitrary-state LIST STATE (`handle.getListState`):
+    per-user bounded top-k list (the k smallest event_ids) maintained
+    in RocksDB across the 2-micro-batch drain — a streaming bounded
+    leaderboard, the list-shaped state a built-in agg can't hold
+    incrementally. Completes the TWS state-variable family
+    (ValueState `stm_transform_with_state`, MapState
+    `stm_tws_map_state`, ListState here; see §7.6 for the protobuf
+    unblock). Each batch merges its ids into the stored list via
+    get()/put() and emits (user, seen_total, id×k); seen_total
+    strictly grows, so the readback filters each user's FINAL
+    emission (max seen_total) and explodes it — equal to the batch
+    top-k oracle ONLY if batch 1's survivors were still in the list
+    when batch 2 merged (a lost list leaves batch-2-only ids).
+    Integer ids, rank ties impossible (event_id unique per user at
+    generation)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    zip_path = _ensure_protobuf_runtime()
+    if zip_path is not None:
+        env = spark.sparkContext.environment
+        cur = env.get("PYTHONPATH", "")
+        if zip_path not in cur.split(":"):
+            env["PYTHONPATH"] = zip_path + (":" + cur if cur else "")
+
+    class TopKIds(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ids = handle.getListState("topk_ids", "event_id long")
+            self._seen = handle.getValueState("seen", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            ids: list[int] = []
+            n_batch = 0
+            for pdf in rows:
+                n_batch += len(pdf)
+                ids.extend(int(x) for x in pdf["event_id"])
+            prev = [int(t[0]) for t in self._ids.get()] if self._ids.exists() else []
+            kept = sorted(prev + ids)[:_TWS_TOPK]
+            self._ids.put([(i,) for i in kept])
+            sv = self._seen.get()
+            seen = (sv[0] if sv else 0) + n_batch
+            self._seen.update((seen,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(kept),
+                    "seen_total": [seen] * len(kept),
+                    "event_id": kept,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    indir = _stage_events_id_files(spark, sf_dir)
+    raw = (
+        spark.readStream.schema("user_id long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = f"stm_twsl_{uuid.uuid4().hex[:8]}"
+    try:
+        out = raw.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TopKIds(),
+            outputStructType="user_id long, seen_total long, event_id long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        _run_to_memory(out, name, "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    t = spark.table(name)
+    w = Window.partitionBy("user_id")
+    return (
+        t.withColumn("max_seen", F.max("seen_total").over(w))
+        .where(F.col("seen_total") == F.col("max_seen"))
+        .select("user_id", "event_id")
+    )
+
+
+def _stage_events_id_files(spark: SparkSession, sf_dir: str) -> str:
+    """events (user_id, event_id) as TWO parquet files for the
+    ListState drain."""
+    from ..tables import stage_scratch
+
+    def build(indir: str) -> None:
+        (
+            load(spark, sf_dir, "events")
+            .select("user_id", "event_id")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    return stage_scratch("stm_tws_ids", sf_dir, "events", build)
