@@ -51,8 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _KEY_ORDER = [
     # --- evidence-needed block (no green latest driver row):
     # new keys first, then previously-ranked ones ---
-    "stm_tws_list_state", "stm_python_stream_source", "llm_bpe_merge_step",
-    "stm_tws_map_state", "stm_transform_with_state",
+    "stm_tws_timers", "stm_tws_list_state", "stm_python_stream_source",
+    "llm_bpe_merge_step", "stm_tws_map_state", "stm_transform_with_state",
     # --- ever-green tail, oldest evidence first ---
     "flt_like_regex", "evt_rfm_segments", "txt_entropy_filter",
     "geo_trip_length", "evt_dau_wau_rolling", "dq_dp_noise_counts",

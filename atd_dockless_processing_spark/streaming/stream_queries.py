@@ -1479,3 +1479,118 @@ def _stage_events_id_files(spark: SparkSession, sf_dir: str) -> str:
         )
 
     return stage_scratch("stm_tws_ids", sf_dir, "events", build)
+
+
+def _stage_events_ts_files(spark: SparkSession, sf_dir: str) -> str:
+    """events (user_id, ts) as TWO parquet files for the event-time
+    timer drain (the watermark column rides along)."""
+    from ..tables import stage_scratch
+
+    def build(indir: str) -> None:
+        (
+            load(spark, sf_dir, "events")
+            .select("user_id", "ts")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    return stage_scratch("stm_tws_ts", sf_dir, "events", build)
+
+
+@query(
+    "stm_tws_timers",
+    oracle="""
+    SELECT user_id, CAST(1000 + user_id AS BIGINT) AS fired_at_ms
+    FROM events GROUP BY user_id
+    """,
+)
+def stm_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 arbitrary-state EVENT-TIME TIMERS
+    (`handle.registerTimer` + `handleExpiredTimer`, timeMode=
+    EventTime): on first sight each user registers a timer at the
+    FAR-PAST unique expiry 1000+user_id ms; the timer fires as soon
+    as the event-time watermark first advances past it (batch 2 for
+    users first seen in batch 1, the availableNow trailing no-data
+    batch otherwise — either way EXACTLY ONCE per user, so the
+    emission set is split-agnostic and hash-checkable). The emitted
+    row echoes `expiredTimerInfo.getExpiryTimeInMs()`, pinning the
+    expiry's round-trip through RocksDB timer state and the
+    state-server protocol, not just that \"something fired\".
+    Completes the TWS surface: ValueState / MapState / ListState /
+    timers (§7.6 for the protobuf unblock).
+
+    Scale shape: one registered timer per user (RocksDB timer
+    column family, bounded), watermark-driven expiry scans — the
+    session-timeout / TTL-callback machinery a 24/7 deployment uses
+    for inactivity logic."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    zip_path = _ensure_protobuf_runtime()
+    if zip_path is not None:
+        env = spark.sparkContext.environment
+        cur = env.get("PYTHONPATH", "")
+        if zip_path not in cur.split(":"):
+            env["PYTHONPATH"] = zip_path + (":" + cur if cur else "")
+
+    class FirstSightTimer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "s int")
+            self._h = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            for _ in rows:
+                pass
+            if not self._seen.get():
+                self._seen.update((1,))
+                self._h.registerTimer(1000 + int(key[0]))
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "fired_at_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    indir = _stage_events_ts_files(spark, sf_dir)
+    raw = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        .withWatermark("ts", "1 hour")
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = f"stm_twst_{uuid.uuid4().hex[:8]}"
+    try:
+        out = raw.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=FirstSightTimer(),
+            outputStructType="user_id long, fired_at_ms long",
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+        _run_to_memory(out, name, "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    # exactly-once is part of the contract: a duplicate fire would
+    # double a row and flip the hash via the distinct here being absent
+    return spark.table(name).select("user_id", "fired_at_ms")

@@ -95,6 +95,7 @@ POINTERS = {
     "stm_stateful_session": "batch twin evt_sessionize_lag (1.17-1.37x x100)",
     "stm_python_stream_source": "SURFACE demo (python streaming DataSource contract) - driver-side prefetch + offset log by construction (fixed 5x1000-row feed); production volume streams stay on the JVM file/rate/kafka sources; replay path (readBetweenOffsets) pinned equal to read() in tests",
     "stm_tws_list_state": "TWS ListState sibling of stm_transform_with_state - same per-(key,batch) state-server constant (see its MEASURED INCLUSIVE x100 row); state = k-bounded list per user, strictly bounded",
+    "stm_tws_timers": "TWS event-time-timer sibling of stm_transform_with_state - same state-server constant (see its MEASURED INCLUSIVE x100 row); one bounded RocksDB timer per user, watermark-driven expiry",
     "stm_tws_map_state": "TWS MapState sibling of stm_transform_with_state - same per-(key,batch) state-server protocol constant (see its MEASURED INCLUSIVE x100 row); state rows = (user,type) pairs, still bounded and incremental",
     "llm_bpe_merge_step": "both agg exchanges collapse to VOCABULARY size map-side (word partial agg before the shuffle, pair agg over the (word,count) summary) - shuffled bytes O(vocab) at any corpus size; plan family of llm_term_topk (0.59x x100) with one extra vocab-sized exchange",
     "stm_transform_with_state": "MEASURED INCLUSIVE x100 (r8): 179-267 s vs DuckDB 0.55 s batch groupBy — the per-(key, batch) state-server round-trip tax of the TWS protocol (~0.6 ms x 150k users x 2 batches), a Spark-version constant priced as the declared modern-API surface (udf_scalar_python precedent); the VOLUME shape of running per-user totals is the batch groupBy (trivial) and the applyInPandasWithState twin stm_stateful_session (batch twin 1.17-1.37x); production posture = coarser keys or the built-in stateful aggs for totals-shaped state",
