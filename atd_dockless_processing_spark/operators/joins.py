@@ -323,12 +323,35 @@ def join_multiway_5(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q5_BUCKETS = 32
 
 
-def _q5_bucket_tables(sf_dir: str) -> tuple[str, str, str]:
+def _q5_bucket_tables(sf_dir: str, buckets: int) -> tuple[str, str, str]:
+    # bucket count is part of the table identity: an ensure() with a
+    # different count must NOT silently reuse another count's layout
+    # (r8 review finding #4)
     sftag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     from ..tables import scratch_dir
 
     base = scratch_dir("q5_bucketed", sf_dir.strip("/").replace("/", "_"))
-    return f"q5b_lineitem_{sftag}", f"q5b_orders_{sftag}", base
+    return (
+        f"q5b_lineitem_{sftag}_b{buckets}",
+        f"q5b_orders_{sftag}_b{buckets}",
+        base,
+    )
+
+
+def _q5_src_sig(sf_dir: str) -> str:
+    """Freshness signature of the layout's SOURCES — (mtime_ns, size)
+    of both parquet paths (dir mtime moves when files inside are
+    replaced). A regenerated corpus must invalidate the layout, or
+    the registered key would silently serve stale rows against a
+    fresh oracle (r8 review finding #1; the stage_scratch marker
+    discipline)."""
+    import os
+
+    sig = []
+    for t in ("lineitem", "orders"):
+        st = os.stat(f"{sf_dir}/{t}.parquet")
+        sig.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    return ";".join(sig)
 
 
 def ensure_q5_bucketed_layout(
@@ -339,9 +362,13 @@ def ensure_q5_bucketed_layout(
     orderkey) + sortBy as external tables, so every subsequent
     orderkey join is exchange-free (the 100 TB repeated-join
     amortizer — pay the layout once, reuse it for every Q3/Q5-shaped
-    query on the same keys). Idempotent: reuses existing tables."""
-    li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir)
-    if not _q5_layout_available(spark, sf_dir):
+    query on the same keys). Idempotent per (sf_dir, buckets);
+    rebuilt automatically when the source parquet changes (mtime+size
+    marker)."""
+    from pathlib import Path
+
+    li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir, buckets)
+    if not _q5_layout_available(spark, sf_dir, buckets):
         (
             load(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -360,37 +387,50 @@ def ensure_q5_bucketed_layout(
             .option("path", f"{base}/{o_tbl}")
             .saveAsTable(o_tbl)
         )
+        Path(base, f".{li_tbl}.src_sig").write_text(_q5_src_sig(sf_dir))
     return li_tbl, o_tbl
 
 
-def _q5_layout_available(spark: SparkSession, sf_dir: str) -> bool:
-    """Catalog entries present AND their external paths still on disk
-    (a wiped .scratch leaves stale metastore rows behind)."""
+def _q5_layout_available(
+    spark: SparkSession, sf_dir: str, buckets: int = _Q5_BUCKETS
+) -> bool:
+    """Catalog entries present, their external paths still on disk (a
+    wiped .scratch leaves stale metastore rows behind), AND the
+    freshness marker matches the current source parquet signature (a
+    regenerated corpus invalidates the layout)."""
     from pathlib import Path
 
-    li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir)
+    li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir, buckets)
+    marker = Path(base, f".{li_tbl}.src_sig")
     return (
         spark.catalog.tableExists(li_tbl)
         and spark.catalog.tableExists(o_tbl)
         and Path(base, li_tbl).exists()
         and Path(base, o_tbl).exists()
+        and marker.exists()
+        and marker.read_text() == _q5_src_sig(sf_dir)
     )
 
 
 def multiway5_plan(
-    spark: SparkSession, sf_dir: str, layout: str = "auto"
+    spark: SparkSession,
+    sf_dir: str,
+    layout: str = "auto",
+    buckets: int = _Q5_BUCKETS,
 ) -> DataFrame:
     """Q5 plan dispatch: ``layout`` = 'auto' (bucketed when the
     layout exists, else ad-hoc) | 'adhoc' | 'bucketed' (requires the
     layout). Shared join tail keeps the two forms logically
     identical."""
     if layout == "auto":
-        layout = "bucketed" if _q5_layout_available(spark, sf_dir) else "adhoc"
+        layout = (
+            "bucketed" if _q5_layout_available(spark, sf_dir, buckets) else "adhoc"
+        )
     date_filter = (F.col("o_orderdate") >= "1996-01-01") & (
         F.col("o_orderdate") < "1997-01-01"
     )
     if layout == "bucketed":
-        li_tbl, o_tbl, _ = _q5_bucket_tables(sf_dir)
+        li_tbl, o_tbl, _ = _q5_bucket_tables(sf_dir, buckets)
         li = spark.table(li_tbl)
         # merge hint: keep the sort-merge join so the bucketed
         # (pre-partitioned, pre-sorted) scans are consumed directly;

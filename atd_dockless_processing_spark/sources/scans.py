@@ -314,6 +314,10 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stm_python_stream_source — PySpark 4 Python STREAMING DataSource demo
 # ---------------------------------------------------------------------------
 
+# module-level so the @query oracle f-string below stays valid even
+# on a pyspark<4 fallback import (r8 review finding #2)
+_CS_BATCHES, _CS_PER = 5, 1000
+
 try:  # pyspark >= 4.0
     from pyspark.sql.datasource import SimpleDataSourceStreamReader
 
@@ -340,8 +344,6 @@ try:  # pyspark >= 4.0
 
         def simpleStreamReader(self, schema):  # noqa: ANN001 - pyspark API
             return _CounterStreamReader()
-
-    _CS_BATCHES, _CS_PER = 5, 1000
 
     class _CounterStreamReader(SimpleDataSourceStreamReader):
         def initialOffset(self):
@@ -386,7 +388,7 @@ def stm_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Python micro-batch stream does NOT support
     Trigger.AvailableNow (probed r8: Spark logs the fallback and
     processes a SINGLE batch), so the drain runs a processingTime=0
-    trigger and polls the sink until all {batches}x{per} rows landed
+    trigger and polls the sink until all 5x1000 rows landed
     (deadline-guarded), then stops — the documented pattern for
     finite custom streams. Offsets advance through the source's own
     read(start); a restart would replay via readBetweenOffsets, the
@@ -394,9 +396,7 @@ def stm_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: SURFACE demo of the streaming V2 contract
     (driver-side prefetch + offset log); production volume streams
-    stay on the JVM file/rate/kafka sources (stm_* family).""".format(
-        batches=_CS_BATCHES, per=_CS_PER
-    )
+    stay on the JVM file/rate/kafka sources (stm_* family)."""
     import time
     import uuid as _uuid
 

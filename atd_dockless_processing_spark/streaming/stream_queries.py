@@ -1034,6 +1034,9 @@ def stm_join_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROTOBUF_SDK_SRC = (
     "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
 )
+# the protobuf minor version pyspark 4.1's StateMessage_pb2 gencode
+# requires (runtime must be >= gencode within the same major)
+_PB_TARGET_MINOR = "6.33"
 
 
 def _ensure_protobuf_runtime() -> str | None:
@@ -1066,7 +1069,15 @@ def _ensure_protobuf_runtime() -> str | None:
     except ModuleNotFoundError:
         pass
     src = Path(_PROTOBUF_SDK_SRC)
-    zpath = Path(scratch_dir("pyfiles")) / "protobuf_runtime.zip"
+    # the target gencode minor is part of the zip NAME, so a future
+    # pyspark that generates with a newer protobuf gets a FRESH
+    # staging (with updated constants below) instead of silently
+    # reusing a stale zip and failing the gencode check (r8 review
+    # finding #5)
+    zpath = (
+        Path(scratch_dir("pyfiles"))
+        / f"protobuf_runtime_{_PB_TARGET_MINOR.replace('.', '_')}.zip"
+    )
     if zpath.exists():
         return str(zpath)
     if not src.exists():
@@ -1076,9 +1087,20 @@ def _ensure_protobuf_runtime() -> str | None:
             f"absent ({src}). Container constraint — see SURVEY §7.6."
         )
     rv = (src / "runtime_version.py").read_text()
-    rv = rv.replace("OSS_MINOR = 32", "OSS_MINOR = 33").replace(
+    patched = rv.replace("OSS_MINOR = 32", f"OSS_MINOR = {_PB_TARGET_MINOR.split('.')[1]}").replace(
         "OSS_SUFFIX = '-dev'", "OSS_SUFFIX = ''"
     )
+    if patched == rv:
+        # the SDK copy's constants moved/reformatted: fail LOUDLY at
+        # staging instead of shipping an unpatched runtime that later
+        # rejects pyspark's gencode with a confusing version error
+        raise RuntimeError(
+            f"protobuf runtime staging: version-constant patch did not "
+            f"apply to {src}/runtime_version.py (expected 'OSS_MINOR = 32' "
+            f"and \"OSS_SUFFIX = '-dev'\"); update _ensure_protobuf_runtime "
+            f"for this SDK copy."
+        )
+    rv = patched
     tmp = zpath.with_suffix(".tmp")
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("google/__init__.py", "")

@@ -142,8 +142,18 @@ def main():
     out = str(REPO / ".scratch" / f"scale_x{mult}")
     spark = get_spark("ab-rfm")
 
+    from atd_dockless_processing_spark.operators.pipeline_r3 import (
+        _rfm_chained_plan,
+    )
+
     forms = {
-        "A registered (chained ntile)": lambda: QUERIES["evt_rfm_segments"](spark, out),
+        # NOTE (r8): the registered key now dispatches to the Arrow
+        # gather below the 50M-event gate, so form A calls the chained
+        # plan DIRECTLY to keep the baseline reproducible
+        "A chained ntile (pre-r8 registered)": lambda: _rfm_chained_plan(
+            _per_user(spark, out)
+        ),
+        "A2 registered (gate dispatch)": lambda: QUERIES["evt_rfm_segments"](spark, out),
         "B branch-join (ckpt barrier)": lambda: rfm_branch_join(spark, out),
         "C arrow gather (repartition)": lambda: rfm_arrow_gather(spark, out),
         "C2 arrow gather (coalesce 1)": lambda: rfm_arrow_gather(spark, out, True),

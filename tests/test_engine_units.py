@@ -2759,10 +2759,13 @@ def test_q5_bucketed_layout_exchange_free_and_identical(spark, sf_dir):
     )
 
     ensure_q5_bucketed_layout(spark, sf_dir, buckets=4)
-    assert _q5_layout_available(spark, sf_dir)
+    assert _q5_layout_available(spark, sf_dir, buckets=4)
+    # a DIFFERENT bucket count must not see this layout (identity
+    # includes the count), and a fresh marker must be required
+    assert not _q5_layout_available(spark, sf_dir, buckets=16)
 
     adhoc = sorted(map(tuple, multiway5_plan(spark, sf_dir, "adhoc").collect()))
-    auto = multiway5_plan(spark, sf_dir)  # must dispatch to bucketed
+    auto = multiway5_plan(spark, sf_dir, buckets=4)  # must dispatch to bucketed
     plan = auto._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan[:2000]
     assert not _re.search(r"Exchange hashpartitioning\(l_orderkey", plan), plan[:3000]
