@@ -2896,3 +2896,28 @@ def test_python_stream_source_replay_equals_read():
         off = off2
     replay = list(r.readBetweenOffsets(r.initialOffset(), off))
     assert replay == seq and len(seq) == 5000
+
+
+def test_q5_layout_invalidated_by_stale_source_marker(spark, sf_dir):
+    """A layout whose freshness marker no longer matches the source
+    parquet signature must be treated as ABSENT (auto falls back to
+    ad-hoc) — the regenerated-corpus staleness guard."""
+    from pathlib import Path
+
+    from atd_dockless_processing_spark.operators.joins import (
+        _q5_bucket_tables,
+        _q5_layout_available,
+        ensure_q5_bucketed_layout,
+    )
+
+    ensure_q5_bucketed_layout(spark, sf_dir, buckets=4)
+    assert _q5_layout_available(spark, sf_dir, buckets=4)
+    li_tbl, _, base = _q5_bucket_tables(sf_dir, 4)
+    marker = Path(base, f".{li_tbl}.src_sig")
+    good = marker.read_text()
+    try:
+        marker.write_text("stale:0:0;stale:0:0")
+        assert not _q5_layout_available(spark, sf_dir, buckets=4)
+    finally:
+        marker.write_text(good)
+    assert _q5_layout_available(spark, sf_dir, buckets=4)
