@@ -22,6 +22,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from atd_dockless_processing_spark import ORACLES, QUERIES  # noqa: E402
+from atd_dockless_processing_spark.retier import retier_from_repo  # noqa: E402
 from atd_dockless_processing_spark.session import tune  # noqa: E402
 
 
@@ -32,44 +33,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver sweeps queries() in dict order under a per-round time
-# budget (~50 keys/round). Keys are ordered by EVIDENCE PRIORITY,
-# re-computed each round from the union of all CORRECTNESS_r*.json
-# files via ``python scripts/retier_key_order.py --write`` (this
-# ordering is from r01∪…∪r05): every key WITHOUT
-# green latest driver evidence — new this round, never swept,
-# stale-error, or check-type changed — sorts before every key WITH
-# it (cheapest-first within that block). The ever-green tail then
-# rotates OLDEST-EVIDENCE-FIRST (r1 keys, then r2, r3, r4): the tree
-# keeps changing every round, so whatever sweep budget is left after
-# the evidence-needed block should re-validate the stalest green
-# rows, not the same recently-swept ones. Keys missing from the list
-# sort FIRST (a brand-new operator has no driver evidence, so it
-# must land inside the sweep budget).
-# tests/test_bench_contract.py guards BOTH properties (needy-before-
-# green, and oldest-evidence-first within green) against going stale
-# when the next CORRECTNESS file lands.
-_KEY_ORDER = [
-    # --- evidence-needed block (no green latest driver row):
-    # new keys first, then previously-ranked ones ---
-    "stm_tws_timers", "stm_tws_list_state", "stm_python_stream_source",
-    "llm_bpe_merge_step", "stm_tws_map_state", "stm_transform_with_state",
-    # --- ever-green tail, oldest evidence first ---
-    "flt_like_regex", "evt_rfm_segments", "txt_entropy_filter",
-    "geo_trip_length", "evt_dau_wau_rolling", "dq_dp_noise_counts",
-    "llm_dataset_mixture", "src_schema_merge", "evt_sessionize_lag",
-    "llm_centroid_per_label", "fn_bitwise", "evt_time_spine",
-    "txt_repetition_filter", "set_union_all", "evt_anomaly_zscore",
-    "llm_corpus_funnel", "set_intersect", "geo_grid_bin",
-    "evt_tumbling_hour", "set_except", "evt_gap_islands",
-    "llm_pack_sequences", "set_except_all", "set_intersect_all",
-    "sql_lateral_topn", "evt_time_weighted_avg", "evt_session_window_native",
-    "llm_term_topk", "evt_sliding_window", "llm_dedup_exact",
-    "src_text_log_parse", "llm_cosine_topk", "set_union_distinct",
-    "src_json_roundtrip", "txt_lang_id", "llm_unigram_logprob",
-    "udf_scalar_python", "evt_markov_transitions", "sql_correlated_subquery",
-    "geo_nearest_hub", "srt_topk_global", "evt_session_batch",
-    "snk_upsert_merge", "udaf_grouped_map", "geo_hex_bin",
-    "geo_point_in_polygon", "txt_boilerplate_strip",
+# budget (~50 keys/round). Keys are ordered by EVIDENCE PRIORITY:
+# every key WITHOUT green latest driver evidence — new this round,
+# never swept, stale-error, or check-type changed — sorts before
+# every key WITH it, and the ever-green tail rotates
+# OLDEST-EVIDENCE-FIRST so the leftover sweep budget re-validates the
+# stalest green rows, not the same recently-swept ones.
+#
+# The EFFECTIVE order (_KEY_ORDER below) is recomputed at IMPORT TIME
+# from the CORRECTNESS_r*.json files present on disk
+# (atd_dockless_processing_spark/retier.py) — so an evidence file that
+# lands after the tree is stamped re-tiers itself on the driver's next
+# import instead of going stale until a human reruns the retier script
+# (VERDICT r8 "What's wrong" #1). This static list is only the
+# STABILITY BASELINE: it breaks ties inside each evidence tier, and
+# ``python scripts/retier_key_order.py --write`` refreshes it each
+# round purely for readability (this splice is from r01∪…∪r08).
+# tests/test_bench_contract.py guards BOTH ordering properties, and
+# tests/test_round_boundary.py simulates a post-commit evidence drop.
+_KEY_ORDER_BASE = [
+    "geo_hex_bin", "geo_point_in_polygon", "txt_boilerplate_strip",
     "llm_contamination_ngram", "evt_cohort_retention", "fn_variant_json",
     "sql_recursive_cte", "snk_parquet", "fn_date_derive",
     "agg_collect_sorted", "fn_json_extract", "win_lag_lead", "fn_try_arith",
@@ -133,7 +116,26 @@ _KEY_ORDER = [
     "llm_text_classify", "flt_null_coalesce", "llm_stratified_sample",
     "fn_struct_nested", "llm_vector_norm_filter", "udf_pandas_vectorized",
     "txt_quality_score", "flt_range", "win_topk_per_group", "flt_in_set",
+    "stm_tws_timers", "stm_tws_list_state", "stm_python_stream_source",
+    "llm_bpe_merge_step", "stm_tws_map_state", "stm_transform_with_state",
+    "flt_like_regex", "evt_rfm_segments", "txt_entropy_filter",
+    "geo_trip_length", "evt_dau_wau_rolling", "dq_dp_noise_counts",
+    "llm_dataset_mixture", "src_schema_merge", "evt_sessionize_lag",
+    "llm_centroid_per_label", "fn_bitwise", "evt_time_spine",
+    "txt_repetition_filter", "set_union_all", "evt_anomaly_zscore",
+    "llm_corpus_funnel", "set_intersect", "geo_grid_bin",
+    "evt_tumbling_hour", "set_except", "evt_gap_islands",
+    "llm_pack_sequences", "set_except_all", "set_intersect_all",
+    "sql_lateral_topn", "evt_time_weighted_avg", "evt_session_window_native",
+    "llm_term_topk", "evt_sliding_window", "llm_dedup_exact",
+    "src_text_log_parse", "llm_cosine_topk", "set_union_distinct",
+    "src_json_roundtrip", "txt_lang_id", "llm_unigram_logprob",
+    "udf_scalar_python", "evt_markov_transitions", "sql_correlated_subquery",
+    "geo_nearest_hub", "srt_topk_global", "evt_session_batch",
+    "snk_upsert_merge", "udaf_grouped_map",
 ]
+
+_KEY_ORDER = retier_from_repo(_KEY_ORDER_BASE, QUERIES, ORACLES, Path(_REPO))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -146,9 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    rank = {k: i for i, k in enumerate(_KEY_ORDER)}
-    ordered = sorted(QUERIES, key=lambda k: (rank.get(k, -1), k))
-    return {key: wrap(QUERIES[key]) for key in ordered}
+    return {key: wrap(QUERIES[key]) for key in _KEY_ORDER}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -14,6 +14,12 @@ Usage (run via a clean subprocess so no house session leaks in):
     python scripts/driver_sim.py            # the evidence-needing tier
     python scripts/driver_sim.py --all      # every registered key
     python scripts/driver_sim.py key1 key2  # explicit keys
+    python scripts/driver_sim.py --round-boundary
+        # VERDICT r8 item 7: simulate the driver dropping
+        # CORRECTNESS_r{N+1}.json after the tree is stamped, then run
+        # the whole round-start checklist (retier sentinels, drift
+        # tripwire, boundary tests) against it — one command proves a
+        # clean round boundary. The synthetic file is removed after.
 
 Checks per key: count() AND a limited toPandas() — the two pruning
 extremes. Exits non-zero on any failure.
@@ -60,8 +66,43 @@ sys.exit(1 if fails else 0)
 """
 
 
+def round_boundary() -> int:
+    """Prove the round-start checklist survives a post-commit evidence
+    drop: synthesize CORRECTNESS_r{N+1}.json from the latest real file,
+    run the ordering/tripwire tests with it present, clean up."""
+    rounds = sorted(
+        int(p.stem.split("_r")[1]) for p in REPO.glob("CORRECTNESS_r*.json")
+    )
+    if not rounds:
+        print("no CORRECTNESS_r*.json files — nothing to simulate")
+        return 1
+    latest = REPO / f"CORRECTNESS_r{rounds[-1]:02d}.json"
+    synth = REPO / f"CORRECTNESS_r{rounds[-1] + 1:02d}.json"
+    if synth.exists():
+        print(f"stray {synth.name} already present — refusing to overwrite")
+        return 1
+    synth.write_text(latest.read_text())
+    print(f"synthesized {synth.name} from {latest.name}")
+    try:
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "pytest", "-q",
+                "tests/test_bench_contract.py", "tests/test_round_boundary.py",
+                "-k", "not bench_emits and not table_cache",
+            ],
+            cwd=str(REPO),
+            check=False,
+        )
+        return r.returncode
+    finally:
+        synth.unlink(missing_ok=True)
+        print(f"removed {synth.name}")
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
+    if "--round-boundary" in args:
+        return round_boundary()
     if "--all" in args:
         keys: object = "__ALL__"
     elif args:

@@ -1,20 +1,16 @@
-"""Recompute __spark_entry__._KEY_ORDER from CORRECTNESS_r*.json evidence.
+"""Refresh __spark_entry__._KEY_ORDER_BASE from CORRECTNESS_r*.json.
 
-Standing per-round contract (VERDICT r3 item 2 / r4 item 7 / r5 item 1):
-the driver sweeps queries() in dict order under a ~50-key budget, so
-
-  1. every key WITHOUT green latest driver evidence (new, never swept,
-     stale-error, or check-type changed) sorts FIRST, and
-  2. the ever-green tail rotates OLDEST-EVIDENCE-FIRST (round number of
-     each key's latest green row, ascending; stable by prior order).
-
-Prints the formatted python list literal; with --write, splices it into
-__spark_entry__.py between the _KEY_ORDER = [ ... ] brackets.
+Since round 9 the EFFECTIVE sweep order is recomputed at import time by
+``atd_dockless_processing_spark/retier.py`` — a post-commit evidence
+drop can no longer leave the order stale (VERDICT r8 item 1). This
+script is now a cosmetic refresh: it bakes the current computed order
+into the static ``_KEY_ORDER_BASE`` literal so the file stays readable
+and the git diff shows the round's rotation. Run with --write after a
+new CORRECTNESS file lands; prints the list literal otherwise.
 """
 
 from __future__ import annotations
 
-import json
 import re
 import sys
 from pathlib import Path
@@ -23,86 +19,48 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def compute_order() -> tuple[list[str], list[str]]:
+def compute_order() -> list[str]:
     from atd_dockless_processing_spark import ORACLES, QUERIES
+    from atd_dockless_processing_spark.retier import (
+        is_green,
+        latest_evidence,
+        retier,
+    )
     import __spark_entry__ as entry
 
-    latest: dict[str, tuple[int, dict]] = {}
-    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        rnd = int(path.stem.split("_r")[1])
-        for key, row in json.loads(path.read_text()).items():
-            latest[key] = (rnd, row)
-
-    def is_green(key: str, row: dict) -> bool:
-        if row.get("err") == "no_oracle":
-            return key not in ORACLES and (row.get("spark_rows") or 0) > 0
-        return row.get("err") is None and bool(row.get("hash_match"))
-
-    prior = {k: i for i, k in enumerate(entry._KEY_ORDER)}
-    needy = [k for k in QUERIES if k not in latest or not is_green(k, latest[k][1])]
-    green = [k for k in QUERIES if k in latest and is_green(k, latest[k][1])]
-    # The driver sweep budget is EXACTLY 50 keys/round (every
-    # CORRECTNESS_r*.json has 50 rows). When the needy block exceeds
-    # it, which keys slip to next round matters: keys named by a
-    # standing VERDICT done-condition ("Done = green CORRECTNESS
-    # row") must never slip, and the designated carry keys are ones
-    # whose semantics are redundantly pinned by independent-python
-    # invariant tests and well-evidenced oracle families.
-    sweep_first = {
-        "evt_state_intervals", "etl_publish_funnel",  # VERDICT r5 items 5/6
-        "agg_quantile_sketch", "llm_semdedup",
-        "agg_bloom_membership", "snk_zorder_layout",
-    }
-    carry_ok = {"agg_weighted_avg", "fn_base64_roundtrip", "evt_interarrival_hist"}
-    # needy: verdict-mandated first, designated carries last; within a
-    # band, brand-new keys (no prior rank) first, then prior order
-    needy.sort(
-        key=lambda k: (
-            (0 if k in sweep_first else 2 if k in carry_ok else 1),
-            k in prior,
-            prior.get(k, 0),
-            k,
-        )
+    evidence = latest_evidence(REPO)
+    order = retier(entry._KEY_ORDER_BASE, QUERIES, ORACLES, evidence)
+    needy = sum(
+        1 for k in QUERIES
+        if k not in evidence or not is_green(k, evidence[k][1], ORACLES)
     )
-    # green: oldest evidence round first, stable by prior order
-    green.sort(key=lambda k: (latest[k][0], prior.get(k, 10**9), k))
-    return needy, green
+    print(f"# needy={needy} green={len(order) - needy}")
+    return order
 
 
-def fmt(needy: list[str], green: list[str]) -> str:
-    lines = [
-        "    # --- evidence-needed block (no green latest driver row):",
-        "    # new keys first, then previously-ranked ones ---",
-    ]
-
-    def emit(keys: list[str]) -> None:
-        row: list[str] = []
-        width = 0
-        for k in keys:
-            tok = f'"{k}",'
-            if width + len(tok) + 1 > 74 and row:
-                lines.append("    " + " ".join(row))
-                row, width = [], 0
-            row.append(tok)
-            width += len(tok) + 1
-        if row:
+def fmt(order: list[str]) -> str:
+    lines: list[str] = []
+    row: list[str] = []
+    width = 0
+    for k in order:
+        tok = f'"{k}",'
+        if width + len(tok) + 1 > 74 and row:
             lines.append("    " + " ".join(row))
-
-    emit(needy)
-    lines.append("    # --- ever-green tail, oldest evidence first ---")
-    emit(green)
+            row, width = [], 0
+        row.append(tok)
+        width += len(tok) + 1
+    if row:
+        lines.append("    " + " ".join(row))
     return "\n".join(lines)
 
 
 def main() -> None:
-    needy, green = compute_order()
-    body = fmt(needy, green)
-    print(f"# needy={len(needy)} green={len(green)}")
+    body = fmt(compute_order())
     if "--write" in sys.argv:
         path = REPO / "__spark_entry__.py"
         src = path.read_text()
         new = re.sub(
-            r"(_KEY_ORDER = \[\n).*?(\n\])",
+            r"(_KEY_ORDER_BASE = \[\n).*?(\n\])",
             lambda m: m.group(1) + body + m.group(2),
             src,
             count=1,

@@ -98,14 +98,14 @@ POINTERS = {
     "stm_tws_timers": "TWS event-time-timer sibling of stm_transform_with_state - same state-server constant (see its MEASURED INCLUSIVE x100 row); one bounded RocksDB timer per user, watermark-driven expiry",
     "stm_tws_map_state": "TWS MapState sibling of stm_transform_with_state - same per-(key,batch) state-server protocol constant (see its MEASURED INCLUSIVE x100 row); state rows = (user,type) pairs, still bounded and incremental",
     "llm_bpe_merge_step": "both agg exchanges collapse to VOCABULARY size map-side (word partial agg before the shuffle, pair agg over the (word,count) summary) - shuffled bytes O(vocab) at any corpus size; plan family of llm_term_topk (0.59x x100) with one extra vocab-sized exchange",
-    "stm_transform_with_state": "MEASURED INCLUSIVE x100 (r8): 179-267 s vs DuckDB 0.55 s batch groupBy — the per-(key, batch) state-server round-trip tax of the TWS protocol (~0.6 ms x 150k users x 2 batches), a Spark-version constant priced as the declared modern-API surface (udf_scalar_python precedent); the VOLUME shape of running per-user totals is the batch groupBy (trivial) and the applyInPandasWithState twin stm_stateful_session (batch twin 1.17-1.37x); production posture = coarser keys or the built-in stateful aggs for totals-shaped state",
+    "stm_transform_with_state": "DELIBERATE API-SURFACE (udf_scalar_python precedent) — MEASURED INCLUSIVE x100 (r8): 179-267 s vs DuckDB 0.55 s batch groupBy — the per-(key, batch) state-server round-trip tax of the TWS protocol (~0.6 ms x 150k users x 2 batches), a Spark-version constant priced as the declared modern-API surface (udf_scalar_python precedent); the VOLUME shape of running per-user totals is the batch groupBy (trivial) and the applyInPandasWithState twin stm_stateful_session (batch twin 1.17-1.37x); production posture = coarser keys or the built-in stateful aggs for totals-shaped state",
     "stm_join_stream_static": "batch twin join_broadcast_dim (floor-regime x10); static side broadcast per micro-batch",
     "stm_join_stream_stream": "stream-stream inner; the LEFT OUTER twin's decomposition (stm_join_stream_left) prices the watermark machinery",
     "stm_late_data_drop": "rows-only by contract (engine-specific watermark-drop semantics)",
     "stm_foreachbatch_sink": "per-batch sink write; write path measured under snk_parquet/snk_partitioned family (manifest row, 2.66x INCLUSIVE)",
     # sinks: side effects execute at plan build; inclusive rows carry
     "snk_cdc_apply": "BASELINE round-6d — 1.85x at x100 INCLUSIVE of the published write",
-    "snk_manifest_publish": "BASELINE round-6e — 2.66x vs DuckDB's own partitioned COPY+verify (INCLUSIVE)",
+    "snk_manifest_publish": "BASELINE round-6e — 2.66x vs DuckDB's own partitioned COPY+verify (INCLUSIVE). CLOSED AS INCLUSIVE-MEASURE: both engines pay their real partitioned write + manifest build, so the ratio prices Spark's per-partition-file commit protocol (task temp-file + rename + _SUCCESS marker), a fixed sink constant that amortizes away at production file sizes; the compute terms (row hash + verify agg) are already at their one-exchange floor",
     "snk_parquet": "write-shape of the manifest row (2.66x inclusive); plain parquet sink",
     "snk_partitioned": "write-shape of the manifest row; partitionBy layout",
     "snk_upsert_merge": "merge logic measured via snk_cdc_apply (1.85x inclusive fold-once)",

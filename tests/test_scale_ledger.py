@@ -1,0 +1,73 @@
+"""SCALE.md ledger discipline (VERDICT r8 item 3).
+
+Every key the round verdicts carry on the ">2x at its honest scale
+row" weak list must have a machine-checkable status token — CLOSED
+(measured floor, nothing left to compress) or DELIBERATE (the slowness
+IS the declared surface, priced) — so the ledger is uniformly
+auditable. The list is curated rather than regex-derived because the
+"honest scale row" classification is editorial: SCALE.md also records
+historical ratios ("was 4.69x"), oracle-advantage ratios ("4.2x
+faster"), pruning factors, and sub-second ×10 dispatch-floor sweeps
+that are priced collectively by the orchestration-floor bound
+(BASELINE.md FORMAL BOUND), none of which need a per-row stamp.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# The r8 verdict's weak list ("Performance vs baseline", count: 10) —
+# grow this set whenever a round verdict adds a row.
+WEAK_LIST = [
+    "evt_rfm_segments",
+    "txt_dedup_paragraphs",
+    "snk_manifest_publish",
+    "join_skew_salted",
+    "sql_correlated_subquery",
+    "llm_ann_ivf",
+    "agg_percentiles",
+    "llm_pack_sequences",
+    "evt_sliding_window",
+    "stm_sliding_watermark",
+    "stm_transform_with_state",
+]
+
+STATUS = re.compile(r"\bCLOSED\b|\bDELIBERATE\b")
+
+
+def _rows() -> dict[str, str]:
+    rows = {}
+    for line in (REPO / "SCALE.md").read_text().splitlines():
+        m = re.match(r"- `([a-z0-9_]+)`: (.*)", line)
+        if m:
+            rows[m.group(1)] = m.group(2)
+    return rows
+
+
+def test_weak_list_rows_carry_status_stamp():
+    rows = _rows()
+    missing = [k for k in WEAK_LIST if k not in rows]
+    assert not missing, f"weak-list keys absent from SCALE.md: {missing}"
+    unstamped = [k for k in WEAK_LIST if not STATUS.search(rows[k])]
+    assert not unstamped, (
+        f"weak-list rows lacking a CLOSED/DELIBERATE status token: {unstamped}"
+    )
+
+
+def test_scale_ledger_covers_every_registry_key():
+    """Mirror of `scripts/scale_index.py --check`, cheap enough to run
+    in the suite: every registered key has an evidence line and no
+    line reads MISSING."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from atd_dockless_processing_spark import QUERIES
+
+    rows = _rows()
+    absent = sorted(set(QUERIES) - set(rows))
+    assert not absent, f"keys with no SCALE.md line: {absent}"
+    placeholder = sorted(k for k, v in rows.items() if v.strip() == "MISSING")
+    assert not placeholder, f"MISSING placeholder rows: {placeholder}"
