@@ -339,18 +339,39 @@ def _q5_bucket_tables(sf_dir: str, buckets: int) -> tuple[str, str, str]:
 
 
 def _q5_src_sig(sf_dir: str) -> str:
-    """Freshness signature of the layout's SOURCES — (mtime_ns, size)
-    of both parquet paths (dir mtime moves when files inside are
-    replaced). A regenerated corpus must invalidate the layout, or
-    the registered key would silently serve stale rows against a
-    fresh oracle (r8 review finding #1; the stage_scratch marker
-    discipline)."""
+    """Freshness signature of the layout's SOURCES. A regenerated
+    corpus must invalidate the layout, or the registered key would
+    silently serve stale rows against a fresh oracle (r8 review
+    finding #1; the stage_scratch marker discipline).
+
+    For a directory-shaped table the signature enumerates every
+    contained file's (name, mtime_ns, size) — an in-place rewrite of
+    one part file does NOT bump the directory's own mtime/size, so a
+    dir-level stat would miss it (r8 ADVICE #1; mirrors
+    ``parquet_nrows``'s isdir branch). A missing source (moved
+    testdata, provider-served sf_dir) yields a never-matching
+    signature so ``_q5_layout_available`` falls back to the ad-hoc
+    plan instead of raising out of the probe."""
     import os
 
     sig = []
     for t in ("lineitem", "orders"):
-        st = os.stat(f"{sf_dir}/{t}.parquet")
-        sig.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+        path = f"{sf_dir}/{t}.parquet"
+        try:
+            if os.path.isdir(path):
+                parts = ";".join(
+                    f"{f}:{st.st_mtime_ns}:{st.st_size}"
+                    for f in sorted(os.listdir(path))
+                    for st in (os.stat(os.path.join(path, f)),)
+                )
+                sig.append(f"{t}:[{parts}]")
+            else:
+                st = os.stat(path)
+                sig.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            # nonce => never equal to any stored marker, even one
+            # written while the source was equally unstatable
+            sig.append(f"{t}:UNAVAILABLE:{os.urandom(8).hex()}")
     return ";".join(sig)
 
 
@@ -437,6 +458,11 @@ def multiway5_plan(
         # without it small-SF stats would broadcast orders and hide
         # the layout. The filter prunes AFTER the bucketed scan —
         # bucketing on orderkey survives any non-key predicate.
+        # Scope (r8 ADVICE #4, verified empirically + pinned in
+        # test_q5_bucketed_layout_exchange_free_and_identical): Spark
+        # attaches a hint to the NEAREST join above the hinted subtree
+        # only, so this biases just li⋈orders; the later
+        # orders⋈customer join keeps Catalyst's broadcast choice.
         orders = spark.table(o_tbl).where(date_filter).hint("merge")
     else:
         li = load(spark, sf_dir, "lineitem")

@@ -420,8 +420,14 @@ def stm_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         env["PYTHONPATH"] = _session._PKG_ZIP + (":" + cur if cur else "")
     try:
         spark.dataSource.register(SyntheticCounterStream)
-    except Exception:
-        pass
+    except Exception as exc:
+        # re-registration of the same short name is the benign case; a
+        # REAL registration failure will resurface as q.exception() in
+        # the drain loop below, so record it here instead of masking
+        # (r8 ADVICE #3)
+        import warnings
+
+        warnings.warn(f"python stream source registration: {exc!r}")
     name = f"stm_pyss_{_uuid.uuid4().hex[:8]}"
     q = (
         spark.readStream.format("synthetic_counter_stream")
@@ -436,6 +442,12 @@ def stm_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     deadline = time.monotonic() + 120
     try:
         while spark.table(name).count() < want:
+            # a dead query never fills the sink: surface its real
+            # failure NOW instead of burning the deadline into a
+            # misleading TimeoutError (r8 ADVICE #3)
+            err = q.exception()
+            if err is not None:
+                raise err
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"python stream drain incomplete: "

@@ -1053,6 +1053,20 @@ def _ensure_protobuf_runtime() -> str | None:
     own cross-version wire/API guarantee, and the end-to-end key is
     hash-checked against a closed-form oracle anyway.
 
+    Risk scope (r8 ADVICE #2) — the patch DELIBERATELY defeats
+    protobuf's gencode-newer-than-runtime safety check, so if
+    pyspark's StateMessage_pb2 ever uses a 6.33-only runtime feature
+    the failure surfaces as a confusing AttributeError/behavior error
+    at run time instead of the clear version error the check exists
+    to give; and the spoofed version claim applies to ANY gencode
+    loaded in the same interpreter. Both are bounded here: the zip
+    rides only the TWS driver-worker's PYTHONPATH (sc.environment),
+    never this interpreter or sys.path, and a REAL ``google.protobuf``
+    is always preferred — this fallback stages nothing when one is
+    importable. If a TWS key ever dies with an AttributeError inside
+    ``google.protobuf``, suspect the spoof first and install a real
+    protobuf wheel.
+
     Returns None when a real ``google.protobuf`` is already
     importable (nothing to stage); raises a documented RuntimeError
     when neither a runtime nor the SDK copy exists (a genuinely

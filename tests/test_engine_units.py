@@ -2770,6 +2770,11 @@ def test_q5_bucketed_layout_exchange_free_and_identical(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan[:2000]
     assert not _re.search(r"Exchange hashpartitioning\(l_orderkey", plan), plan[:3000]
     assert not _re.search(r"Exchange hashpartitioning\(o_orderkey", plan), plan[:3000]
+    # r8 ADVICE #4: the merge hint on the bucketed orders scan must
+    # bias ONLY the nearest join above it (the orderkey SMJ). At small
+    # SF the later orders⋈customer join must keep Catalyst's broadcast
+    # choice — a Spark upgrade that widens hint scoping trips here.
+    assert _re.search(r"BroadcastHashJoin \[o_custkey", plan), plan[:3000]
     got = sorted(map(tuple, auto.collect()))
     assert got == adhoc and got, (got[:3], adhoc[:3])
 
