@@ -52,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_bench_contract.py guards BOTH ordering properties, and
 # tests/test_round_boundary.py simulates a post-commit evidence drop.
 _KEY_ORDER_BASE = [
-    "geo_hex_bin", "geo_point_in_polygon", "txt_boilerplate_strip",
+    "etl_declarative_pipeline", "stm_rocksdb_changelog", "geo_hex_bin",
+    "geo_point_in_polygon", "txt_boilerplate_strip",
     "llm_contamination_ngram", "evt_cohort_retention", "fn_variant_json",
     "sql_recursive_cte", "snk_parquet", "fn_date_derive",
     "agg_collect_sorted", "fn_json_extract", "win_lag_lead", "fn_try_arith",

@@ -1630,3 +1630,103 @@ def stm_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly-once is part of the contract: a duplicate fire would
     # double a row and flip the hash via the distinct here being absent
     return spark.table(name).select("user_id", "fired_at_ms")
+
+
+@query(
+    "stm_rocksdb_changelog",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stm_rocksdb_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RocksDB state store WITH CHANGELOG CHECKPOINTING (r9, VERDICT
+    r8 item 6 — state-store breadth beyond the HDFS-backed default):
+    a stateful per-type running aggregate drained in two forced
+    micro-batches (2 staged files x maxFilesPerTrigger=1), with
+    ``spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.
+    enabled`` on. Instead of uploading a full RocksDB snapshot per
+    batch, each commit persists only the delta as a
+    ``<version>.changelog`` under the checkpoint's state dir, and
+    recovery replays changelogs onto the last snapshot — the 100 TB
+    posture for large state: per-batch checkpoint cost scales with
+    the UPDATE rate, not the state size. The key ASSERTS the
+    changelog files actually exist in the checkpoint (the layout is
+    the feature's observable contract) before returning the
+    aggregate, which equals the batch groupBy — so correctness is
+    hash-checked and the changelog mechanics are structurally
+    verified in one sweep.
+    """
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    from ..tables import stage_scratch
+
+    def build(indir: str) -> None:
+        (
+            load(spark, sf_dir, "events")
+            .select("event_type", "value")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+
+    indir = stage_scratch("stm_rkcl_events", sf_dir, "events", build)
+    schema = spark.read.parquet(indir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    agg = raw.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    name = f"stm_rkcl_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(
+        scratch_dir("stm_rkcl_ckpt"), f"run_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        with _stream_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        batches = int(q.lastProgress["batchId"]) + 1 if q.lastProgress else 0
+        if batches < 2:
+            raise RuntimeError(
+                f"changelog demo needs >=2 micro-batches, got {batches} "
+                f"(maxFilesPerTrigger staging broke?)"
+            )
+        changelogs = sorted(_Path(ckpt).glob("state/**/*.changelog"))
+        if not changelogs:
+            layout = sorted(
+                str(p.relative_to(ckpt)) for p in _Path(ckpt).rglob("*")
+            )[:40]
+            raise RuntimeError(
+                "changelog checkpointing produced no *.changelog files — "
+                f"state dir layout: {layout}"
+            )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)

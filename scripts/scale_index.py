@@ -114,6 +114,9 @@ POINTERS = {
     "snk_jdbc_derby": "live JDBC MERGE round-trip (embedded Derby) — IO-bound, not a compute scale shape",
     "snk_zorder_layout": "z-order clustered write with ASSERTED file pruning (tests); layout job, priced by its pruning assertion",
     "snk_compact_small_files": "shuffle-free compaction maintenance job (r6b) — coalesce-write, IO-bound",
+    # r9 surface keys
+    "etl_declarative_pipeline": "SURFACE demo (pyspark.pipelines authoring API on the local executor) — the pipeline's data work is 3 independent batch flows (filter/agg/window, each a measured plan family: agg_groupby_q1 + win_topk_per_group); the graph adds scheduling, not shuffles, and each MV materializes once and is consumed as parquet downstream",
+    "stm_rocksdb_changelog": "SURFACE demo (RocksDB changelog checkpointing) — per-batch checkpoint bytes scale with the UPDATE RATE, not state size (the feature's point; layout asserted in-key); the volume shape of the underlying agg is the batch groupBy (evt_tumbling_hour family)",
     # sources: staged-scratch roundtrips (side effect at plan build)
     "src_parquet_scan": "pushdown/pruning asserted in PLANS.md (PushedFilters non-empty); scan path underlies every measured row",
     "src_csv_roundtrip": "staged roundtrip; format-IO, not a compute shape",

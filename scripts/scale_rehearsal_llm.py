@@ -21,6 +21,20 @@ sublinear factors mean fixed overhead still amortizing).
 
 Usage: python scripts/scale_rehearsal_llm.py [--mults 1,10,100] [--runs 3]
            [--shapes key1,key2]  (registry keys; default all)
+           [--lowdensity]    r9 verdict item 4: rehearse on the
+                             LOW-DENSITY corpus (~0.1% true near-dups,
+                             the real training-data regime) instead of
+                             the pathological 24%-dense suffixed
+                             corpus. Every token is doc-unique-suffixed
+                             (cross-doc Jaccard 0 by construction), and
+                             every 1000th doc gets ONE high-Jaccard
+                             twin (text minus its last token) — so true
+                             pairs are ~0.1% of docs and grow LINEARLY
+                             with the corpus. Default shapes: the three
+                             minhash-gated verify keys whose x10/x100
+                             behavior was previously asserted, not
+                             measured (llm_dedup_ngram,
+                             llm_dedup_keep_list, llm_dedup_clusters).
            [--shuffle N]     shuffle partitions for the run (default 32)
            [--smj]           force sort-merge joins (spill-friendly)
            [--skip-warmup]   skip the warm-up execution (one-shot runs)
@@ -129,6 +143,93 @@ def build(spark, mult: int) -> str:
     return str(out)
 
 
+LOWDENSITY_SHAPES = {
+    "ngram jaccard near-dup (0.1% density)": "llm_dedup_ngram",
+    "keep-list dedup (0.1% density)": "llm_dedup_keep_list",
+    "dedup clusters (0.1% density)": "llm_dedup_clusters",
+}
+
+_TWIN_OFFSET = 1_000_000_000  # twin ids live far above any replica id
+
+
+def build_lowdensity(spark, mult: int) -> str:
+    """Replicated corpus in the REAL training-data regime: ~0.1% true
+    near-dups instead of the 24%-dense pathological base.
+
+    Construction: every token is suffixed with its (replica, doc_id),
+    so cross-doc Jaccard is 0 BY CONSTRUCTION — no accidental dense
+    blocks survive from the base corpus. Then every 1000th doc emits
+    one TWIN (same text minus its last token → Jaccard ≈ (k-1)/k per
+    shingle set, well above every key's threshold), id-offset into a
+    disjoint range. True pairs ≈ docs/1000 and grow linearly with the
+    multiplier; candidate generation sees essentially only the twins
+    plus random band collisions — the regime where 'verify is linear
+    in candidates' is a measurable claim, not an assertion."""
+    import os
+
+    out = REPO / ".scratch" / f"scale_llm_lowdens_x{mult}"
+    dst = out / "documents.parquet"
+    marker = out / "src_mtime"
+    src_sig = str(os.stat(f"{BASE_SF}/documents.parquet").st_mtime_ns)
+    fresh = (
+        (dst / "_SUCCESS").exists()
+        and marker.exists()
+        and marker.read_text().strip() == src_sig
+    )
+    if not fresh:
+        docs = (
+            load(spark, BASE_SF, "documents")
+            .repartition(max(32, 4 * mult))
+            .withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+        )
+        uniq = (
+            docs.withColumn(
+                "doc_id",
+                F.col("doc_id") + F.col("_rep").cast("long") * 10_000_000,
+            )
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t: F.concat_ws(
+                            "_", t, F.col("doc_id").cast("string")
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+            .drop("_rep")
+        )
+        twins = (
+            uniq.where(F.col("doc_id") % 1000 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(_TWIN_OFFSET))
+            # drop the last token: shingle-set Jaccard stays high
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.slice(
+                        F.split("text", " "),
+                        1,
+                        F.greatest(F.size(F.split("text", " ")) - 1, F.lit(1)),
+                    ),
+                    " ",
+                ),
+            )
+        )
+        n_files = max(8, min(64, mult))
+        (
+            uniq.unionByName(twins)
+            # keep the table self-consistent after the text rewrite
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(str(dst))
+        )
+        marker.write_text(src_sig)
+    return str(out)
+
+
 def timed(fn, runs: int, warmup: bool = True) -> float:
     if warmup:
         fn()
@@ -148,10 +249,11 @@ def main() -> None:
         else [1, 10, 100]
     )
     runs = int(argv[argv.index("--runs") + 1]) if "--runs" in argv else 3
-    shapes = SHAPES
+    lowdensity = "--lowdensity" in argv
+    shapes = LOWDENSITY_SHAPES if lowdensity else SHAPES
     if "--shapes" in argv:
         keep = set(argv[argv.index("--shapes") + 1].split(","))
-        shapes = {lbl: k for lbl, k in SHAPES.items() if k in keep}
+        shapes = {lbl: k for lbl, k in shapes.items() if k in keep}
     spark = get_spark("scale-rehearsal-llm")
     spark.conf.set("spark.sql.adaptive.enabled", "true")  # production config
     if "--shuffle" in argv:
@@ -170,7 +272,8 @@ def main() -> None:
         spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
     warmup = "--skip-warmup" not in argv
 
-    dirs = {m: build(spark, m) for m in mults}
+    builder = build_lowdensity if lowdensity else build
+    dirs = {m: builder(spark, m) for m in mults}
 
     if "--sink" in argv:
         from atd_dockless_processing_spark.operators.llm import (

@@ -2926,3 +2926,82 @@ def test_q5_layout_invalidated_by_stale_source_marker(spark, sf_dir):
     finally:
         marker.write_text(good)
     assert _q5_layout_available(spark, sf_dir, buckets=4)
+
+
+def test_declarative_pipeline_local_executor(spark, sf_dir, tmp_path):
+    """The r9 local executor for pyspark.pipelines graphs: out-of-order
+    definitions resolve by worklist, temp views stay session views, MVs
+    materialize to parquet and downstream reads consume the
+    materialized bytes, flow-level spark_conf is applied during the
+    flow and restored after, and a missing upstream reference raises
+    with the offending flow names (not an infinite loop)."""
+    import pyspark.pipelines as dp
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.operators.pipeline_r9 import (
+        run_pipeline_locally,
+    )
+
+    probe_conf = {}
+
+    def author():
+        # downstream registered FIRST — must defer until tv exists
+        @dp.materialized_view(
+            name="t_dp_mv",
+            spark_conf={"spark.sql.session.timeZone": "America/Chicago"},
+        )
+        def t_dp_mv():
+            probe_conf["tz"] = spark.conf.get("spark.sql.session.timeZone")
+            return (
+                spark.table("t_dp_tv")
+                .groupBy("r_name")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        @dp.temporary_view(name="t_dp_tv")
+        def t_dp_tv():
+            return spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    results = run_pipeline_locally(spark, author, str(tmp_path))
+    assert set(results) == {"t_dp_tv", "t_dp_mv"}
+    # spark_conf applied during the flow, restored after
+    assert probe_conf["tz"] == "America/Chicago"
+    assert spark.conf.get("spark.sql.session.timeZone") == prev_tz
+    # MV materialized: parquet on disk, and the returned frame reads it
+    assert (tmp_path / "t_dp_mv").exists()
+    assert results["t_dp_mv"].count() == 5
+    assert spark.table("t_dp_mv").count() == 5  # registered for downstream
+
+    def broken():
+        @dp.materialized_view(name="t_dp_orphan")
+        def t_dp_orphan():
+            return spark.table("t_dp_never_defined")
+
+    with _pytest.raises(ValueError, match="t_dp_orphan"):
+        run_pipeline_locally(spark, broken, str(tmp_path))
+
+    def duplicated():
+        @dp.materialized_view(name="t_dp_dup")
+        def a():
+            return spark.range(1)
+
+        @dp.materialized_view(name="t_dp_dup")
+        def b():
+            return spark.range(2)
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        run_pipeline_locally(spark, duplicated, str(tmp_path))
+
+
+def test_rocksdb_changelog_rerun_stable(spark, sf_dir):
+    """stm_rocksdb_changelog drains from a fresh uuid checkpoint each
+    call (idempotent re-invocation, house sink discipline) and its
+    in-key asserts (>=2 batches, changelog layout) hold at test SF.
+    Two invocations must agree exactly."""
+    from atd_dockless_processing_spark import QUERIES
+
+    a = sorted(map(tuple, QUERIES["stm_rocksdb_changelog"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["stm_rocksdb_changelog"](spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
