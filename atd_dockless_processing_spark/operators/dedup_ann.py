@@ -225,7 +225,66 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     overtakes the ~3x candidate inflation — threshold 64 puts
     sf0.001 blocks (~10 docs) on brute force and sf0.01+ blocks
     (>=100 docs) on the banded default, so both paths stay covered by
-    the correctness gate."""
+    the correctness gate.
+
+    r9: the hybrid candidate plan is extracted as
+    ``ngram_candidate_pairs`` and SHARED with the downstream cluster
+    resolution keys (``llm_dedup_clusters``/``llm_dedup_keep_list``
+    via ``pipeline_ext._ngram_pairs``), which previously ran the
+    brute-force self-join at every block size."""
+    d, pairs = ngram_candidate_pairs(spark, sf_dir, _NGRAM_T)
+    cand = pairs.join(
+        d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
+        "doc_a",
+    ).join(
+        d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = (F.col("na") + F.col("nb")).cast("double") - inter
+    jac = inter / union
+    return (
+        cand.where(jac >= _NGRAM_T)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("ngram_jaccard"))
+    )
+
+
+def ngram_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    block_t: int = _NGRAM_BLOCK_T,
+    rows_per_band: int = 1,
+):
+    """Shared hybrid near-dup CANDIDATE plan over char-3-gram sets
+    (the llm_dedup_ngram machinery, threshold-parameterized for the
+    cluster keys' 0.70). Returns ``(d, pairs)``:
+
+    - ``d``: (doc_id, lang, grams) — for the caller's verify tail;
+    - ``pairs``: (doc_a, doc_b, na, nb) candidates, size-ratio
+      prefiltered; blocks with <= ``block_t`` docs via within-lang
+      brute-force self-join (slim rows), larger blocks via 16x1
+      MinHash banding with canonical-band emission (one emission per
+      pair, no dedup exchange).
+
+    Recall discipline (registered config, ``rows_per_band=1``): the
+    banded path's per-true-pair miss probability is (1-J)^16 <=
+    (1-threshold)^16 (4.3e-9 at 0.70, 6.6e-12 at 0.80) over the FIXED
+    xxhash64 salts — deterministic for a given corpus, and the
+    driver's exact all-pairs oracles hash-check every registered key
+    that consumes this plan, so a miss cannot pass silently.
+
+    Candidate volume vs band shape: with r=1 bands a random pair
+    collides with probability ~b·E[J_random] — a quadratic floor of
+    ~16·E[J]·n²/2 per block even on a low-density corpus (measured:
+    3.8% of pairs at E[J]≈2e-3, r9 rehearsal). ``rows_per_band=2``
+    (same 16 minhashes, 8 bands of 2) drops the random-collision rate
+    to ~8·E[J]² (~1000x fewer candidates at that density) at a
+    true-pair miss bound of (1-J²)^8 — 4.6e-3 at J exactly 0.70, so
+    the r=2 shape is the PRODUCTION posture for realistic corpora,
+    while the registered keys keep r=1 for oracle-certain recall.
+    Both shapes measured x1/x10/x100 in BASELINE.md (r9 low-density
+    rehearsal)."""
     grams = F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(length(text) - {_NGRAM_N - 1}, 1)),"
@@ -239,11 +298,11 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     size_ratio_ok = (
         F.least(F.col("a.n_g"), F.col("b.n_g")).cast("double")
-        >= _NGRAM_T * F.greatest(F.col("a.n_g"), F.col("b.n_g"))
+        >= threshold * F.greatest(F.col("a.n_g"), F.col("b.n_g"))
     )
 
     # --- small blocks: within-lang brute force over slim rows
-    small = slim.where(F.col("n_lang") <= _NGRAM_BLOCK_T)
+    small = slim.where(F.col("n_lang") <= block_t)
     a, b = small.alias("a"), small.alias("b")
     small_pairs = a.join(
         b,
@@ -257,11 +316,25 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n_g").alias("nb"),
     )
 
-    # --- large blocks: 16x1 MinHash banding over gram sets
-    big = d.join(F.broadcast(sizes.where(F.col("n_lang") > _NGRAM_BLOCK_T)), "lang")
+    # --- large blocks: MinHash banding over gram sets (16 minhashes
+    # total: 16x1 registered shape, or 8x2 with rows_per_band=2)
+    r = rows_per_band
+    n_bands = _NGRAM_MH_K // r
+    big = d.join(F.broadcast(sizes.where(F.col("n_lang") > block_t)), "lang")
     sig = F.transform(
         F.array(*[F.lit(i) for i in range(_NGRAM_MH_K)]),
         lambda i: F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(g, i))),
+    )
+    # band signature: the band's single minhash at r=1, the xxhash of
+    # the band's r-tuple otherwise (bucket key only — band equality in
+    # the canonical-emission gate below compares the COMPONENTS)
+    bands = F.transform(
+        F.array(*[F.lit(j) for j in range(n_bands)]),
+        lambda j: (
+            F.col("sig")[j]
+            if r == 1
+            else F.xxhash64(*[F.col("sig")[j * r + k] for k in range(r)])
+        ),
     )
     banded = (
         big.select(
@@ -272,18 +345,24 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_g",
             "sig",
-            F.posexplode(F.col("sig")).alias("band", "bsig"),
+            F.posexplode(bands).alias("band", "bsig"),
         )
     )
     ba, bb = banded.alias("a"), banded.alias("b")
-    # canonical-band emission (see llm_dedup_near_minhash): bsig IS
-    # the band's minhash (r=1), so the first band where the K-long
-    # sig arrays agree is exact — one emission per pair, no pair-
-    # dedup exchange. The 16-long array adds ~128 B to the banded
-    # row (not the multi-KB gram arrays the slim-row rule bans).
-    first_true_band = first_eq_band(
-        lambda j: F.col("a.sig")[j] == F.col("b.sig")[j], _NGRAM_MH_K
-    )
+    # canonical-band emission (see llm_dedup_near_minhash): the first
+    # band where every minhash COMPONENT agrees is exact — one
+    # emission per pair, no pair-dedup exchange. The 16-long array
+    # adds ~128 B to the banded row (not the multi-KB gram arrays the
+    # slim-row rule bans). At r>1 the exploded bsig is a hash of the
+    # band tuple, so the component equality below also screens out
+    # xxhash bucket collisions.
+    def _band_eq(j):
+        eq = F.col("a.sig")[j * r] == F.col("b.sig")[j * r]
+        for k in range(1, r):
+            eq = eq & (F.col("a.sig")[j * r + k] == F.col("b.sig")[j * r + k])
+        return eq
+
+    first_true_band = first_eq_band(_band_eq, n_bands)
     big_pairs = (
         ba.join(
             bb,
@@ -301,26 +380,10 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_g").alias("nb"),
         )
     )
-
-    # --- shared exact-Jaccard verify tail. The gram re-attach joins
-    # are UNHINTED: d is the full corpus (auto-broadcast at test SF,
-    # shuffled hash join on doc_id at 100 TB — a broadcast hint here
-    # would ship the whole corpus to every executor).
-    pairs = small_pairs.unionByName(big_pairs)
-    cand = pairs.join(
-        d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
-        "doc_a",
-    ).join(
-        d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")),
-        "doc_b",
-    )
-    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-    union = (F.col("na") + F.col("nb")).cast("double") - inter
-    jac = inter / union
-    return (
-        cand.where(jac >= _NGRAM_T)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("ngram_jaccard"))
-    )
+    # The gram re-attach joins downstream are UNHINTED: d is the full
+    # corpus (auto-broadcast at test SF, shuffled hash join on doc_id
+    # at 100 TB — a broadcast hint would ship the corpus everywhere).
+    return d, small_pairs.unionByName(big_pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -62,36 +62,25 @@ _PAIR_SQL = f"""
 """
 
 
-def _ngram_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
-    """Char-3-gram Jaccard >= threshold near-dup pairs, lang-blocked
-    (same candidate plan as llm_dedup_ngram: slim self-join +
-    size-ratio prefilter, gram arrays re-attached by an unhinted
-    doc_id join — auto-broadcast at test SF, shuffle at scale)."""
-    grams = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length(text) - {_NGRAM_N - 1}, 1)),"
-            f" i -> substring(text, i, {_NGRAM_N}))"
-        )
+def _ngram_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float, rows_per_band: int = 1
+) -> DataFrame:
+    """Char-3-gram Jaccard >= threshold near-dup pairs, lang-blocked.
+
+    r9: candidates now come from the SHARED hybrid plan
+    (``dedup_ann.ngram_candidate_pairs`` — small blocks brute-force,
+    large blocks 16x1 MinHash banding with canonical-band emission).
+    Through r8 this ran the brute-force slim self-join at EVERY block
+    size, which is quadratic per lang block — fine on the sweep
+    corpora, a scale-killer at 100k-doc blocks (the r9 low-density
+    rehearsal measures both forms; equality pinned in
+    tests/test_engine_units.py). Gram arrays re-attach by an unhinted
+    doc_id join — auto-broadcast at test SF, shuffle at scale."""
+    from .dedup_ann import ngram_candidate_pairs
+
+    d, pairs = ngram_candidate_pairs(
+        spark, sf_dir, threshold, rows_per_band=rows_per_band
     )
-    d = load(spark, sf_dir, "documents").select("doc_id", "lang", grams.alias("grams"))
-    slim = d.select("doc_id", "lang", F.size("grams").alias("n_g"))
-    a, b = slim.alias("a"), slim.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (
-            F.least(F.col("a.n_g"), F.col("b.n_g")).cast("double")
-            >= threshold * F.greatest(F.col("a.n_g"), F.col("b.n_g"))
-        ),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.n_g").alias("na"),
-        F.col("b.n_g").alias("nb"),
-    )
-    # gram re-attach UNHINTED: d is corpus-sized (auto-broadcast at
-    # test SF, shuffled hash join on doc_id at 100 TB)
     cand = pairs.join(
         d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
         "doc_a",

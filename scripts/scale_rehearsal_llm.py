@@ -153,24 +153,30 @@ _TWIN_OFFSET = 1_000_000_000  # twin ids live far above any replica id
 
 
 def build_lowdensity(spark, mult: int) -> str:
-    """Replicated corpus in the REAL training-data regime: ~0.1% true
-    near-dups instead of the 24%-dense pathological base.
+    """Replicated corpus in the REAL training-data regime for the
+    CHAR-3-GRAM keys: ~0.1% true near-dups instead of the 24%-dense
+    pathological base.
 
-    Construction: every token is suffixed with its (replica, doc_id),
-    so cross-doc Jaccard is 0 BY CONSTRUCTION — no accidental dense
-    blocks survive from the base corpus. Then every 1000th doc emits
-    one TWIN (same text minus its last token → Jaccard ≈ (k-1)/k per
-    shingle set, well above every key's threshold), id-offset into a
-    disjoint range. True pairs ≈ docs/1000 and grow linearly with the
-    multiplier; candidate generation sees essentially only the twins
-    plus random band collisions — the regime where 'verify is linear
-    in candidates' is a measurable claim, not an assertion."""
+    The base corpus's long natural-language texts saturate the tiny
+    char-3-gram space, so EVERY pair looks similar (that's the 24%
+    density). The discriminative regime for a 3-gram Jaccard metric is
+    SHORT, HIGH-ENTROPY texts: here each doc's text is rebuilt as 12
+    'words' of base64(md5(doc_id, i)) — ~24-char words over a
+    65-symbol alphabet, so a doc carries ~300 distinct grams out of
+    ~270k possible and E[J_random] ≈ 5e-4 (most random pairs share
+    zero grams). Every 1000th doc emits one TWIN (same words minus the
+    last → J ≈ 0.9, above both thresholds), id-offset into a disjoint
+    range. True pairs ≈ docs/1000, linear in the multiplier; banded
+    candidates ≈ E[J_random]·n²/2 per block — the quantity whose
+    'verify is linear in candidates' claim this rehearsal measures."""
     import os
 
     out = REPO / ".scratch" / f"scale_llm_lowdens_x{mult}"
     dst = out / "documents.parquet"
     marker = out / "src_mtime"
-    src_sig = str(os.stat(f"{BASE_SF}/documents.parquet").st_mtime_ns)
+    # v2 in the signature: the corpus DESIGN changed in r9 (word-suffix
+    # form -> short high-entropy form) — force a rebuild over any v1
+    src_sig = "v3:" + str(os.stat(f"{BASE_SF}/documents.parquet").st_mtime_ns)
     fresh = (
         (dst / "_SUCCESS").exists()
         and marker.exists()
@@ -179,40 +185,48 @@ def build_lowdensity(spark, mult: int) -> str:
     if not fresh:
         docs = (
             load(spark, BASE_SF, "documents")
+            .select("doc_id", "lang", "source")
             .repartition(max(32, 4 * mult))
             .withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+        )
+        # '=' padding stripped: every 16-byte base64 ends '==', and
+        # those universal grams put a shared gram in EVERY doc pair
+        # (measured: 251k band candidates at x1 vs ~18k without)
+        words = lambda n: F.transform(  # noqa: E731
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: F.replace(
+                F.base64(
+                    F.unhex(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.col("doc_id").cast("string"),
+                                i.cast("string"),
+                            )
+                        )
+                    )
+                ),
+                F.lit("="),
+                F.lit(""),
+            ),
         )
         uniq = (
             docs.withColumn(
                 "doc_id",
                 F.col("doc_id") + F.col("_rep").cast("long") * 10_000_000,
             )
-            .withColumn(
-                "text",
-                F.array_join(
-                    F.transform(
-                        F.split("text", " "),
-                        lambda t: F.concat_ws(
-                            "_", t, F.col("doc_id").cast("string")
-                        ),
-                    ),
-                    " ",
-                ),
-            )
+            .withColumn("text", F.array_join(words(12), " "))
             .drop("_rep")
         )
         twins = (
             uniq.where(F.col("doc_id") % 1000 == 0)
             .withColumn("doc_id", F.col("doc_id") + F.lit(_TWIN_OFFSET))
-            # drop the last token: shingle-set Jaccard stays high
+            # rebuild from the TWIN's pre-offset identity: words() uses
+            # doc_id, so recompute with 11 of the original 12 words
             .withColumn(
                 "text",
                 F.array_join(
-                    F.slice(
-                        F.split("text", " "),
-                        1,
-                        F.greatest(F.size(F.split("text", " ")) - 1, F.lit(1)),
-                    ),
+                    F.slice(F.split("text", " "), 1, 11),
                     " ",
                 ),
             )
@@ -228,6 +242,84 @@ def build_lowdensity(spark, mult: int) -> str:
         )
         marker.write_text(src_sig)
     return str(out)
+
+
+def run_lowdensity(spark, mults, runs) -> None:
+    """Low-density measurement (r8 VERDICT item 4): per multiplier,
+    report band-candidate counts for the registered 16x1 shape and
+    the production 8x2 shape, verified-pair counts (must equal the
+    twin count), and hot key timings for both shapes — so 'verify is
+    linear in candidates' is a measured claim and the two shapes'
+    candidate floors are priced side by side. The registered r=1
+    shape is SKIPPED above --mults 10 (its ~b·E[J]·n²/2 random-
+    collision floor reaches ~1e9 candidates at x100 on this corpus —
+    priced by extrapolation in BASELINE.md; the r=2 shape is the
+    config that scale runs)."""
+    import time as _time
+
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    from atd_dockless_processing_spark.operators.dedup_ann import (
+        ngram_candidate_pairs,
+    )
+    from atd_dockless_processing_spark.operators.pipeline_ext import (
+        _CLUSTER_T,
+        _ngram_pairs,
+        min_label_components,
+    )
+
+    def verify_tail(d, pairs, threshold):
+        cand = pairs.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
+            "doc_a",
+        ).join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")),
+            "doc_b",
+        )
+        inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+        union = (F.col("na") + F.col("nb")).cast("double") - inter
+        return cand.where(inter / union >= threshold).select("doc_a", "doc_b")
+
+    def key_plans(sf_dir, r):
+        ngram = lambda: verify_tail(  # noqa: E731
+            *ngram_candidate_pairs(spark, sf_dir, 0.8, rows_per_band=r), 0.8
+        ).count()
+
+        def clusters():
+            pairs = _ngram_pairs(spark, sf_dir, _CLUSTER_T, rows_per_band=r)
+            labels = min_label_components(pairs)
+            return labels.groupBy("label").count().count()
+
+        def keep_list():
+            pairs = _ngram_pairs(spark, sf_dir, _CLUSTER_T, rows_per_band=r)
+            labels = min_label_components(pairs)
+            dropped = labels.where(F.col("node") != F.col("label"))
+            return dropped.count()
+
+        return {"ngram": ngram, "clusters": clusters, "keep_list": keep_list}
+
+    print("| mult | docs | r | candidates | verified | ngram | clusters | keep_list |")
+    print("|---|---|---|---|---|---|---|---|")
+    for m in mults:
+        sf_dir = build_lowdensity(spark, m)
+        n_docs = load(spark, sf_dir, "documents").count()
+        for r in (1, 2):
+            if r == 1 and m > 10:
+                print(f"| x{m} | {n_docs} | 16x1 | SKIPPED (~b·E[J]·n²/2 — see notes) | | | | |")
+                continue
+            d, pairs = ngram_candidate_pairs(spark, sf_dir, 0.8, rows_per_band=r)
+            n_cand = pairs.count()
+            n_ver = verify_tail(d, pairs, 0.8).count()
+            cells = []
+            for name, fn in key_plans(sf_dir, r).items():
+                cells.append(f"{timed(fn, runs):.2f} s")
+            shape = "16x1" if r == 1 else "8x2"
+            print(
+                f"| x{m} | {n_docs} | {shape} | {n_cand:,} | {n_ver} | "
+                + " | ".join(cells)
+                + " |",
+                flush=True,
+            )
 
 
 def timed(fn, runs: int, warmup: bool = True) -> float:
@@ -272,8 +364,11 @@ def main() -> None:
         spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
     warmup = "--skip-warmup" not in argv
 
-    builder = build_lowdensity if lowdensity else build
-    dirs = {m: builder(spark, m) for m in mults}
+    if lowdensity:
+        run_lowdensity(spark, mults, runs)
+        return
+
+    dirs = {m: build(spark, m) for m in mults}
 
     if "--sink" in argv:
         from atd_dockless_processing_spark.operators.llm import (

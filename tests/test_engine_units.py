@@ -3005,3 +3005,35 @@ def test_rocksdb_changelog_rerun_stable(spark, sf_dir):
     a = sorted(map(tuple, QUERIES["stm_rocksdb_changelog"](spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES["stm_rocksdb_changelog"](spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ngram_candidate_plan_cross_form_equality(spark, sf_dir):
+    """r9: _ngram_pairs (clusters/keep_list, threshold 0.70) now
+    consumes the shared hybrid candidate plan. Force BOTH forms on the
+    same corpus — block_t=0 (everything banded) vs block_t=10**9
+    (everything brute-force) — and require identical verified pair
+    sets. This is the recall witness for the banded path at 0.70 on
+    real sweep data, beside the (1-J)^16 probability argument."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark.operators.dedup_ann import (
+        ngram_candidate_pairs,
+    )
+
+    def verified(block_t):
+        d, pairs = ngram_candidate_pairs(spark, sf_dir, 0.70, block_t=block_t)
+        cand = pairs.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
+            "doc_a",
+        ).join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")),
+            "doc_b",
+        )
+        inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+        union = (F.col("na") + F.col("nb")).cast("double") - inter
+        out = cand.where(inter / union >= 0.70).select("doc_a", "doc_b")
+        return sorted(map(tuple, out.collect()))
+
+    banded = verified(0)
+    brute = verified(10**9)
+    assert banded == brute and brute, (len(banded), len(brute))
