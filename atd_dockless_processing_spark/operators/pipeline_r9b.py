@@ -1,0 +1,285 @@
+"""Round-9 operators, part 2 — SURVEY.md §2.30.
+
+Spark 4.x SQL-surface breadth the inventory did not yet touch: SQL
+pipe syntax (`|>`), ordered LISTAGG, collation-aware grouping
+(UTF8_LCASE), EXECUTE IMMEDIATE parameterized SQL, and the
+Arrow-optimized Python UDTF (`@udtf(useArrow=True)`) under a LATERAL
+correlation. Each key pins the ENTRY SURFACE — the relational work
+behind it compiles to the same Catalyst plan families already
+measured at ×100 (SCALE.md), so the scale posture is inherited from
+the plan, not the syntax.
+
+The reference checkout (/root/reference) was empty at survey time
+(SURVEY.md §0); these generalize the public capability surface per
+the §2.30 rows ([P] tags).
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+# ---------------------------------------------------------------------------
+# sql_pipe_syntax — Spark 4.0 SQL pipe operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX (Spark 4.0, SQL pipe operators): the Q1
+    pricing-summary shape authored as a linear `FROM … |> WHERE …
+    |> AGGREGATE … GROUP BY …` chain instead of nested clauses.
+    Pipe stages are pure syntax — the parser folds them into the
+    SAME logical plan as the clause form (one pushed filter, one
+    partial+final hash aggregate; plan identity with agg_groupby_q1's
+    DataFrame form is pinned in tests), so this key certifies the
+    entry surface: stage ordering, `AGGREGATE … GROUP BY` aliasing,
+    and that computed aggregate aliases survive to the result schema.
+    View name is uuid-scoped so concurrent runs never collide
+    (sql_tpch_q6 pattern); ROUND(…, 4) for FP-sum parity with the
+    DuckDB oracle as in Q1."""
+    view = f"lineitem_pipe_{_uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        FROM {view}
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> AGGREGATE ROUND(SUM(l_quantity), 4) AS sum_qty,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                     CAST(COUNT(*) AS BIGINT) AS n_items
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, sum_disc_price,
+                  n_items
+    """)
+    spark.catalog.dropTempView(view)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# agg_listagg — ordered LISTAGG ... WITHIN GROUP (Spark 4.0)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — `LISTAGG(x, d) WITHIN GROUP
+    (ORDER BY x)` (Spark 4.0; DuckDB spells it string_agg … ORDER
+    BY): the canonical "render the group as a delimited list"
+    reporting operator. WITHIN GROUP makes the concatenation order
+    part of the SEMANTICS (an unordered listagg would be
+    partitioning-dependent and could never hash-check) — the key
+    pins exactly that determinism guarantee cross-engine.
+
+    Scale posture: holistic in the group's OWN content (the state is
+    the concatenated string), so it belongs on bounded-cardinality
+    groups — here nations-per-region (≤25 rows each) after a
+    broadcast-sized dim join. For unbounded groups the right form is
+    the capped collect (agg_collect_sorted's slice) — the operator's
+    documented misuse is listagg over raw fact rows."""
+    view = f"nr_listagg_{_uuid.uuid4().hex[:8]}"
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        SELECT r_name,
+               LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM {view}
+        GROUP BY r_name
+    """)
+    spark.catalog.dropTempView(view)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fn_collation_group — UTF8_LCASE collation-aware grouping (Spark 4.0)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_collation_group",
+    oracle="""
+    SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END)
+             AS lang_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-AWARE grouping (Spark 4.0 collations): group keys
+    compared under UTF8_LCASE so case variants of a language tag
+    land in one group — the engine-level answer to the
+    `GROUP BY lower(x)` rewrite (which is exactly how the DuckDB
+    oracle expresses it; DuckDB's NOCASE collation exists but the
+    lower() form is the portable spelling). A deterministic CASE
+    derivation (upper() on even doc_ids) manufactures the mixed-case
+    input from the all-lowercase corpus so the collation has real
+    work to do.
+
+    Two cross-engine hazards pinned: (1) the group REPRESENTATIVE
+    under a collation is first-seen (partitioning-dependent), so the
+    projected key is lower(k) — identical for every member by
+    construction — never the raw representative; (2) the collated
+    STRING TYPE must not leak into the result schema (it would
+    diff against the oracle's plain VARCHAR), hence the final CAST
+    back to binary-collation STRING. Collation comparison runs in
+    the JVM's collation-aware hash (ICU UTF8_LCASE) — same exchange
+    count as any single-key hash aggregate."""
+    d = load(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("k"),
+        "n_chars",
+    )
+    grouped = d.groupBy(F.expr("k COLLATE UTF8_LCASE").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return grouped.select(
+        F.expr("CAST(lower(k) AS STRING COLLATE UTF8_BINARY)").alias("lang_ci"),
+        "n_docs",
+        "total_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sql_exec_immediate — EXECUTE IMMEDIATE parameterized SQL (Spark 4.0)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_exec_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4.0): SQL-from-a-string with `?`
+    positional parameters bound via USING — the dynamic-SQL entry
+    surface (metadata-driven reporting, multi-tenant templates)
+    beside sql_scripting's procedural one. The parameters are BOUND,
+    not interpolated: the date literals travel as typed values
+    through the parameter channel, which is the injection-safe
+    contract this key certifies (plus that the inner statement's
+    aliases survive to the result schema).
+
+    The inner statement is a quarter-window priority count over
+    orders (TPC-H Q4's shape minus the EXISTS) — one pushed range
+    filter, one hash aggregate; scale posture inherited from that
+    plan family."""
+    view = f"orders_exec_{_uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    inner = (
+        f"SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        f"ROUND(SUM(o_totalprice), 4) AS total_price "
+        f"FROM {view} WHERE o_orderdate >= ? AND o_orderdate < ? "
+        f"GROUP BY o_orderpriority"
+    )
+    out = spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING TIMESTAMP '1996-01-01', "
+        "TIMESTAMP '1996-04-01'",
+        args={"stmt": inner},
+    )
+    spark.catalog.dropTempView(view)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# udtf_arrow_lateral — Arrow-optimized Python UDTF under LATERAL (4.1)
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 3.5 (useArrow kwarg: 4.0+)
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="token string", useArrow=True)
+    class _PartTokenUDTF:
+        """Yield each whitespace token of a part name. Arrow-optimized:
+        eval() rows batch through the Arrow channel instead of pickle
+        (`useArrow=True` — the explicit per-function opt-in, not the
+        session-wide conf)."""
+
+        def eval(self, name: str):
+            for t in name.split(" "):
+                yield (t,)
+
+    _HAVE_ARROW_UDTF = True
+except (ImportError, TypeError):  # pragma: no cover - pyspark < 4.0
+    _HAVE_ARROW_UDTF = False
+
+
+@query(
+    "udtf_arrow_lateral",
+    oracle="""
+    SELECT u.token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM part, unnest(string_split(p_name, ' ')) AS u(token)
+    GROUP BY 1
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def udtf_arrow_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-OPTIMIZED Python UDTF (`@udtf(useArrow=True)`, Spark
+    4.0/4.1) applied with a LATERAL correlation, feeding a top-k
+    token-frequency aggregate — the Arrow rung of the UDTF ladder
+    (udtf_posexplode = built-in JVM, udtf_python_custom = pickled
+    generator, this key = Arrow-batched generator). Output rows
+    leave the Python worker as Arrow record batches, so per-row cost
+    is amortized to the batch like a pandas UDF's.
+
+    Scale posture: same as udtf_python_custom — the generator is the
+    SURFACE; the production twin of this exact transform is
+    explode(split(p_name, ' ')) (pure JVM, same two-exchange
+    top-k plan). Ordered (n DESC, token) with LIMIT 20 keeps the
+    result deterministic under ties; uuid-scoped function and view
+    names keep re-runs from colliding."""
+    if not _HAVE_ARROW_UDTF:  # pragma: no cover
+        raise NotImplementedError(
+            "@udtf(useArrow=True) requires pyspark >= 4.0"
+        )
+    tag = _uuid.uuid4().hex[:8]
+    fname, vname = f"part_tokens_{tag}", f"part_{tag}"
+    spark.udtf.register(fname, _PartTokenUDTF)
+    load(spark, sf_dir, "part").select("p_name").createOrReplaceTempView(vname)
+    out = spark.sql(f"""
+        SELECT t.token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM {vname} p, LATERAL {fname}(p.p_name) t
+        GROUP BY t.token
+        ORDER BY n DESC, token
+        LIMIT 20
+    """)
+    spark.catalog.dropTempView(vname)
+    return out

@@ -117,6 +117,14 @@ POINTERS = {
     # r9 surface keys
     "etl_declarative_pipeline": "SURFACE demo (pyspark.pipelines authoring API on the local executor) — the pipeline's data work is 3 independent batch flows (filter/agg/window, each a measured plan family: agg_groupby_q1 + win_topk_per_group); the graph adds scheduling, not shuffles, and each MV materializes once and is consumed as parquet downstream",
     "stm_rocksdb_changelog": "SURFACE demo (RocksDB changelog checkpointing) — per-batch checkpoint bytes scale with the UPDATE RATE, not state size (the feature's point; layout asserted in-key); the volume shape of the underlying agg is the batch groupBy (evt_tumbling_hour family)",
+    # r9b SQL-surface keys (§2.30): syntax entry points over measured plan
+    # families — canonicalized-plan/bit-equality with the measured twin is
+    # pinned in tests, so the scale row is the twin's
+    "sql_pipe_syntax": "SURFACE demo (SQL pipe operators) — canonicalized-plan IDENTITY with the clause form pinned in tests; the plan is Q1's filter+hash-agg family (agg_groupby_q1: 0.68x at x100)",
+    "agg_listagg": "ordered LISTAGG over bounded groups (nations-per-region after a broadcast dim join) — holistic in group CONTENT by design, documented for bounded-cardinality groups; the unbounded form is the capped collect (agg_collect_sorted)",
+    "fn_collation_group": "collation-aware single-key hash agg — same exchange count as any groupBy(lower(x)) (flt/agg scan family); ICU compare is a per-row constant in the JVM hash, no extra shuffle",
+    "sql_exec_immediate": "SURFACE demo (dynamic SQL w/ bound params) — compiles to the inner statement's plan (pushed range filter + hash agg, Q4-minus-EXISTS family); binding adds driver-side work only",
+    "udtf_arrow_lateral": "Arrow-batched Python UDTF (SURFACE rung of the UDTF ladder) — bit-equality with the pure-JVM explode(split()) twin pinned in tests; production form is the JVM twin (explode+agg topk family)",
     # sources: staged-scratch roundtrips (side effect at plan build)
     "src_parquet_scan": "pushdown/pruning asserted in PLANS.md (PushedFilters non-empty); scan path underlies every measured row",
     "src_csv_roundtrip": "staged roundtrip; format-IO, not a compute shape",

@@ -3037,3 +3037,156 @@ def test_ngram_candidate_plan_cross_form_equality(spark, sf_dir):
     banded = verified(0)
     brute = verified(10**9)
     assert banded == brute and brute, (len(banded), len(brute))
+
+
+def test_pipe_syntax_plan_identical_to_clause_form(spark, sf_dir):
+    """sql_pipe_syntax's docstring claim: pipe stages are pure syntax.
+    The |> chain and the equivalent clause SQL over the SAME view must
+    canonicalize to the identical optimized logical plan (not merely
+    equal results)."""
+    from atd_dockless_processing_spark.tables import load
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pipe_test")
+    try:
+        pipe = spark.sql("""
+            FROM li_pipe_test
+            |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            |> AGGREGATE ROUND(SUM(l_quantity), 4) AS sum_qty,
+                         CAST(COUNT(*) AS BIGINT) AS n_items
+               GROUP BY l_returnflag, l_linestatus
+            |> SELECT l_returnflag, l_linestatus, sum_qty, n_items
+        """)
+        clause = spark.sql("""
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM li_pipe_test
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """)
+        canon = lambda df: (  # noqa: E731
+            df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+        )
+        assert canon(pipe) == canon(clause)
+    finally:
+        spark.catalog.dropTempView("li_pipe_test")
+
+
+def test_listagg_order_is_semantic_not_partitioning(spark, sf_dir):
+    """WITHIN GROUP (ORDER BY n_name) must yield the identical
+    concatenation regardless of input partitioning, and each list must
+    actually BE sorted (the determinism the oracle hash relies on)."""
+    from atd_dockless_processing_spark import QUERIES
+
+    rows = {
+        r["r_name"]: r["nations"]
+        for r in QUERIES["agg_listagg"](spark, sf_dir).collect()
+    }
+    assert rows
+    for nations in rows.values():
+        parts = nations.split(",")
+        assert parts == sorted(parts)
+    # repartitioned input path: same result through an 11-way shuffle
+    from atd_dockless_processing_spark.tables import load
+
+    n = load(spark, sf_dir, "nation").repartition(11)
+    n.createOrReplaceTempView("nation_listagg_shuf")
+    try:
+        shuffled = {
+            r["n_regionkey"]: r["nations"]
+            for r in spark.sql(
+                "SELECT n_regionkey, LISTAGG(n_name, ',') WITHIN GROUP "
+                "(ORDER BY n_name) AS nations FROM nation_listagg_shuf "
+                "GROUP BY n_regionkey"
+            ).collect()
+        }
+        r = load(spark, sf_dir, "region")
+        key_of = {
+            row["r_name"]: row["r_regionkey"] for row in r.collect()
+        }
+        for r_name, nations in rows.items():
+            assert shuffled[key_of[r_name]] == nations
+    finally:
+        spark.catalog.dropTempView("nation_listagg_shuf")
+
+
+def test_collation_group_collapses_case_and_type_stays_binary(spark, sf_dir):
+    """UTF8_LCASE grouping must (1) merge the manufactured case
+    variants back to one group per language — row count equals the
+    plain lower() group count and the doc total is conserved — and
+    (2) not leak the collated string type into the result schema."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    out = QUERIES["fn_collation_group"](spark, sf_dir)
+    rows = out.collect()
+    d = load(spark, sf_dir, "documents")
+    expected_groups = d.select(F.lower("lang")).distinct().count()
+    assert len(rows) == expected_groups
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    # every key is already lowercase (the representative never leaks)
+    assert all(r["lang_ci"] == r["lang_ci"].lower() for r in rows)
+    # schema: plain binary-collation string, not "string collate ..."
+    lang_field = next(f for f in out.schema.fields if f.name == "lang_ci")
+    assert lang_field.dataType.simpleString() == "string"
+
+
+def test_exec_immediate_binds_typed_params(spark, sf_dir):
+    """EXECUTE IMMEDIATE must BIND its USING parameters (typed values
+    through the parameter channel), producing the same result as the
+    directly-executed statement — and a narrower bound window must
+    change the result (the parameters are live, not decorative)."""
+    from atd_dockless_processing_spark.tables import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_exec_test")
+    try:
+        inner = (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders_exec_test "
+            "WHERE o_orderdate >= ? AND o_orderdate < ?"
+        )
+        bound = spark.sql(
+            "EXECUTE IMMEDIATE :stmt USING TIMESTAMP '1996-01-01', "
+            "TIMESTAMP '1996-04-01'",
+            args={"stmt": inner},
+        ).collect()[0]["n"]
+        direct = spark.sql(
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders_exec_test "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01'"
+        ).collect()[0]["n"]
+        narrower = spark.sql(
+            "EXECUTE IMMEDIATE :stmt USING TIMESTAMP '1996-01-01', "
+            "TIMESTAMP '1996-02-01'",
+            args={"stmt": inner},
+        ).collect()[0]["n"]
+        assert bound == direct and bound > 0
+        assert narrower < bound
+    finally:
+        spark.catalog.dropTempView("orders_exec_test")
+
+
+def test_arrow_udtf_matches_jvm_explode_twin(spark, sf_dir):
+    """udtf_arrow_lateral's production-twin claim: the Arrow UDTF
+    top-20 token table equals the pure-JVM explode(split(...)) form
+    bit-for-bit (same tie-break)."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    udtf_rows = [
+        (r["token"], r["n"])
+        for r in QUERIES["udtf_arrow_lateral"](spark, sf_dir).collect()
+    ]
+    jvm = (
+        load(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+    jvm_rows = [(r["token"], r["n"]) for r in jvm.collect()]
+    assert udtf_rows == jvm_rows and udtf_rows
