@@ -283,3 +283,132 @@ def udtf_arrow_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     spark.catalog.dropTempView(vname)
     return out
+
+
+# ---------------------------------------------------------------------------
+# udtf_table_argument — polymorphic table function: TABLE(...) PARTITION BY
+# ---------------------------------------------------------------------------
+
+if _HAVE_ARROW_UDTF:
+
+    @_udtf(returnType="lang string, n_docs bigint, n_up bigint, max_chars bigint")
+    class _LangRunStatsUDTF:
+        """Per-partition streaming reduction over an ORDERED TABLE
+        argument: rows of one lang arrive in doc_id order through
+        eval(); terminate() emits one summary row. State is O(1) per
+        partition — the streamed-aggregation contract the TABLE
+        argument surface exists for."""
+
+        def __init__(self) -> None:
+            self._lang = None
+            self._n = 0
+            self._n_up = 0
+            self._max = None
+            self._prev = None
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            c = row["n_chars"]
+            self._n += 1
+            if self._prev is not None and c > self._prev:
+                self._n_up += 1
+            self._max = c if self._max is None else max(self._max, c)
+            self._prev = c
+
+        def terminate(self):
+            if self._lang is not None:
+                yield self._lang, self._n, self._n_up, self._max
+
+
+@query(
+    "udtf_table_argument",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE n_chars > prev) AS BIGINT) AS n_up,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM (SELECT lang, n_chars,
+                 lag(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS prev
+          FROM documents)
+    GROUP BY lang
+    """,
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC TABLE FUNCTION — a Python UDTF invoked with a
+    TABLE(...) argument plus `PARTITION BY lang ORDER BY doc_id`
+    (Spark 3.5+/4.x): the engine repartitions and per-partition-sorts
+    the input, then STREAMS each language's rows through eval() in
+    doc_id order; terminate() emits one summary row per partition
+    (count, ascending-step count — an order-SENSITIVE stat that
+    would silently corrupt if the ORDER BY contract broke — and max).
+    This is the table-in/table-out UDF surface (SQL:2016 PTF);
+    DuckDB's equivalent spelling is the lag() window + group-by the
+    oracle uses.
+
+    Scale posture: the plan is exchange-equivalent to a window over
+    (lang, doc_id) — one hash exchange + in-partition sort — with the
+    reduction in Python instead of JVM window state; O(1) state per
+    partition, rows never buffered. The production twin of THIS stat
+    is the lag()+count_if window form (win_lag_lead family); the key
+    pins the PTF contract, and cross-form equality is pinned in
+    tests."""
+    if not _HAVE_ARROW_UDTF:  # pragma: no cover
+        raise NotImplementedError("TABLE-argument @udtf requires pyspark >= 3.5")
+    tag = _uuid.uuid4().hex[:8]
+    fname, vname = f"lang_run_stats_{tag}", f"docs_ptf_{tag}"
+    spark.udtf.register(fname, _LangRunStatsUDTF)
+    load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    ).createOrReplaceTempView(vname)
+    out = spark.sql(f"""
+        SELECT * FROM {fname}(
+          TABLE({vname}) PARTITION BY lang ORDER BY doc_id
+        )
+    """)
+    spark.catalog.dropTempView(vname)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sql_identifier_clause — IDENTIFIER(:param) safe dynamic identifiers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority AS group_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER clause (Spark 3.4+): the TABLE and the GROUP-BY
+    COLUMN both arrive as bound parameters through `IDENTIFIER(:p)` —
+    the injection-safe way to template identifiers (the complement of
+    sql_exec_immediate, which parameterizes VALUES; identifiers can
+    never be value parameters, and string-concatenated SQL is the
+    anti-pattern this clause retires). IDENTIFIER resolves the
+    parameter AS an identifier at parse time — a malformed or
+    multi-part-smuggling string fails resolution rather than
+    rewriting the query.
+
+    The templated statement is a single-key hash aggregate; scale
+    posture inherited from that family (binding is driver-side
+    only). Parameter LIVENESS (a different column parameter changes
+    the grouping) is pinned in tests."""
+    view = f"orders_ident_{_uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    out = spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS group_key,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:col)
+        """,
+        args={"tbl": view, "col": "o_orderpriority"},
+    )
+    spark.catalog.dropTempView(view)
+    return out

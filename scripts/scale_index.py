@@ -125,6 +125,8 @@ POINTERS = {
     "fn_collation_group": "collation-aware single-key hash agg — same exchange count as any groupBy(lower(x)) (flt/agg scan family); ICU compare is a per-row constant in the JVM hash, no extra shuffle",
     "sql_exec_immediate": "SURFACE demo (dynamic SQL w/ bound params) — compiles to the inner statement's plan (pushed range filter + hash agg, Q4-minus-EXISTS family); binding adds driver-side work only",
     "udtf_arrow_lateral": "Arrow-batched Python UDTF (SURFACE rung of the UDTF ladder) — bit-equality with the pure-JVM explode(split()) twin pinned in tests; production form is the JVM twin (explode+agg topk family)",
+    "udtf_table_argument": "polymorphic table function (TABLE arg + PARTITION BY/ORDER BY) — exchange-equivalent to a (lang, doc_id) window with O(1) per-partition Python state; cross-form equality with the JVM lag()+count_if twin pinned in tests (win_lag_lead family)",
+    "sql_identifier_clause": "SURFACE demo (IDENTIFIER parameter binding) — compiles to the templated statement's single-key hash agg; binding is parse-time driver work only",
     # sources: staged-scratch roundtrips (side effect at plan build)
     "src_parquet_scan": "pushdown/pruning asserted in PLANS.md (PushedFilters non-empty); scan path underlies every measured row",
     "src_csv_roundtrip": "staged roundtrip; format-IO, not a compute shape",

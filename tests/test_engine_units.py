@@ -3190,3 +3190,59 @@ def test_arrow_udtf_matches_jvm_explode_twin(spark, sf_dir):
     )
     jvm_rows = [(r["token"], r["n"]) for r in jvm.collect()]
     assert udtf_rows == jvm_rows and udtf_rows
+
+
+def test_table_argument_udtf_matches_window_twin(spark, sf_dir):
+    """udtf_table_argument's PTF contract: the ordered-partition
+    streaming reduction equals the JVM lag()+count_if window form —
+    n_up is order-SENSITIVE, so this also proves TABLE(...) ORDER BY
+    delivered rows in doc_id order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    ptf = sorted(
+        (r["lang"], r["n_docs"], r["n_up"], r["max_chars"])
+        for r in QUERIES["udtf_table_argument"](spark, sf_dir).collect()
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    twin = (
+        load(spark, sf_dir, "documents")
+        .withColumn("prev", F.lag("n_chars").over(w))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("n_chars") > F.col("prev")).alias("n_up"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+    twin_rows = sorted(
+        (r["lang"], r["n_docs"], r["n_up"], r["max_chars"])
+        for r in twin.collect()
+    )
+    assert ptf == twin_rows and ptf
+
+
+def test_identifier_clause_params_are_live(spark, sf_dir):
+    """IDENTIFIER(:col) must resolve the BOUND parameter: switching
+    the column parameter regroups the same templated statement."""
+    from atd_dockless_processing_spark.tables import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ident_test")
+    try:
+        stmt = (
+            "SELECT IDENTIFIER(:col) AS k, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:col)"
+        )
+        by_prio = spark.sql(
+            stmt, args={"tbl": "orders_ident_test", "col": "o_orderpriority"}
+        ).collect()
+        by_status = spark.sql(
+            stmt, args={"tbl": "orders_ident_test", "col": "o_orderstatus"}
+        ).collect()
+        assert {r["k"] for r in by_prio} != {r["k"] for r in by_status}
+        assert sum(r["n"] for r in by_prio) == sum(r["n"] for r in by_status)
+    finally:
+        spark.catalog.dropTempView("orders_ident_test")
