@@ -152,7 +152,7 @@ def label_maps():
         src = (REPO / "scripts" / f"{mod}.py").read_text()
         # extract dict literals without importing (import starts Spark
         # transitively via module-level imports in some environments)
-        for dname in ("SHAPES", "ENGINE_SHAPES"):
+        for dname in ("SHAPES", "ENGINE_SHAPES", "LOWDENSITY_SHAPES"):
             mm = re.search(rf"^{dname} = \{{(.*?)^\}}", src, re.S | re.M)
             if not mm:
                 continue
