@@ -412,3 +412,252 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(view)
     return out
+
+
+# ---------------------------------------------------------------------------
+# sql_create_function — SQL-defined scalar UDF (CREATE FUNCTION ... RETURN)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_create_function",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS disc_total,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED FUNCTION (`CREATE TEMPORARY FUNCTION … RETURNS …
+    RETURN expr`, Spark 3.4+/4.x SQL UDFs): the discounted-price
+    expression captured once as a catalog object and reused in an
+    aggregate — the SQL-native rung of the UDF ladder, and the ONLY
+    rung with zero runtime tax: Catalyst INLINES the body at analysis
+    time — no function node survives to the optimized plan, no Python
+    worker, no serialization (the production answer to 'wrap shared
+    business logic'; inlining goes through an alias-introducing
+    Project, so the plan is expression-EQUIVALENT to the in-place
+    arithmetic, pinned in tests). The oracle inlines the same
+    expression; a drift in inlining semantics (argument substitution,
+    null handling) flips the hash.
+
+    Function name is uuid-scoped (temporary functions are
+    session-global — the sql_tpch_q6 concurrency discipline applies
+    to the function catalog too). Scale posture: identical to
+    agg_groupby_q1's scan+hash-agg family, by construction."""
+    tag = _uuid.uuid4().hex[:8]
+    fname, view = f"disc_price_{tag}", f"li_fn_{tag}"
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {fname}(p DOUBLE, d DOUBLE) "
+        f"RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    out = spark.sql(f"""
+        SELECT l_returnflag,
+               ROUND(SUM({fname}(l_extendedprice, l_discount)), 4)
+                 AS disc_total,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM {view}
+        GROUP BY l_returnflag
+    """)
+    spark.catalog.dropTempView(view)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sql_session_variable — DECLARE VARIABLE / SET VAR cross-statement state
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_session_variable",
+    oracle="""
+    WITH cut AS (SELECT FLOOR(AVG(l_quantity)) AS c FROM lineitem)
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           ROUND(SUM(l_extendedprice), 4) AS price_above
+    FROM lineitem, cut
+    WHERE l_quantity > c
+    GROUP BY l_linestatus
+    """,
+)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SESSION VARIABLES (Spark 4.0 `DECLARE VARIABLE` / `SET VAR`):
+    a data-derived scalar (FLOOR of the mean quantity — floored so
+    the cross-statement compare is INTEGER-exact, immune to the two
+    engines' AVG association order) is computed in one statement,
+    parked in a session variable, and consumed as a filter bound in a
+    later statement — the cross-STATEMENT state surface beside
+    sql_scripting's intra-script variables and sql_exec_immediate's
+    per-call parameters. The oracle folds the same bound as a CTE.
+
+    Variable and view names are uuid-scoped (variables are
+    session-global) and the variable is DROPped on exit. Scale
+    posture: two plans from the scan+agg family; the variable is
+    driver-side state, zero executor cost."""
+    tag = _uuid.uuid4().hex[:8]
+    vname, view = f"qty_cut_{tag}", f"li_var_{tag}"
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    spark.sql(f"DECLARE OR REPLACE VARIABLE {vname} DOUBLE DEFAULT 0.0")
+    try:
+        spark.sql(
+            f"SET VAR {vname} = (SELECT FLOOR(AVG(l_quantity)) FROM {view})"
+        )
+        out = spark.sql(f"""
+            SELECT l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_above,
+                   ROUND(SUM(l_extendedprice), 4) AS price_above
+            FROM {view}
+            WHERE l_quantity > {vname}
+            GROUP BY l_linestatus
+        """)
+        # materialization must happen while the variable exists? No —
+        # the bound is substituted at ANALYSIS time into the plan; the
+        # DROP below cannot un-resolve an analyzed DataFrame. Pinned in
+        # tests (drop-then-collect).
+        return out
+    finally:
+        spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {vname}")
+        spark.catalog.dropTempView(view)
+
+
+# ---------------------------------------------------------------------------
+# snk_python_datasource_write — PySpark 4 Python DataSource WRITER
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _JsonlCommit(WriterCommitMessage):
+        """Per-task commit message: the file this task produced and
+        its row count (must be picklable driver<-worker)."""
+
+        def __init__(self, filename: str, n_rows: int) -> None:
+            self.filename = filename
+            self.n_rows = n_rows
+
+    class JsonlSinkDataSource(DataSource):
+        """Custom BATCH SINK via the PySpark 4 Python DataSource API —
+        the writer half of the V2 surface whose reader half is
+        ``SyntheticFeedDataSource`` (src_python_datasource) and whose
+        streaming-reader half is ``SyntheticCounterStream``
+        (stm_python_stream_source). Each task writes its partition as
+        one JSON-lines file and returns a commit message; the DRIVER
+        commit publishes a manifest naming exactly the committed
+        files — the two-phase all-or-nothing contract (a failed task's
+        orphan file is never manifested)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite):  # noqa: ANN001 - pyspark API
+            return _JsonlSinkWriter(self.options["path"])
+
+    class _JsonlSinkWriter(DataSourceWriter):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+        def write(self, iterator):  # noqa: ANN001 - per-task, on workers
+            import json
+            import os
+            import uuid
+
+            fname = f"part-{uuid.uuid4().hex}.jsonl"
+            full = os.path.join(self.path, fname)
+            n = 0
+            with open(full, "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _JsonlCommit(fname, n)
+
+        def commit(self, messages):  # noqa: ANN001 - on the driver
+            import json
+            import os
+
+            manifest = {
+                "files": sorted(m.filename for m in messages if m is not None),
+                "rows": sum(m.n_rows for m in messages if m is not None),
+            }
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+                json.dump(manifest, fh)
+
+        def abort(self, messages):  # noqa: ANN001
+            pass  # no manifest -> nothing published; files are scratch
+
+    _HAVE_PY_DS_WRITER = True
+except ImportError:  # pragma: no cover - pyspark < 4
+    _HAVE_PY_DS_WRITER = False
+
+
+@query(
+    "snk_python_datasource_write",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def snk_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE through a CUSTOM Python DataSource (PySpark 4 V2 writer
+    API), then read the MANIFESTED files back and aggregate — closing
+    the V2 triangle (batch read / stream read / batch WRITE). Pins
+    the two-phase commit contract: per-task ``write(iterator)`` →
+    picklable commit message, driver-side ``commit(messages)``
+    publishing a manifest of exactly the committed files; the
+    readback consumes ONLY manifested files, so an aborted task's
+    orphan output can never leak into the result (the exactly-once
+    discipline snk_manifest_publish pins for parquet, here for a
+    user-defined sink).
+
+    Scale posture: SURFACE demo of the writer contract — each row
+    crosses the Python worker and lands as text JSON; the production
+    twin of this write is the JVM parquet sink (snk_parquet). Local
+    FS paths work because local[*] workers share the driver's disk;
+    a cluster deployment points the same writer at an object store.
+    Integer-only measures (count / key sum, DuckDB HUGEINT hazard)."""
+    if not _HAVE_PY_DS_WRITER:  # pragma: no cover
+        raise NotImplementedError(
+            "Python DataSource writer API requires pyspark >= 4.0"
+        )
+    import json
+    import os
+    import shutil
+
+    from ..tables import scratch_dir
+
+    out_dir = scratch_dir("pyds_sink")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass  # session-scoped name already registered
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    src.write.format("jsonl_sink").option("path", out_dir).mode(
+        "append"
+    ).save()
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(out_dir, f) for f in manifest["files"]]
+    back = spark.read.schema("o_orderkey long, o_orderpriority string").json(
+        files
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("sum_key"),
+    )

@@ -127,6 +127,9 @@ POINTERS = {
     "udtf_arrow_lateral": "Arrow-batched Python UDTF (SURFACE rung of the UDTF ladder) — bit-equality with the pure-JVM explode(split()) twin pinned in tests; production form is the JVM twin (explode+agg topk family)",
     "udtf_table_argument": "polymorphic table function (TABLE arg + PARTITION BY/ORDER BY) — exchange-equivalent to a (lang, doc_id) window with O(1) per-partition Python state; cross-form equality with the JVM lag()+count_if twin pinned in tests (win_lag_lead family)",
     "sql_identifier_clause": "SURFACE demo (IDENTIFIER parameter binding) — compiles to the templated statement's single-key hash agg; binding is parse-time driver work only",
+    "sql_create_function": "SURFACE demo (SQL UDF) — body INLINED at analysis time (no function node, pinned in tests); plan = agg_groupby_q1's scan+hash-agg family with zero added runtime cost",
+    "sql_session_variable": "SURFACE demo (session variables) — two plans from the scan+agg family; the variable is driver-side state substituted at analysis time, zero executor cost",
+    "snk_python_datasource_write": "SURFACE demo (V2 Python writer, two-phase commit) — per-row Python+JSON text by construction (udf_scalar_python precedent); production twin is the JVM parquet sink (snk_parquet); manifest discipline shared with snk_manifest_publish",
     # sources: staged-scratch roundtrips (side effect at plan build)
     "src_parquet_scan": "pushdown/pruning asserted in PLANS.md (PushedFilters non-empty); scan path underlies every measured row",
     "src_csv_roundtrip": "staged roundtrip; format-IO, not a compute shape",

@@ -3246,3 +3246,100 @@ def test_identifier_clause_params_are_live(spark, sf_dir):
         assert sum(r["n"] for r in by_prio) == sum(r["n"] for r in by_status)
     finally:
         spark.catalog.dropTempView("orders_ident_test")
+
+
+def test_sql_function_is_inlined_at_analysis(spark, sf_dir):
+    """sql_create_function's zero-tax claim: the SQL UDF body is
+    inlined by Catalyst at analysis time — the optimized plan carries
+    the arithmetic itself (no UDF invocation node, no trace of the
+    function name), and the values equal the hand-inlined form.
+    (Exact canonicalized-plan identity does NOT hold: inlining goes
+    through an alias-introducing Project and canonicalization orders
+    the commutative multiply differently — the assertion here is the
+    semantic one.)"""
+    from atd_dockless_processing_spark.tables import load
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqlfn_test")
+    try:
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION tfn_disc(p DOUBLE, d DOUBLE) "
+            "RETURNS DOUBLE RETURN p * (1.0 - d)"
+        )
+        via_fn = spark.sql(
+            "SELECT l_returnflag, ROUND(SUM(tfn_disc(l_extendedprice, "
+            "l_discount)), 4) AS t FROM li_sqlfn_test GROUP BY l_returnflag"
+        )
+        inline = spark.sql(
+            "SELECT l_returnflag, ROUND(SUM(l_extendedprice * (1.0 - "
+            "l_discount)), 4) AS t FROM li_sqlfn_test GROUP BY l_returnflag"
+        )
+        opt = via_fn._jdf.queryExecution().optimizedPlan().toString()
+        phys = via_fn._jdf.queryExecution().executedPlan().toString()
+        assert "tfn_disc" not in opt  # body inlined, no function node
+        assert "(1.0 - " in opt  # ...the arithmetic itself is there
+        assert "BatchEvalPython" not in phys and "PythonUDF" not in phys
+        assert sorted(map(tuple, via_fn.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+    finally:
+        spark.catalog.dropTempView("li_sqlfn_test")
+
+
+def test_session_variable_bound_survives_drop(spark, sf_dir):
+    """sql_session_variable's analysis-time-substitution claim: the
+    registered key DROPs the variable before returning, and the
+    DataFrame still collects; the bound equals FLOOR(avg quantity)
+    computed directly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    out = QUERIES["sql_session_variable"](spark, sf_dir)
+    rows = out.collect()  # variable already dropped inside the key
+    li = load(spark, sf_dir, "lineitem")
+    cut = math.floor(li.agg(F.avg("l_quantity")).collect()[0][0])
+    expected = li.where(F.col("l_quantity") > cut).count()
+    assert sum(r["n_above"] for r in rows) == expected and expected > 0
+
+
+def test_python_ds_writer_manifest_excludes_orphans(spark, sf_dir):
+    """snk_python_datasource_write's two-phase-commit claim: the
+    readback consumes ONLY manifested files — an orphan .jsonl
+    planted beside them (a simulated failed-task leftover) does not
+    change the result; manifest row total equals the source count."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load, scratch_dir
+
+    first = {
+        (r["o_orderpriority"]): (r["n_orders"], r["sum_key"])
+        for r in QUERIES["snk_python_datasource_write"](spark, sf_dir).collect()
+    }
+    out_dir = scratch_dir("pyds_sink")
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    src_n = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 100 == 0)
+        .count()
+    )
+    assert manifest["rows"] == src_n == sum(n for n, _ in first.values())
+    # plant an orphan the commit never saw
+    with open(os.path.join(out_dir, "part-orphan.jsonl"), "w") as fh:
+        fh.write('{"o_orderkey": 999999999, "o_orderpriority": "X-ORPHAN"}\n')
+    files = [os.path.join(out_dir, f) for f in manifest["files"]]
+    back = (
+        spark.read.schema("o_orderkey long, o_orderpriority string")
+        .json(files)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s"))
+    )
+    again = {r["o_orderpriority"]: (r["n"], r["s"]) for r in back.collect()}
+    assert "X-ORPHAN" not in again and again == first
