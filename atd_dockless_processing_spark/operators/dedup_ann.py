@@ -233,6 +233,21 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     via ``pipeline_ext._ngram_pairs``), which previously ran the
     brute-force self-join at every block size."""
     d, pairs = ngram_candidate_pairs(spark, sf_dir, _NGRAM_T)
+    return ngram_verified_pairs(d, pairs, _NGRAM_T).select(
+        "doc_a", "doc_b", F.round("ngram_jaccard", 4).alias("ngram_jaccard")
+    )
+
+
+def ngram_verified_pairs(d: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard VERIFY tail over candidate pairs — the second
+    half of the shared plan whose first half is
+    ``ngram_candidate_pairs`` (one definition for the registered
+    keys, the cluster keys, and the rehearsal harness — r9 review
+    finding #6: the join posture and union arithmetic must not drift
+    between what ships and what gets measured). Re-attaches each
+    side's gram set by doc_id (auto-broadcast at test SF, shuffle at
+    scale) and keeps pairs with |A∩B| / (|A|+|B|−|A∩B|) >= threshold;
+    returns (doc_a, doc_b, ngram_jaccard[double, unrounded])."""
     cand = pairs.join(
         d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
         "doc_a",
@@ -243,9 +258,8 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
     union = (F.col("na") + F.col("nb")).cast("double") - inter
     jac = inter / union
-    return (
-        cand.where(jac >= _NGRAM_T)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("ngram_jaccard"))
+    return cand.where(jac >= threshold).select(
+        "doc_a", "doc_b", jac.alias("ngram_jaccard")
     )
 
 

@@ -344,35 +344,20 @@ def _q5_src_sig(sf_dir: str) -> str:
     silently serve stale rows against a fresh oracle (r8 review
     finding #1; the stage_scratch marker discipline).
 
-    For a directory-shaped table the signature enumerates every
-    contained file's (name, mtime_ns, size) — an in-place rewrite of
-    one part file does NOT bump the directory's own mtime/size, so a
-    dir-level stat would miss it (r8 ADVICE #1; mirrors
-    ``parquet_nrows``'s isdir branch). A missing source (moved
-    testdata, provider-served sf_dir) yields a never-matching
-    signature so ``_q5_layout_available`` falls back to the ad-hoc
-    plan instead of raising out of the probe."""
-    import os
+    Delegates to the shared ``tables.source_signature`` (per-file
+    enumeration for directory-shaped tables, r8 ADVICE #1; nonce on
+    OSError so a missing/provider-served source never matches —
+    ``_q5_layout_available`` then falls back to the ad-hoc plan
+    instead of raising out of the probe, and
+    ``ensure_q5_bucketed_layout`` DECLINES to build rather than
+    rebuilding a never-verifiable layout on every call, r9 review
+    finding #3)."""
+    from ..tables import source_signature
 
-    sig = []
-    for t in ("lineitem", "orders"):
-        path = f"{sf_dir}/{t}.parquet"
-        try:
-            if os.path.isdir(path):
-                parts = ";".join(
-                    f"{f}:{st.st_mtime_ns}:{st.st_size}"
-                    for f in sorted(os.listdir(path))
-                    for st in (os.stat(os.path.join(path, f)),)
-                )
-                sig.append(f"{t}:[{parts}]")
-            else:
-                st = os.stat(path)
-                sig.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
-        except OSError:
-            # nonce => never equal to any stored marker, even one
-            # written while the source was equally unstatable
-            sig.append(f"{t}:UNAVAILABLE:{os.urandom(8).hex()}")
-    return ";".join(sig)
+    return ";".join(
+        f"{t}:{source_signature(f'{sf_dir}/{t}.parquet')}"
+        for t in ("lineitem", "orders")
+    )
 
 
 def ensure_q5_bucketed_layout(
@@ -384,11 +369,19 @@ def ensure_q5_bucketed_layout(
     orderkey join is exchange-free (the 100 TB repeated-join
     amortizer — pay the layout once, reuse it for every Q3/Q5-shaped
     query on the same keys). Idempotent per (sf_dir, buckets);
-    rebuilt automatically when the source parquet changes (mtime+size
-    marker)."""
+    rebuilt automatically when the source parquet changes (per-file
+    mtime+size marker). An UNSTATABLE source (freshness untrackable)
+    is declined outright — building would re-run both ~18 s-at-×100
+    bucketBy writes on EVERY call (the marker can never match) and
+    the layout still never dispatches; callers keep the ad-hoc plan
+    (r9 review finding #3)."""
     from pathlib import Path
 
+    from ..tables import signature_unavailable
+
     li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir, buckets)
+    if signature_unavailable(_q5_src_sig(sf_dir)):
+        return li_tbl, o_tbl
     if not _q5_layout_available(spark, sf_dir, buckets):
         (
             load(spark, sf_dir, "lineitem")

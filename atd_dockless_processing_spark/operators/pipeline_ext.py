@@ -76,21 +76,12 @@ def _ngram_pairs(
     rehearsal measures both forms; equality pinned in
     tests/test_engine_units.py). Gram arrays re-attach by an unhinted
     doc_id join — auto-broadcast at test SF, shuffle at scale."""
-    from .dedup_ann import ngram_candidate_pairs
+    from .dedup_ann import ngram_candidate_pairs, ngram_verified_pairs
 
     d, pairs = ngram_candidate_pairs(
         spark, sf_dir, threshold, rows_per_band=rows_per_band
     )
-    cand = pairs.join(
-        d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
-        "doc_a",
-    ).join(
-        d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")),
-        "doc_b",
-    )
-    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-    union = (F.col("na") + F.col("nb")).cast("double") - inter
-    return cand.where(inter / union >= threshold).select("doc_a", "doc_b")
+    return ngram_verified_pairs(d, pairs, threshold).select("doc_a", "doc_b")
 
 
 def min_label_components(pairs: DataFrame) -> DataFrame:

@@ -21,6 +21,7 @@ exists is a config change, not a code change.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -30,6 +31,11 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load, scratch_dir
+
+# Pipeline graphs register session views under the USER'S dataset
+# names; concurrent executions in one session would clobber each
+# other (r9 review finding #5) — serialize per process.
+_PIPELINE_RUN_LOCK = threading.Lock()
 
 try:  # pyspark >= 4.1
     from pyspark.pipelines.flow import Flow
@@ -90,7 +96,17 @@ def run_pipeline_locally(
     flows) read back and registered, so downstream flows consume the
     MATERIALIZED bytes, not the defining plan. At 100 TB each flow is
     an independent Spark job over the materialized upstream — the
-    pipeline graph adds scheduling, not shuffles."""
+    pipeline graph adds scheduling, not shuffles.
+
+    The graph's dataset NAMES are the user's (authoring fidelity —
+    `spark.table("dp_mktseg_year_rev")` must resolve as written), so
+    they cannot be uuid-scoped like ad-hoc views; instead execution
+    is serialized per process (two concurrent runs would race on
+    createOrReplaceTempView and cross-read each other's corpora, r9
+    review finding #5) and every graph view is dropped on exit —
+    returned DataFrames stay valid because spark.table() resolves at
+    DataFrame-creation analysis, not at action time (the
+    sql_session_variable precedent, pinned in tests)."""
     if not _HAVE_PIPELINES:  # pragma: no cover
         raise NotImplementedError("pyspark.pipelines requires pyspark >= 4.1")
     reg = _LocalGraphRegistry()
@@ -103,6 +119,16 @@ def run_pipeline_locally(
 
     results: dict[str, DataFrame] = {}
     pending = list(reg.flows)
+    with _PIPELINE_RUN_LOCK:
+        try:
+            _run_worklist(spark, reg, pending, results, scratch)
+        finally:
+            for name in reg.outputs:
+                spark.catalog.dropTempView(name)
+    return results
+
+
+def _run_worklist(spark, reg, pending, results, scratch) -> None:
     while pending:
         deferred = []
         for flow in pending:
@@ -144,7 +170,6 @@ def run_pipeline_locally(
                 f"upstream reference): {names}"
             )
         pending = deferred
-    return results
 
 
 _DP_TOP_YEARS = 3

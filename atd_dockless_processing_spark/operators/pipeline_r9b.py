@@ -596,6 +596,10 @@ try:  # pyspark >= 4.0
 except ImportError:  # pragma: no cover - pyspark < 4
     _HAVE_PY_DS_WRITER = False
 
+# Most-recent invocation's uuid-scoped sink dir (introspection hook
+# for tests; each run gets a fresh dir — see the key's docstring).
+_LAST_PYDS_DIR: str | None = None
+
 
 @query(
     "snk_python_datasource_write",
@@ -625,20 +629,27 @@ def snk_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of this write is the JVM parquet sink (snk_parquet). Local
     FS paths work because local[*] workers share the driver's disk;
     a cluster deployment points the same writer at an object store.
-    Integer-only measures (count / key sum, DuckDB HUGEINT hazard)."""
+    Integer-only measures (count / key sum, DuckDB HUGEINT hazard).
+
+    The output dir is uuid-scoped per invocation (stm_rocksdb_
+    changelog's run_{uuid} discipline, r9 review finding #2): a fixed
+    shared path would let a concurrent run's cleanup delete files
+    this run's lazily-evaluated readback still references — and NO
+    in-key pruning of older run dirs either, for the same reason
+    (.scratch is disposable by contract; the dirs are a few KB)."""
     if not _HAVE_PY_DS_WRITER:  # pragma: no cover
         raise NotImplementedError(
             "Python DataSource writer API requires pyspark >= 4.0"
         )
     import json
     import os
-    import shutil
 
     from ..tables import scratch_dir
 
-    out_dir = scratch_dir("pyds_sink")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    global _LAST_PYDS_DIR
+    out_dir = scratch_dir("pyds_sink", f"run_{_uuid.uuid4().hex[:12]}")
     os.makedirs(out_dir, exist_ok=True)
+    _LAST_PYDS_DIR = out_dir
     try:
         spark.dataSource.register(JsonlSinkDataSource)
     except Exception:

@@ -123,6 +123,43 @@ def scratch_dir(*parts: str) -> str:
     return str(p)
 
 
+def source_signature(path: str) -> str:
+    """Freshness signature of a source parquet path, shared by every
+    staleness marker in the package (stage_scratch, the Q5 bucketed
+    layout). For a DIRECTORY the signature enumerates every contained
+    file's (name, mtime_ns, size) — an in-place rewrite of one part
+    file does not bump the directory's own mtime/size, so a dir-level
+    stat would silently serve stale staged data (r8 ADVICE #1, r9
+    review finding #1; mirrors ``parquet_nrows``'s isdir branch). An
+    unstatable path (moved testdata, provider-served sf_dir) yields a
+    NONCE signature — never equal to any stored marker, even one
+    written while the source was equally unstatable — so callers
+    rebuild (cheap stagings) or decline to install (expensive
+    layouts, via ``signature_unavailable``) instead of trusting a
+    marker they cannot re-verify."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            parts = ";".join(
+                f"{f}:{st.st_mtime_ns}:{st.st_size}"
+                for f in sorted(os.listdir(path))
+                for st in (os.stat(os.path.join(path, f)),)
+            )
+            return f"[{parts}]"
+        st = os.stat(path)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "UNAVAILABLE:" + os.urandom(8).hex()
+
+
+def signature_unavailable(sig: str) -> bool:
+    """True when ``source_signature`` could not stat the source —
+    freshness is untrackable, so expensive cached layouts must not be
+    (re)installed against it."""
+    return "UNAVAILABLE:" in sig
+
+
 def stage_scratch(name: str, sf_dir: str, src_table: str, build_fn) -> str:
     """Source-freshness-markered scratch staging, shared by every
     operator that derives a staged input dataset from a driver table
@@ -130,13 +167,16 @@ def stage_scratch(name: str, sf_dir: str, src_table: str, build_fn) -> str:
 
     ``build_fn(indir)`` materializes the staged dataset into ``indir``
     (cleared beforehand); the staging is reused until the source
-    ``{sf_dir}/{src_table}.parquet`` changes (mtime_ns marker —
-    testdata regenerations re-stage, repeat runs don't). Keeping ONE
-    copy of the stat/marker/clear/build sequence means a staleness-
-    rule fix lands everywhere at once instead of drifting per
-    operator. (The streaming stager ``_stream_events`` keeps its own
-    inode-based freshness check: it hard-links the source rather than
-    deriving from it.)
+    ``{sf_dir}/{src_table}.parquet`` changes (``source_signature``
+    marker: per-file (name, mtime_ns, size) for directory-shaped
+    sources — testdata regenerations AND in-place part-file rewrites
+    re-stage, repeat runs don't; an unstatable source never matches,
+    so staging degrades to rebuild-per-call instead of raising or
+    serving stale rows). Keeping ONE copy of the stat/marker/clear/
+    build sequence means a staleness-rule fix lands everywhere at
+    once instead of drifting per operator. (The streaming stager
+    ``_stream_events`` keeps its own inode-based freshness check: it
+    hard-links the source rather than deriving from it.)
     """
     import os
     import shutil
@@ -144,7 +184,7 @@ def stage_scratch(name: str, sf_dir: str, src_table: str, build_fn) -> str:
     base = scratch_dir(name, sf_dir.strip("/").replace("/", "_"))
     indir = f"{base}/in"
     marker = f"{base}/src_mtime"
-    src_sig = str(os.stat(f"{sf_dir}/{src_table}.parquet").st_mtime_ns)
+    src_sig = source_signature(f"{sf_dir}/{src_table}.parquet")
     if os.path.isdir(indir) and os.path.exists(marker):
         with open(marker) as fh:
             if fh.read().strip() == src_sig:

@@ -70,14 +70,18 @@ def round_boundary() -> int:
     """Prove the round-start checklist survives a post-commit evidence
     drop: synthesize CORRECTNESS_r{N+1}.json from the latest real file,
     run the ordering/tripwire tests with it present, clean up."""
-    rounds = sorted(
-        int(p.stem.split("_r")[1]) for p in REPO.glob("CORRECTNESS_r*.json")
+    # keep the ACTUAL globbed path — reconstructing it with a padded
+    # {:02d} format would miss an unpadded driver drop like
+    # CORRECTNESS_r9.json (r9 review finding #4)
+    by_round = sorted(
+        (int(p.stem.split("_r")[1]), p)
+        for p in REPO.glob("CORRECTNESS_r*.json")
     )
-    if not rounds:
+    if not by_round:
         print("no CORRECTNESS_r*.json files — nothing to simulate")
         return 1
-    latest = REPO / f"CORRECTNESS_r{rounds[-1]:02d}.json"
-    synth = REPO / f"CORRECTNESS_r{rounds[-1] + 1:02d}.json"
+    latest_round, latest = by_round[-1]
+    synth = REPO / f"CORRECTNESS_r{latest_round + 1:02d}.json"
     if synth.exists():
         print(f"stray {synth.name} already present — refusing to overwrite")
         return 1

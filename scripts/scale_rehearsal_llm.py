@@ -174,8 +174,10 @@ def build_lowdensity(spark, mult: int) -> str:
     out = REPO / ".scratch" / f"scale_llm_lowdens_x{mult}"
     dst = out / "documents.parquet"
     marker = out / "src_mtime"
-    # v2 in the signature: the corpus DESIGN changed in r9 (word-suffix
-    # form -> short high-entropy form) — force a rebuild over any v1
+    # version prefix = corpus DESIGN generation (v3 = short
+    # high-entropy texts, '=' padding stripped); BUMP THE PREFIX in
+    # lockstep with any design change below or the marker will
+    # silently match a stale corpus
     src_sig = "v3:" + str(os.stat(f"{BASE_SF}/documents.parquet").st_mtime_ns)
     fresh = (
         (dst / "_SUCCESS").exists()
@@ -268,17 +270,14 @@ def run_lowdensity(spark, mults, runs) -> None:
         min_label_components,
     )
 
+    from atd_dockless_processing_spark.operators.dedup_ann import (
+        ngram_verified_pairs,
+    )
+
     def verify_tail(d, pairs, threshold):
-        cand = pairs.join(
-            d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
-            "doc_a",
-        ).join(
-            d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")),
-            "doc_b",
-        )
-        inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-        union = (F.col("na") + F.col("nb")).cast("double") - inter
-        return cand.where(inter / union >= threshold).select("doc_a", "doc_b")
+        # the SHARED production verify tail — the rehearsal must
+        # measure the plan that ships, not a local copy of it
+        return ngram_verified_pairs(d, pairs, threshold).select("doc_a", "doc_b")
 
     def key_plans(sf_dir, r):
         ngram = lambda: verify_tail(  # noqa: E731

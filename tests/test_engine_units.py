@@ -2972,7 +2972,10 @@ def test_declarative_pipeline_local_executor(spark, sf_dir, tmp_path):
     # MV materialized: parquet on disk, and the returned frame reads it
     assert (tmp_path / "t_dp_mv").exists()
     assert results["t_dp_mv"].count() == 5
-    assert spark.table("t_dp_mv").count() == 5  # registered for downstream
+    # graph views are DROPPED on exit (r9 review finding #5) — the
+    # results dict is the hand-off, the session stays clean
+    assert not spark.catalog.tableExists("t_dp_mv")
+    assert not spark.catalog.tableExists("t_dp_tv")
 
     def broken():
         @dp.materialized_view(name="t_dp_orphan")
@@ -3020,18 +3023,13 @@ def test_ngram_candidate_plan_cross_form_equality(spark, sf_dir):
         ngram_candidate_pairs,
     )
 
+    from atd_dockless_processing_spark.operators.dedup_ann import (
+        ngram_verified_pairs,
+    )
+
     def verified(block_t):
         d, pairs = ngram_candidate_pairs(spark, sf_dir, 0.70, block_t=block_t)
-        cand = pairs.join(
-            d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
-            "doc_a",
-        ).join(
-            d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")),
-            "doc_b",
-        )
-        inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-        union = (F.col("na") + F.col("nb")).cast("double") - inter
-        out = cand.where(inter / union >= 0.70).select("doc_a", "doc_b")
+        out = ngram_verified_pairs(d, pairs, 0.70).select("doc_a", "doc_b")
         return sorted(map(tuple, out.collect()))
 
     banded = verified(0)
@@ -3316,13 +3314,15 @@ def test_python_ds_writer_manifest_excludes_orphans(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from atd_dockless_processing_spark import QUERIES
-    from atd_dockless_processing_spark.tables import load, scratch_dir
+    from atd_dockless_processing_spark.operators import pipeline_r9b
+    from atd_dockless_processing_spark.tables import load
 
     first = {
         (r["o_orderpriority"]): (r["n_orders"], r["sum_key"])
         for r in QUERIES["snk_python_datasource_write"](spark, sf_dir).collect()
     }
-    out_dir = scratch_dir("pyds_sink")
+    out_dir = pipeline_r9b._LAST_PYDS_DIR  # uuid-scoped per invocation
+    assert out_dir is not None
     with open(os.path.join(out_dir, "_MANIFEST.json")) as fh:
         manifest = json.load(fh)
     src_n = (

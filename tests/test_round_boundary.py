@@ -72,12 +72,15 @@ def test_entry_retiers_itself_after_evidence_drop():
     repo (as the driver does post-commit), re-import __spark_entry__,
     and assert the effective _KEY_ORDER is already consistent with the
     new evidence — no human retier step in between."""
-    rounds = sorted(
-        int(p.stem.split("_r")[1]) for p in REPO.glob("CORRECTNESS_r*.json")
+    # keep the globbed path itself — re-formatting with {:02d} would
+    # miss an unpadded driver drop (r9 review finding #4)
+    by_round = sorted(
+        (int(p.stem.split("_r")[1]), p)
+        for p in REPO.glob("CORRECTNESS_r*.json")
     )
-    assert rounds, "no CORRECTNESS files in repo"
-    latest_path = REPO / f"CORRECTNESS_r{rounds[-1]:02d}.json"
-    synth_path = REPO / f"CORRECTNESS_r{rounds[-1] + 1:02d}.json"
+    assert by_round, "no CORRECTNESS files in repo"
+    latest_round, latest_path = by_round[-1]
+    synth_path = REPO / f"CORRECTNESS_r{latest_round + 1:02d}.json"
     assert not synth_path.exists(), f"stray {synth_path.name} — clean up first"
     synth_path.write_text(latest_path.read_text())
     try:
