@@ -1730,3 +1730,212 @@ def stm_rocksdb_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
         _shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# stm_tws_value_ttl — TWS ValueState with TTL (state expiry between batches)
+# ---------------------------------------------------------------------------
+
+
+def _stage_events_parity_files(spark: SparkSession, sf_dir: str) -> str:
+    """events (user_id, value) as exactly TWO parquet files split by
+    event_id PARITY — a DETERMINISTIC split (unlike repartition(2)),
+    so a batch's per-user slice totals are oracle-expressible. Two
+    separate single-file writes (not partitionBy) keep the listing
+    order stable: f0=even, f1=odd."""
+    import shutil as _sh
+    from pathlib import Path as _Path
+
+    from ..tables import stage_scratch
+
+    def build(indir: str) -> None:
+        ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        for tag, parity in (("f0", 0), ("f1", 1)):
+            tmp = f"{indir}_{tag}_tmp"
+            (
+                ev.where(F.col("event_id") % 2 == parity)
+                .select("user_id", "value")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(
+                p for p in sorted(_Path(tmp).iterdir())
+                if p.name.endswith(".parquet")
+            )
+            _Path(indir).mkdir(parents=True, exist_ok=True)
+            _sh.move(str(part), f"{indir}/{tag}.parquet")
+            _sh.rmtree(tmp, ignore_errors=True)
+
+    return stage_scratch("stm_tws_parity_events", sf_dir, "events", build)
+
+
+@query(
+    "stm_tws_value_ttl",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           FALSE AS state_carried
+    FROM events GROUP BY user_id
+    """,
+)
+def stm_tws_value_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS ValueState with TTL (``ttlDurationMs``, Spark 4): the state
+    written in micro-batch 1 EXPIRES before micro-batch 2 reads it
+    (ttl = 1 ms; a batch boundary is always orders of magnitude
+    longer), so each batch folds ONLY its own slice — completing the
+    TWS family (value/map/list/timers/+TTL; timeMode must be
+    ProcessingTime for TTL, vs the ValueState key's "None").
+
+    The hash check works BECAUSE expiry is total: with per-batch
+    emissions of (slice_count, slice_sum, had_prior_state), the
+    per-user SUM over emissions equals the full-table totals IFF no
+    batch double-counted carried state, and ``state_carried`` (OR
+    over batches) is FALSE iff every get() after the first batch saw
+    expired state. A failed expiry breaks BOTH (batch 2 would fold
+    batch 1 again → sum(n) > total; carried → true). The even/odd
+    event_id staging (``_stage_events_parity_files``) makes each
+    slice deterministic, and the sum-readback is symmetric in batch
+    ORDER, so file-listing order cannot matter either. The
+    1-hour-TTL control (state survives, identical plan) lives in
+    tests beside the cross-key consistency suite.
+
+    Termination quirk (measured, Spark 4.1): under
+    timeMode=ProcessingTime with TTL'd state, ``availableNow`` does
+    NOT terminate after the data batches — the engine keeps
+    scheduling EMPTY maintenance micro-batches (batch 290+ observed
+    for a 2-file source) while TTL'd state exists. Empty batches
+    emit nothing in Update mode, so the sink is complete once every
+    data batch's emissions have landed: the drain polls the memory
+    sink for the precomputed target row count (one row per
+    (user, nonempty slice), from the staged files) and then stops
+    the query — the stm_python_stream_source bounded-drain
+    discipline, q.exception() re-raised inside the loop.
+
+    Scale shape: same bounded per-user RocksDB row as
+    stm_transform_with_state, plus TTL's secondary index — the
+    production knob that keeps 24/7 session state from growing
+    without bound (abandoned keys expire instead of accumulating)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    zip_path = _ensure_protobuf_runtime()
+    if zip_path is not None:
+        env = spark.sparkContext.environment
+        cur = env.get("PYTHONPATH", "")
+        if zip_path not in cur.split(":"):
+            env["PYTHONPATH"] = zip_path + (":" + cur if cur else "")
+
+    class TtlTotals(StatefulProcessor):
+        def __init__(self, ttl_ms: int) -> None:
+            self._ttl_ms = ttl_ms
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState(
+                "tot",
+                T.StructType(
+                    [
+                        T.StructField("c", T.LongType()),
+                        T.StructField("s", T.DoubleType()),
+                    ]
+                ),
+                ttlDurationMs=self._ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            c, s = 0, 0.0
+            for pdf in rows:
+                c += len(pdf)
+                s += float(pdf["value"].sum())
+            prev = self._tot.get()  # None once the TTL lapsed
+            carried = prev is not None
+            if carried:
+                c, s = c + prev[0], s + prev[1]
+            self._tot.update((c, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [c],
+                    "sum_value": [s],
+                    "state_carried": [carried],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    indir = _stage_events_parity_files(spark, sf_dir)
+    raw = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = f"stm_tws_ttl_{uuid.uuid4().hex[:8]}"
+    # one emission per (user, nonempty slice): the drain's completion
+    # target, computed from the staged files themselves
+    target = sum(
+        spark.read.parquet(f"{indir}/{f}.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+        for f in ("f0", "f1")
+    )
+    try:
+        out = raw.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TtlTotals(1),
+            outputStructType=(
+                "user_id long, n_events long, sum_value double, "
+                "state_carried boolean"
+            ),
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+        with _stream_partitions(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            import time as _time
+
+            deadline = _time.time() + 120
+            try:
+                while spark.table(name).count() < target:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    if _time.time() > deadline:
+                        raise TimeoutError(
+                            f"TTL drain: {spark.table(name).count()} of "
+                            f"{target} emissions after 120 s"
+                        )
+                    _time.sleep(0.5)
+            finally:
+                q.stop()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+            F.max("state_carried").alias("state_carried"),
+        )
+    )

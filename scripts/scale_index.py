@@ -129,6 +129,7 @@ POINTERS = {
     "sql_identifier_clause": "SURFACE demo (IDENTIFIER parameter binding) — compiles to the templated statement's single-key hash agg; binding is parse-time driver work only",
     "sql_create_function": "SURFACE demo (SQL UDF) — body INLINED at analysis time (no function node, pinned in tests); plan = agg_groupby_q1's scan+hash-agg family with zero added runtime cost",
     "sql_session_variable": "SURFACE demo (session variables) — two plans from the scan+agg family; the variable is driver-side state substituted at analysis time, zero executor cost",
+    "stm_tws_value_ttl": "SURFACE demo (TWS TTL'd state) — same bounded per-user RocksDB row as stm_transform_with_state plus TTL's secondary index, the knob that keeps 24/7 session state bounded; volume shape priced by the TWS family's INCLUSIVE x100 row",
     "snk_python_datasource_write": "SURFACE demo (V2 Python writer, two-phase commit) — per-row Python+JSON text by construction (udf_scalar_python precedent); production twin is the JVM parquet sink (snk_parquet); manifest discipline shared with snk_manifest_publish",
     # sources: staged-scratch roundtrips (side effect at plan build)
     "src_parquet_scan": "pushdown/pruning asserted in PLANS.md (PushedFilters non-empty); scan path underlies every measured row",

@@ -3343,3 +3343,132 @@ def test_python_ds_writer_manifest_excludes_orphans(spark, sf_dir):
     )
     again = {r["o_orderpriority"]: (r["n"], r["s"]) for r in back.collect()}
     assert "X-ORPHAN" not in again and again == first
+
+
+def test_tws_ttl_expiry_vs_survival_control(spark, sf_dir):
+    """stm_tws_value_ttl's causal control: the SAME plan with a 1-hour
+    TTL must CARRY state into batch 2 (carried=True for users present
+    in both slices), where the registered 1 ms key saw none — proving
+    the registered key's all-False carried column measures TTL expiry,
+    not a missing state store. Also re-pins the registered key's
+    contract at test SF: per-user emission sums equal full totals."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.streaming.stream_queries import (
+        _ensure_protobuf_runtime,
+        _stage_events_parity_files,
+        _stream_partitions,
+    )
+    from atd_dockless_processing_spark.tables import load
+
+    # registered key (1 ms TTL): totals match, nothing carried
+    reg = QUERIES["stm_tws_value_ttl"](spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in reg) == ev.count()
+    assert not any(r["state_carried"] for r in reg)
+
+    zp = _ensure_protobuf_runtime()
+    if zp is not None:
+        env = spark.sparkContext.environment
+        cur = env.get("PYTHONPATH", "")
+        if zp not in cur.split(":"):
+            env["PYTHONPATH"] = zp + (":" + cur if cur else "")
+
+    class LongTtl(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState(
+                "tot",
+                T.StructType([T.StructField("c", T.LongType())]),
+                ttlDurationMs=3_600_000,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            c = sum(len(p) for p in rows)
+            prev = self._tot.get()
+            carried = prev is not None
+            if carried:
+                c += prev[0]
+            self._tot.update((c,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [c], "carried": [carried]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    indir = _stage_events_parity_files(spark, sf_dir)
+    target = sum(
+        spark.read.parquet(f"{indir}/{f}.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+        for f in ("f0", "f1")
+    )
+    both = (
+        spark.read.parquet(f"{indir}/f0.parquet")
+        .select("user_id")
+        .distinct()
+        .intersect(
+            spark.read.parquet(f"{indir}/f1.parquet").select("user_id").distinct()
+        )
+        .count()
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    name = "tws_ttl_ctrl"
+    try:
+        raw = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        out = raw.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=LongTtl(),
+            outputStructType="user_id long, n long, carried boolean",
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+        with _stream_partitions(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            deadline = _time.time() + 120
+            try:
+                while spark.table(name).count() < target:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    assert _time.time() < deadline, "control drain timed out"
+                    _time.sleep(0.5)
+            finally:
+                q.stop()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    carried_users = (
+        spark.table(name).where(F.col("carried")).select("user_id").distinct()
+    )
+    # with a 1h TTL every user seen in BOTH slices carries state
+    assert carried_users.count() == both and both > 0
