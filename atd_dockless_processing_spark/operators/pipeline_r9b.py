@@ -672,3 +672,92 @@ def snk_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_orderkey").alias("sum_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_regression — OLS regression aggregates (regr_slope/intercept/r2/count)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-REGRESSION aggregates (SQL:2016 `REGR_*`, Spark 3.4+;
+    DuckDB spells them identically): per return flag, the OLS slope /
+    intercept / R² / pair count of price-on-quantity — the built-in
+    single-pass regression family beside agg_corr_cov's corr/covar
+    (same moment sums underneath: slope = cov/var, all combinable
+    map-side, ONE agg exchange at any scale).
+
+    FP posture: the statistics are RATIOS of large moment sums, so
+    cross-engine association-order error is relative (~1e-12) —
+    slope/intercept round at 4, R² at 6 (values here ~1e-5, far from
+    the rounding boundary). regr_count excludes NULL pairs by
+    definition on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_distinct — exact distinct via bitmap aggregates (Spark 3.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-count via BITMAP aggregates (Spark 3.5
+    `bitmap_bucket_number` / `bitmap_bit_position` /
+    `bitmap_construct_agg` / `bitmap_count`): customers per order
+    priority, computed as per-(group, bucket) bitmaps summed per
+    group — the engine-native form of the distributed exact-distinct
+    bitmap pattern (Roaring-style bucketing: each key maps to a
+    32768-bit bucket bitmap; bucket bitmaps OR map-side, so the
+    exchange carries AT MOST one 4 KB bitmap per (group, bucket),
+    never one row per distinct value). The DuckDB oracle is the
+    semantic definition (COUNT(DISTINCT)); the hash check pins the
+    bucket/position arithmetic exactly.
+
+    Scale posture vs agg_distinct_count's expand-based 2-phase
+    distinct: the bitmap exchange is bounded by the KEY-SPACE/32768
+    per group, not the distinct cardinality — at 100 TB with dense
+    integer keys this is the form that wins (it is how engines
+    implement exact distinct under the hood); for sparse/wide keys
+    the sketch family (agg_hll_deterministic) takes over."""
+    o = load(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("cnt"))
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("n_custs")
+    )

@@ -3472,3 +3472,44 @@ def test_tws_ttl_expiry_vs_survival_control(spark, sf_dir):
     )
     # with a 1h TTL every user seen in BOTH slices carries state
     assert carried_users.count() == both and both > 0
+
+
+def test_bitmap_distinct_equals_native_distinct(spark, sf_dir):
+    """agg_bitmap_distinct's bucket/position arithmetic must equal
+    Spark's own countDistinct per group (the oracle pins it against
+    DuckDB; this pins it engine-internally too)."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    bm = {
+        r["o_orderpriority"]: r["n_custs"]
+        for r in QUERIES["agg_bitmap_distinct"](spark, sf_dir).collect()
+    }
+    native = {
+        r["o_orderpriority"]: r["d"]
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    assert bm == native and bm
+
+
+def test_regression_agg_closed_form(spark):
+    """regr_slope/intercept on an exact line recover the line's
+    coefficients (y = 3x + 7, r2 = 1) — the closed-form anchor for
+    agg_regression's cross-engine ratio rounding."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float(x), 3.0 * x + 7.0) for x in range(1, 8)], "x double, y double"
+    )
+    r = df.agg(
+        F.round(F.regr_slope("y", "x"), 6).alias("s"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("i"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        F.regr_count("y", "x").alias("n"),
+    ).collect()[0]
+    assert (r["s"], r["i"], r["r2"], r["n"]) == (3.0, 7.0, 1.0, 7)
