@@ -146,6 +146,10 @@ ENGINE_SHAPES = {
     # islands, and the applyInPandas UDAF surface.
     "multiway 5-join (lineitem)": "join_multiway_5",
     "distinct count (orders)": "agg_distinct_count",
+    # r9 aggregates: bitmap exact-distinct vs the Expand form above,
+    # and the REGR_* moment-sum family
+    "bitmap distinct (orders)": "agg_bitmap_distinct",
+    "regression aggs (lineitem)": "agg_regression",
     "grouping sets (orders)": "agg_grouping_sets",
     "bm25 topk (documents)": "llm_bm25_topk",
     "contamination ngrams (documents)": "llm_contamination_ngram",
