@@ -52,6 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_bench_contract.py guards BOTH ordering properties, and
 # tests/test_round_boundary.py simulates a post-commit evidence drop.
 _KEY_ORDER_BASE = [
+    "agg_bitmap_distinct", "agg_regression", "snk_python_datasource_write",
+    "sql_create_function", "sql_session_variable", "stm_tws_value_ttl",
     "agg_listagg", "fn_collation_group", "sql_exec_immediate",
     "sql_identifier_clause", "sql_pipe_syntax", "udtf_arrow_lateral",
     "udtf_table_argument", "etl_declarative_pipeline",
