@@ -761,3 +761,56 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum("cnt").alias("n_custs")
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_lateral_column_alias — reference a SELECT alias in the same list
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_lateral_column_alias",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(net), 4) AS net_total,
+           ROUND(SUM(gross), 4) AS gross_total,
+           ROUND(SUM(gross - net), 4) AS tax_total
+    FROM (
+      SELECT l_returnflag,
+             l_extendedprice * (1 - l_discount) AS net,
+             net * (1 + l_tax) AS gross
+      FROM lineitem
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIASES (Spark 3.4+; DuckDB supports the same
+    reference style): a SELECT item referencing an alias defined
+    EARLIER IN THE SAME LIST (`net` → `gross = net * (1+tax)`),
+    killing the nest-a-subquery-per-derivation pattern. The analyzer
+    rewrites the chain into nested Projects, so the optimized plan
+    is identical to the hand-nested form — a pure resolution-surface
+    key; the chain crossing ROW level into the aggregate (SUM(net),
+    SUM(gross - net)) exercises both resolution scopes.
+
+    Exactness: the same expression TREE evaluates on both engines
+    (the oracle writes the identical chain), sums round at 4. Plan:
+    one scan + one hash agg — agg_groupby_q1's family."""
+    view = f"li_lca_{_uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        SELECT l_returnflag,
+               ROUND(SUM(net), 4) AS net_total,
+               ROUND(SUM(gross), 4) AS gross_total,
+               ROUND(SUM(gross - net), 4) AS tax_total
+        FROM (
+          SELECT l_returnflag,
+                 l_extendedprice * (1 - l_discount) AS net,
+                 net * (1 + l_tax) AS gross
+          FROM {view}
+        )
+        GROUP BY l_returnflag
+    """)
+    spark.catalog.dropTempView(view)
+    return out

@@ -1939,3 +1939,46 @@ def stm_tws_value_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("state_carried").alias("state_carried"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stm_dedup_within_watermark — dropDuplicatesWithinWatermark (Spark 3.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stm_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stm_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` (Spark
+    3.5): unlike plain ``dropDuplicates`` (stm_watermark_dedup, one
+    state row per key FOREVER unless the key carries the event-time
+    column), WithinWatermark keeps a key's state only for the
+    watermark delay AFTER ITS LAST SIGHTING and — the semantic
+    difference — dedups two records whose event times differ, as long
+    as they arrive within the delay (the at-least-once-sink replay
+    case, where the replayed record may carry a regenerated
+    timestamp). State is bounded by keys-per-lateness-window, not
+    total key cardinality — the 24/7 form of idempotent re-ingest.
+
+    Determinism: the corpus has no duplicate event_ids and the whole
+    batch drain completes far inside the 1 h delay, so the result
+    equals DISTINCT-per-type exactly and hash-checks; the
+    behavioral DIFFERENCE vs plain dropDuplicates (replayed record
+    with a shifted timestamp IS dropped here, kept there) is pinned
+    in tests with a crafted 2-batch replay."""
+    name = f"stm_ddww_{uuid.uuid4().hex[:8]}"
+    deduped = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    _run_to_memory(deduped, name, "complete")
+    return spark.table(name)

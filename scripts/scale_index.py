@@ -129,6 +129,8 @@ POINTERS = {
     "sql_identifier_clause": "SURFACE demo (IDENTIFIER parameter binding) — compiles to the templated statement's single-key hash agg; binding is parse-time driver work only",
     "sql_create_function": "SURFACE demo (SQL UDF) — body INLINED at analysis time (no function node, pinned in tests); plan = agg_groupby_q1's scan+hash-agg family with zero added runtime cost",
     "sql_session_variable": "SURFACE demo (session variables) — two plans from the scan+agg family; the variable is driver-side state substituted at analysis time, zero executor cost",
+    "stm_dedup_within_watermark": "SURFACE demo (bounded-state streaming dedup) — state = keys-per-lateness-window, the 24/7 idempotent-reingest form; batch volume shape shared with stm_watermark_dedup (inclusive stream timing family)",
+    "sql_lateral_column_alias": "SURFACE demo (alias resolution) — analyzer rewrite to nested Projects, plan = agg_groupby_q1's scan+hash-agg family (bit-equality with the DataFrame twin pinned in tests)",
     "agg_regression": "single-pass combinable moment sums (regr_* = cov/var ratios) — agg_corr_cov's measured plan family (1.61x at x100), one agg exchange",
     "agg_bitmap_distinct": "2-level bitmap groupBy — exchange bounded by key-space/32768 per group (never per-distinct-value rows), map-side OR-combinable; the scale form that replaces agg_distinct_count's Expand at dense key spaces",
     "stm_tws_value_ttl": "SURFACE demo (TWS TTL'd state) — same bounded per-user RocksDB row as stm_transform_with_state plus TTL's secondary index, the knob that keeps 24/7 session state bounded; volume shape priced by the TWS family's INCLUSIVE x100 row",

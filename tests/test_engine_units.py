@@ -3513,3 +3513,76 @@ def test_regression_agg_closed_form(spark):
         F.regr_count("y", "x").alias("n"),
     ).collect()[0]
     assert (r["s"], r["i"], r["r2"], r["n"]) == (3.0, 7.0, 1.0, 7)
+
+
+def test_ddww_dedups_regenerated_timestamp_replay(spark, tmp_path):
+    """stm_dedup_within_watermark's semantic claim: a replayed record
+    whose timestamp was REGENERATED (same event_id, shifted ts,
+    inside the delay) is dropped by dropDuplicatesWithinWatermark
+    but kept by the watermark-evictable plain form
+    dropDuplicates([id, ts]) — the at-least-once-sink replay case."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    base = "2024-01-01 10:00:00"
+    shift = "2024-01-01 10:05:00"
+    indir = str(tmp_path / "replay")
+    for i, ts in enumerate((base, shift)):
+        (
+            spark.createDataFrame([(1, ts)], "event_id long, ts_s string")
+            .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(indir)
+        )
+
+    def drain(dedup_fn):
+        name = f"ddww_test_{_uuid.uuid4().hex[:8]}"
+        raw = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+            .withWatermark("ts", "1 hour")
+        )
+        out = dedup_fn(raw).groupBy().agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).collect()[0]["n"]
+
+    kept_within = drain(lambda df: df.dropDuplicatesWithinWatermark(["event_id"]))
+    kept_plain = drain(lambda df: df.dropDuplicates(["event_id", "ts"]))
+    assert kept_within == 1  # replay deduped despite the shifted ts
+    assert kept_plain == 2  # ts-in-key form cannot see the replay
+
+
+def test_lateral_column_alias_equals_dataframe_twin(spark, sf_dir):
+    """sql_lateral_column_alias must equal the hand-chained DataFrame
+    form bit-for-bit (the analyzer rewrite is pure resolution)."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    sql_rows = sorted(
+        map(tuple, QUERIES["sql_lateral_column_alias"](spark, sf_dir).collect())
+    )
+    li = load(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    gross = net * (1 + F.col("l_tax"))
+    twin = (
+        li.select("l_returnflag", net.alias("net"), gross.alias("gross"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("net"), 4).alias("net_total"),
+            F.round(F.sum("gross"), 4).alias("gross_total"),
+            F.round(F.sum(F.col("gross") - F.col("net")), 4).alias("tax_total"),
+        )
+    )
+    assert sql_rows == sorted(map(tuple, twin.collect())) and sql_rows
