@@ -150,6 +150,9 @@ ENGINE_SHAPES = {
     # and the REGR_* moment-sum family
     "bitmap distinct (orders)": "agg_bitmap_distinct",
     "regression aggs (lineitem)": "agg_regression",
+    # r9 surface keys with real data volume behind the syntax
+    "collation group (documents)": "fn_collation_group",
+    "ptf table argument (documents)": "udtf_table_argument",
     "grouping sets (orders)": "agg_grouping_sets",
     "bm25 topk (documents)": "llm_bm25_topk",
     "contamination ngrams (documents)": "llm_contamination_ngram",
