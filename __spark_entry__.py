@@ -52,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_bench_contract.py guards BOTH ordering properties, and
 # tests/test_round_boundary.py simulates a post-commit evidence drop.
 _KEY_ORDER_BASE = [
+    "sql_lateral_column_alias", "stm_dedup_within_watermark",
     "agg_bitmap_distinct", "agg_regression", "snk_python_datasource_write",
     "sql_create_function", "sql_session_variable", "stm_tws_value_ttl",
     "agg_listagg", "fn_collation_group", "sql_exec_immediate",

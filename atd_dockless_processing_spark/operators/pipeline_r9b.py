@@ -742,12 +742,20 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic definition (COUNT(DISTINCT)); the hash check pins the
     bucket/position arithmetic exactly.
 
-    Scale posture vs agg_distinct_count's expand-based 2-phase
-    distinct: the bitmap exchange is bounded by the KEY-SPACE/32768
-    per group, not the distinct cardinality — at 100 TB with dense
-    integer keys this is the form that wins (it is how engines
-    implement exact distinct under the hood); for sparse/wide keys
-    the sketch family (agg_hll_deterministic) takes over."""
+    Scale posture vs the WIRED exact-distinct key: agg_distinct_count
+    has been a 64-BIT bucket-bitmap since r7 (``div 64`` + ``bit_or``
+    masks — NOT Spark's Expand-based countDistinct, which it replaced
+    by measurement). Both forms bound the exchange by KEY-SPACE /
+    bucket-width rather than distinct cardinality; the bucket size is
+    the tradeoff — 32768-bit buckets (this key) waste up to ~32 Kbit
+    per sparsely-hit bucket where 64-bit buckets waste at most 63
+    bits, so on the replica-offset (maximally sparse) rehearsal
+    corpus the 64-bit form wins (1.26x vs 2.59x same-session at
+    ×100), while truly DENSE key ranges amortize the bigger bucket's
+    fixed cost across more set bits. For unbounded/non-integral keys
+    the sketch family (agg_hll_deterministic) takes over. This key
+    pins Spark's BUILT-IN bitmap-aggregate surface; the 64-bit form
+    stays the wired general default."""
     o = load(spark, sf_dir, "orders")
     per_bucket = (
         o.select(

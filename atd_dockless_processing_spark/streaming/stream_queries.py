@@ -1148,6 +1148,74 @@ def _stage_events_two_files(spark: SparkSession, sf_dir: str) -> str:
     return stage_scratch("stm_tws_events", sf_dir, "events", build)
 
 
+def _tws_runtime_env(spark: SparkSession) -> None:
+    """Route the staged protobuf runtime to the TWS driver worker (one
+    definition for the whole TWS family — r9 review finding #7; the
+    semantics are documented at ``_ensure_protobuf_runtime``):
+    pyspark keys its Python-worker factories by (exec, envVars), so
+    mutating ``sc.environment`` BEFORE building the plan spawns a
+    correctly-pathed worker even on an already-running session."""
+    zip_path = _ensure_protobuf_runtime()
+    if zip_path is not None:
+        env = spark.sparkContext.environment
+        cur = env.get("PYTHONPATH", "")
+        if zip_path not in cur.split(":"):
+            env["PYTHONPATH"] = zip_path + (":" + cur if cur else "")
+
+
+class _rocksdb_provider:
+    """Context manager: RocksDB state-store provider for the block;
+    the prior conf value (or unset state) is restored on exit — one
+    definition of the save/set/restore ritual for every stateful key
+    (r9 review finding #7)."""
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+
+    def __enter__(self) -> "_rocksdb_provider":
+        self._prev = self._spark.conf.get(self._KEY, None)
+        self._spark.conf.set(
+            self._KEY,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        if self._prev is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._prev)
+        return False
+
+
+def _drain_to_target(
+    spark: SparkSession, q, name: str, target: int, timeout_s: float = 120.0
+) -> None:
+    """Bounded memory-sink drain for streams availableNow cannot
+    terminate (the ProcessingTime+TTL maintenance-batch spin —
+    see stm_tws_value_ttl): poll until ``target`` rows landed,
+    re-raise the query's own exception immediately (the
+    stm_python_stream_source discipline), stop the query on exit."""
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    try:
+        while spark.table(name).count() < target:
+            if q.exception() is not None:
+                raise q.exception()
+            if _time.time() > deadline:
+                raise TimeoutError(
+                    f"drain: {spark.table(name).count()} of {target} "
+                    f"rows after {timeout_s:.0f} s"
+                )
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+
 @query(
     "stm_transform_with_state",
     oracle="""
@@ -1192,12 +1260,7 @@ def stm_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    zip_path = _ensure_protobuf_runtime()
-    if zip_path is not None:
-        env = spark.sparkContext.environment
-        cur = env.get("PYTHONPATH", "")
-        if zip_path not in cur.split(":"):
-            env["PYTHONPATH"] = zip_path + (":" + cur if cur else "")
+    _tws_runtime_env(spark)
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -1233,15 +1296,8 @@ def stm_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(indir)
     )
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     name = f"stm_tws_{uuid.uuid4().hex[:8]}"
-    try:
+    with _rocksdb_provider(spark):
         out = raw.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=RunningTotals(),
             outputStructType="user_id long, n_events long, sum_value double",
@@ -1249,13 +1305,6 @@ def stm_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         _run_to_memory(out, name, "update")
-    finally:
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
     final = F.max(F.struct("n_events", "sum_value")).alias("m")
     return (
         spark.table(name)
@@ -1318,12 +1367,7 @@ def stm_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    zip_path = _ensure_protobuf_runtime()
-    if zip_path is not None:
-        env = spark.sparkContext.environment
-        cur = env.get("PYTHONPATH", "")
-        if zip_path not in cur.split(":"):
-            env["PYTHONPATH"] = zip_path + (":" + cur if cur else "")
+    _tws_runtime_env(spark)
 
     class TypeCounts(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -1360,15 +1404,8 @@ def stm_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(indir)
     )
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     name = f"stm_twsm_{uuid.uuid4().hex[:8]}"
-    try:
+    with _rocksdb_provider(spark):
         out = raw.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=TypeCounts(),
             outputStructType="user_id long, event_type string, n_events long",
@@ -1376,13 +1413,6 @@ def stm_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         _run_to_memory(out, name, "update")
-    finally:
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
     return (
         spark.table(name)
         .groupBy("user_id", "event_type")
@@ -1427,12 +1457,7 @@ def stm_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    zip_path = _ensure_protobuf_runtime()
-    if zip_path is not None:
-        env = spark.sparkContext.environment
-        cur = env.get("PYTHONPATH", "")
-        if zip_path not in cur.split(":"):
-            env["PYTHONPATH"] = zip_path + (":" + cur if cur else "")
+    _tws_runtime_env(spark)
 
     class TopKIds(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -1468,15 +1493,8 @@ def stm_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(indir)
     )
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     name = f"stm_twsl_{uuid.uuid4().hex[:8]}"
-    try:
+    with _rocksdb_provider(spark):
         out = raw.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=TopKIds(),
             outputStructType="user_id long, seen_total long, event_id long",
@@ -1484,13 +1502,6 @@ def stm_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         _run_to_memory(out, name, "update")
-    finally:
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
     t = spark.table(name)
     w = Window.partitionBy("user_id")
     return (
@@ -1566,12 +1577,7 @@ def stm_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    zip_path = _ensure_protobuf_runtime()
-    if zip_path is not None:
-        env = spark.sparkContext.environment
-        cur = env.get("PYTHONPATH", "")
-        if zip_path not in cur.split(":"):
-            env["PYTHONPATH"] = zip_path + (":" + cur if cur else "")
+    _tws_runtime_env(spark)
 
     class FirstSightTimer(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -1604,15 +1610,8 @@ def stm_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(indir)
         .withWatermark("ts", "1 hour")
     )
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     name = f"stm_twst_{uuid.uuid4().hex[:8]}"
-    try:
+    with _rocksdb_provider(spark):
         out = raw.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=FirstSightTimer(),
             outputStructType="user_id long, fired_at_ms long",
@@ -1620,13 +1619,6 @@ def stm_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="EventTime",
         )
         _run_to_memory(out, name, "update")
-    finally:
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
     # exactly-once is part of the contract: a duplicate fire would
     # double a row and flip the hash via the distinct here being absent
     return spark.table(name).select("user_id", "fired_at_ms")
@@ -1750,12 +1742,21 @@ def _stage_events_parity_files(spark: SparkSession, sf_dir: str) -> str:
 
     def build(indir: str) -> None:
         ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        n_src = ev.count()
+        n_staged = 0
         for tag, parity in (("f0", 0), ("f1", 1)):
             tmp = f"{indir}_{tag}_tmp"
+            # pmod + null-bucketing: Spark's % keeps the dividend's
+            # sign (-3 % 2 == -1) and NULL matches neither parity —
+            # either would silently drop rows from BOTH slices and
+            # undercount the oracle (r9 review finding; the NANOS/
+            # MICROS precedent says corpus encodings do change)
+            sliced = ev.where(
+                F.coalesce(F.pmod("event_id", F.lit(2)), F.lit(0)) == parity
+            ).select("user_id", "value")
+            n_staged += sliced.count()
             (
-                ev.where(F.col("event_id") % 2 == parity)
-                .select("user_id", "value")
-                .coalesce(1)
+                sliced.coalesce(1)
                 .write.mode("overwrite")
                 .parquet(tmp)
             )
@@ -1766,6 +1767,11 @@ def _stage_events_parity_files(spark: SparkSession, sf_dir: str) -> str:
             _Path(indir).mkdir(parents=True, exist_ok=True)
             _sh.move(str(part), f"{indir}/{tag}.parquet")
             _sh.rmtree(tmp, ignore_errors=True)
+        if n_staged != n_src:
+            raise RuntimeError(
+                f"parity staging lost rows: {n_staged} staged != {n_src} "
+                "source (event_id domain changed?)"
+            )
 
     return stage_scratch("stm_tws_parity_events", sf_dir, "events", build)
 
@@ -1822,12 +1828,7 @@ def stm_tws_value_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    zip_path = _ensure_protobuf_runtime()
-    if zip_path is not None:
-        env = spark.sparkContext.environment
-        cur = env.get("PYTHONPATH", "")
-        if zip_path not in cur.split(":"):
-            env["PYTHONPATH"] = zip_path + (":" + cur if cur else "")
+    _tws_runtime_env(spark)
 
     class TtlTotals(StatefulProcessor):
         def __init__(self, ttl_ms: int) -> None:
@@ -1873,13 +1874,6 @@ def stm_tws_value_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(indir)
     )
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     name = f"stm_tws_ttl_{uuid.uuid4().hex[:8]}"
     # one emission per (user, nonempty slice): the drain's completion
     # target, computed from the staged files themselves
@@ -1890,7 +1884,7 @@ def stm_tws_value_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         for f in ("f0", "f1")
     )
-    try:
+    with _rocksdb_provider(spark):
         out = raw.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=TtlTotals(1),
             outputStructType=(
@@ -1908,28 +1902,7 @@ def stm_tws_value_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            import time as _time
-
-            deadline = _time.time() + 120
-            try:
-                while spark.table(name).count() < target:
-                    if q.exception() is not None:
-                        raise q.exception()
-                    if _time.time() > deadline:
-                        raise TimeoutError(
-                            f"TTL drain: {spark.table(name).count()} of "
-                            f"{target} emissions after 120 s"
-                        )
-                    _time.sleep(0.5)
-            finally:
-                q.stop()
-    finally:
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
+            _drain_to_target(spark, q, name, target)
     return (
         spark.table(name)
         .groupBy("user_id")

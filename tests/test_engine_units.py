@@ -3352,8 +3352,6 @@ def test_tws_ttl_expiry_vs_survival_control(spark, sf_dir):
     the registered key's all-False carried column measures TTL expiry,
     not a missing state store. Also re-pins the registered key's
     contract at test SF: per-user emission sums equal full totals."""
-    import time as _time
-
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -3364,9 +3362,11 @@ def test_tws_ttl_expiry_vs_survival_control(spark, sf_dir):
 
     from atd_dockless_processing_spark import QUERIES
     from atd_dockless_processing_spark.streaming.stream_queries import (
-        _ensure_protobuf_runtime,
+        _drain_to_target,
+        _rocksdb_provider,
         _stage_events_parity_files,
         _stream_partitions,
+        _tws_runtime_env,
     )
     from atd_dockless_processing_spark.tables import load
 
@@ -3376,12 +3376,7 @@ def test_tws_ttl_expiry_vs_survival_control(spark, sf_dir):
     assert sum(r["n_events"] for r in reg) == ev.count()
     assert not any(r["state_carried"] for r in reg)
 
-    zp = _ensure_protobuf_runtime()
-    if zp is not None:
-        env = spark.sparkContext.environment
-        cur = env.get("PYTHONPATH", "")
-        if zp not in cur.split(":"):
-            env["PYTHONPATH"] = zp + (":" + cur if cur else "")
+    _tws_runtime_env(spark)
 
     class LongTtl(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -3422,16 +3417,8 @@ def test_tws_ttl_expiry_vs_survival_control(spark, sf_dir):
         )
         .count()
     )
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
     name = "tws_ttl_ctrl"
-    try:
+    with _rocksdb_provider(spark):
         raw = (
             spark.readStream.schema("user_id long, value double")
             .option("maxFilesPerTrigger", 1)
@@ -3451,22 +3438,7 @@ def test_tws_ttl_expiry_vs_survival_control(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            deadline = _time.time() + 120
-            try:
-                while spark.table(name).count() < target:
-                    if q.exception() is not None:
-                        raise q.exception()
-                    assert _time.time() < deadline, "control drain timed out"
-                    _time.sleep(0.5)
-            finally:
-                q.stop()
-    finally:
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
+            _drain_to_target(spark, q, name, target)
     carried_users = (
         spark.table(name).where(F.col("carried")).select("user_id").distinct()
     )
