@@ -40,6 +40,19 @@ SWEEP_FIRST = {
 }
 CARRY_OK = {"agg_weighted_avg", "fn_base64_roundtrip", "evt_interarrival_hist"}
 
+# Keys whose REGISTERED implementation changed in round N: driver
+# evidence from rounds < N was earned by the OLD plan, so it is not
+# current green evidence — the key re-tiers to the needy band until a
+# round-≥N CORRECTNESS row lands (then this entry is dead weight and
+# can be dropped at the next cosmetic refresh). Honest alternative to
+# editing driver-owned CORRECTNESS files (VERDICT r9 items 2/6: the
+# tumbling µs-layout dispatch and the correlated-subquery window
+# promotion both rewired their registered plan in r10).
+EVIDENCE_INVALIDATED: dict[str, int] = {
+    "evt_tumbling_hour": 10,
+    "sql_correlated_subquery": 10,
+}
+
 
 def latest_evidence(repo: Path) -> dict[str, tuple[int, dict]]:
     """Newest CORRECTNESS row per key: key -> (round, row).
@@ -67,13 +80,17 @@ def latest_evidence(repo: Path) -> dict[str, tuple[int, dict]]:
     return latest
 
 
-def is_green(key: str, row: dict, oracles: dict) -> bool:
+def is_green(key: str, row: dict, oracles: dict, rnd: int | None = None) -> bool:
     """A row is current green evidence for its key.
 
     A rows-only pass (err == "no_oracle") only counts while the key is
     STILL rows-only; once an oracle exists the check type changed and
-    the key needs a fresh hash-checked row.
+    the key needs a fresh hash-checked row. When the evidence round is
+    known, a row older than the key's ``EVIDENCE_INVALIDATED`` round
+    was earned by a superseded implementation and does not count.
     """
+    if rnd is not None and rnd < EVIDENCE_INVALIDATED.get(key, 0):
+        return False
     if row.get("err") == "no_oracle":
         return key not in oracles and (row.get("spark_rows") or 0) > 0
     return row.get("err") is None and bool(row.get("hash_match"))
@@ -89,11 +106,11 @@ def retier(
     prior = {k: i for i, k in enumerate(base)}
     needy = [
         k for k in queries
-        if k not in evidence or not is_green(k, evidence[k][1], oracles)
+        if k not in evidence or not is_green(k, evidence[k][1], oracles, evidence[k][0])
     ]
     green = [
         k for k in queries
-        if k in evidence and is_green(k, evidence[k][1], oracles)
+        if k in evidence and is_green(k, evidence[k][1], oracles, evidence[k][0])
     ]
     # needy: verdict-mandated first, designated carries last; within a
     # band, brand-new keys (no prior rank) first, then prior order

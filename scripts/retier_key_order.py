@@ -32,7 +32,8 @@ def compute_order() -> list[str]:
     order = retier(entry._KEY_ORDER_BASE, QUERIES, ORACLES, evidence)
     needy = sum(
         1 for k in QUERIES
-        if k not in evidence or not is_green(k, evidence[k][1], ORACLES)
+        if k not in evidence
+        or not is_green(k, evidence[k][1], ORACLES, evidence[k][0])
     )
     print(f"# needy={needy} green={len(order) - needy}")
     return order

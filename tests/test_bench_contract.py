@@ -63,12 +63,18 @@ def test_key_order_not_stale():
     import __spark_entry__ as entry
     from atd_dockless_processing_spark import ORACLES, QUERIES
 
-    latest: dict[str, dict] = {}
-    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        for key, row in json.loads(path.read_text()).items():
-            latest[key] = row
+    from atd_dockless_processing_spark.retier import EVIDENCE_INVALIDATED
 
-    def is_green(key: str, row: dict) -> bool:
+    latest: dict[str, tuple[int, dict]] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.stem.split("_r")[1])
+        for key, row in json.loads(path.read_text()).items():
+            latest[key] = (rnd, row)
+
+    def is_green(key: str, rnd: int, row: dict) -> bool:
+        if rnd < EVIDENCE_INVALIDATED.get(key, 0):
+            # evidence earned by a superseded implementation
+            return False
         if row.get("err") == "no_oracle":
             # a rows-only pass is only current evidence while the key
             # is STILL rows-only; once an oracle exists the key needs
@@ -79,8 +85,8 @@ def test_key_order_not_stale():
     # mirror queries(): a key missing from _KEY_ORDER ranks first
     # (new operator, no evidence) rather than KeyError-ing this test
     rank = {k: i for i, k in enumerate(entry._KEY_ORDER)}
-    needs_evidence = [k for k in QUERIES if k not in latest or not is_green(k, latest[k])]
-    has_green = [k for k in QUERIES if k in latest and is_green(k, latest[k])]
+    needs_evidence = [k for k in QUERIES if k not in latest or not is_green(k, *latest[k])]
+    has_green = [k for k in QUERIES if k in latest and is_green(k, *latest[k])]
     if not needs_evidence or not has_green:
         return  # nothing to order between
     worst_needy = max(rank.get(k, -1) for k in needs_evidence)
@@ -110,7 +116,11 @@ def test_green_tier_rotates_oldest_evidence_first():
         for key, row in json.loads(path.read_text()).items():
             latest[key] = (rnd, row)
 
-    def is_green(key: str, row: dict) -> bool:
+    from atd_dockless_processing_spark.retier import EVIDENCE_INVALIDATED
+
+    def is_green(key: str, rnd: int, row: dict) -> bool:
+        if rnd < EVIDENCE_INVALIDATED.get(key, 0):
+            return False
         if row.get("err") == "no_oracle":
             return key not in ORACLES and (row.get("spark_rows") or 0) > 0
         return row.get("err") is None and bool(row.get("hash_match"))
@@ -118,7 +128,7 @@ def test_green_tier_rotates_oldest_evidence_first():
     green_rounds = [
         latest[k][0]
         for k in entry._KEY_ORDER
-        if k in QUERIES and k in latest and is_green(k, latest[k][1])
+        if k in QUERIES and k in latest and is_green(k, *latest[k])
     ]
     out_of_order = [
         (a, b) for a, b in zip(green_rounds, green_rounds[1:]) if a > b

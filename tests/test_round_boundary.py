@@ -34,16 +34,17 @@ def _assert_contract(order: list[str], evidence: dict) -> None:
     green_rounds = [
         evidence[k][0]
         for k in order
-        if k in evidence and is_green(k, evidence[k][1], ORACLES)
+        if k in evidence and is_green(k, evidence[k][1], ORACLES, evidence[k][0])
     ]
     needy_ranks = [
         i for i, k in enumerate(order)
-        if k not in evidence or not is_green(k, evidence[k][1], ORACLES)
+        if k not in evidence
+        or not is_green(k, evidence[k][1], ORACLES, evidence[k][0])
     ]
     if needy_ranks and green_rounds:
         first_green = next(
             i for i, k in enumerate(order)
-            if k in evidence and is_green(k, evidence[k][1], ORACLES)
+            if k in evidence and is_green(k, evidence[k][1], ORACLES, evidence[k][0])
         )
         assert max(needy_ranks) < first_green
     assert all(a <= b for a, b in zip(green_rounds, green_rounds[1:]))
