@@ -650,10 +650,11 @@ def snk_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir("pyds_sink", f"run_{_uuid.uuid4().hex[:12]}")
     os.makedirs(out_dir, exist_ok=True)
     _LAST_PYDS_DIR = out_dir
-    try:
-        spark.dataSource.register(JsonlSinkDataSource)
-    except Exception:
-        pass  # session-scoped name already registered
+    # re-registration of a session-scoped name is a silent overwrite in
+    # this API (probed: no error on duplicate register), so a raise here
+    # is a REAL failure that must surface — not be swallowed as
+    # "already registered" (r9 ADVICE #3)
+    spark.dataSource.register(JsonlSinkDataSource)
     src = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") % 100 == 0)

@@ -289,12 +289,12 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise NotImplementedError(
             "Python DataSource API requires pyspark >= 4.0"
         )
-    try:
-        spark.dataSource.register(SyntheticFeedDataSource)
-    except Exception:
-        # already registered in this session — re-registration is the
-        # only failure mode worth swallowing (name is session-scoped)
-        pass
+    # re-registration of a session-scoped name is a silent overwrite in
+    # this API (probed: duplicate register raises nothing), so any
+    # exception here is a genuine registration failure and must
+    # propagate rather than resurface later as an unknown-format error
+    # on read (r9 ADVICE #3)
+    spark.dataSource.register(SyntheticFeedDataSource)
     feed = (
         spark.read.format("synthetic_feed")
         .option("numshards", 8)

@@ -1206,6 +1206,18 @@ def _drain_to_target(
         while spark.table(name).count() < target:
             if q.exception() is not None:
                 raise q.exception()
+            if not q.isActive:
+                # clean termination under target (a Spark version where
+                # availableNow does terminate, or an under-emitting
+                # batch): fail FAST with the observed count instead of
+                # burning the whole timeout (r9 ADVICE #2); one final
+                # recheck since rows may have landed after the poll
+                final = spark.table(name).count()
+                if final >= target:
+                    break
+                raise RuntimeError(
+                    f"drain: stream terminated with {final} of {target} rows"
+                )
             if _time.time() > deadline:
                 raise TimeoutError(
                     f"drain: {spark.table(name).count()} of {target} "

@@ -141,12 +141,21 @@ def source_signature(path: str) -> str:
 
     try:
         if os.path.isdir(path):
-            parts = ";".join(
-                f"{f}:{st.st_mtime_ns}:{st.st_size}"
-                for f in sorted(os.listdir(path))
-                for st in (os.stat(os.path.join(path, f)),)
-            )
-            return f"[{parts}]"
+            # recursive walk (r9 ADVICE #1): a nested/partitioned source
+            # (key=.../part.parquet) rewritten in place changes neither
+            # the subdirectory's stat nor the top-level listing, so a
+            # one-level listdir would keep serving a stale marker. Flat
+            # directories produce the same entries as before (files at
+            # rel ".", no prefix).
+            entries: list[str] = []
+            for root, dirnames, filenames in os.walk(path):
+                dirnames.sort()
+                rel = os.path.relpath(root, path)
+                prefix = "" if rel == "." else rel + "/"
+                for f in sorted(filenames):
+                    st = os.stat(os.path.join(root, f))
+                    entries.append(f"{prefix}{f}:{st.st_mtime_ns}:{st.st_size}")
+            return f"[{';'.join(entries)}]"
         st = os.stat(path)
         return f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:

@@ -3558,3 +3558,59 @@ def test_lateral_column_alias_equals_dataframe_twin(spark, sf_dir):
         )
     )
     assert sql_rows == sorted(map(tuple, twin.collect())) and sql_rows
+
+
+def test_source_signature_sees_nested_file_rewrite(tmp_path):
+    """An in-place rewrite of a file INSIDE a subdirectory (partitioned
+    layout: key=x/part.parquet) must change the directory's signature —
+    a one-level listing misses it because neither the subdir's stat nor
+    the top-level names change (r9 ADVICE #1)."""
+    import os
+
+    from atd_dockless_processing_spark.tables import source_signature
+
+    sub = tmp_path / "event_type=a"
+    sub.mkdir()
+    inner = sub / "part-0.parquet"
+    inner.write_bytes(b"v1")
+    (tmp_path / "_SUCCESS").write_bytes(b"")
+    before = source_signature(str(tmp_path))
+    # same name, same size, different mtime — the pure in-place rewrite
+    inner.write_bytes(b"v2")
+    os.utime(inner, ns=(os.stat(inner).st_mtime_ns + 10**9,) * 2)
+    after = source_signature(str(tmp_path))
+    assert before != after
+    # and the flat-file entries keep the legacy un-prefixed form so
+    # pre-existing markers of genuinely flat dirs stay valid
+    assert "_SUCCESS:" in before and "event_type=a/part-0.parquet:" in before
+
+
+def test_drain_to_target_fails_fast_on_clean_termination(spark):
+    """A stream that terminates cleanly (isActive False) below the row
+    target must raise immediately with the observed count, not burn the
+    full timeout (r9 ADVICE #2)."""
+    import time
+
+    import pytest
+
+    from atd_dockless_processing_spark.streaming.stream_queries import (
+        _drain_to_target,
+    )
+
+    class _DoneQuery:
+        isActive = False
+
+        def exception(self):
+            return None
+
+        def stop(self):
+            pass
+
+    name = "drain_fastfail_probe"
+    spark.range(3).toDF("v").createOrReplaceTempView(name)
+    t0 = time.perf_counter()
+    with pytest.raises(RuntimeError, match="terminated with 3 of 100"):
+        _drain_to_target(spark, _DoneQuery(), name, target=100, timeout_s=60.0)
+    assert time.perf_counter() - t0 < 30.0  # nowhere near the timeout
+    # and a terminated query whose rows DID land is a clean success
+    _drain_to_target(spark, _DoneQuery(), name, target=3, timeout_s=60.0)
