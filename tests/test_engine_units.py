@@ -3614,3 +3614,64 @@ def test_drain_to_target_fails_fast_on_clean_termination(spark):
     assert time.perf_counter() - t0 < 30.0  # nowhere near the timeout
     # and a terminated query whose rows DID land is a clean success
     _drain_to_target(spark, _DoneQuery(), name, target=3, timeout_s=60.0)
+
+
+def test_tumbling_us_layout_dispatch_and_identical(spark, sf_dir, tmp_path):
+    """The layout-aware tumbling dispatch (r10, VERDICT r9 item 2):
+    once the µs-staged narrow layout exists, 'auto' must pick it (scan
+    reads the scratch path, physical ts is TIMESTAMP_MICROS), the
+    result must equal the ad-hoc plan row-for-row, and a source
+    regeneration must invalidate the layout."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from atd_dockless_processing_spark.operators.events import (
+        _tumbling_us_available,
+        _tumbling_us_paths,
+        ensure_tumbling_us_layout,
+        tumbling_hour_plan,
+    )
+
+    staged = ensure_tumbling_us_layout(spark, sf_dir)
+    assert _tumbling_us_available(sf_dir)
+    part = glob.glob(f"{staged}/*.parquet")[0]
+    assert str(pq.ParquetFile(part).schema_arrow.field("ts").type) == "timestamp[us, tz=UTC]"
+    assert pq.ParquetFile(part).schema_arrow.names == ["ts", "event_type", "value"]
+
+    adhoc = sorted(map(tuple, tumbling_hour_plan(spark, sf_dir, "adhoc").collect()))
+    auto = tumbling_hour_plan(spark, sf_dir)  # must dispatch to staged
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "events_us" in plan, plan[:2000]
+    got = sorted(map(tuple, auto.collect()))
+    assert got == adhoc and got, (got[:3], adhoc[:3])
+
+    # registered key == plan dispatch (the @query wrapper routes here)
+    from atd_dockless_processing_spark import QUERIES
+
+    reg = sorted(map(tuple, QUERIES["evt_tumbling_hour"](spark, sf_dir).collect()))
+    assert reg == adhoc
+
+    # freshness: against a THROWAWAY copy of the source (testdata is
+    # read-only), build a layout, then bump the copy's mtime — the
+    # layout must stop dispatching and 'auto' must fall back to ad-hoc
+    import shutil
+
+    tmp_sf = str(tmp_path / "sf")
+    os.makedirs(tmp_sf)
+    if os.path.isdir(f"{sf_dir}/events.parquet"):
+        shutil.copytree(f"{sf_dir}/events.parquet", f"{tmp_sf}/events.parquet")
+    else:
+        shutil.copy2(f"{sf_dir}/events.parquet", f"{tmp_sf}/events.parquet")
+    ensure_tumbling_us_layout(spark, tmp_sf)
+    assert _tumbling_us_available(tmp_sf)
+    src = f"{tmp_sf}/events.parquet"
+    target = os.path.join(src, sorted(os.listdir(src))[0]) if os.path.isdir(src) else src
+    st = os.stat(target)
+    os.utime(target, ns=(st.st_mtime_ns + 10**9, st.st_mtime_ns + 10**9))
+    assert not _tumbling_us_available(tmp_sf)
+    fallback = tumbling_hour_plan(spark, tmp_sf)
+    assert "events_us" not in fallback._jdf.queryExecution().executedPlan().toString()
+    shutil.rmtree(os.path.dirname(_tumbling_us_paths(tmp_sf)[0]), ignore_errors=True)
+    os.remove(_tumbling_us_paths(sf_dir)[1])  # no layout left behind for other tests
