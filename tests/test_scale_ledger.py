@@ -26,7 +26,8 @@ WEAK_LIST = [
     "txt_dedup_paragraphs",
     "snk_manifest_publish",
     "join_skew_salted",
-    "sql_correlated_subquery",
+    # sql_correlated_subquery left the weak list in r10: the window
+    # form was PROMOTED to the registered plan (1.08-1.26x envelope)
     "llm_ann_ivf",
     "agg_percentiles",
     "llm_pack_sequences",
