@@ -72,3 +72,40 @@ def test_scale_ledger_covers_every_registry_key():
     assert not absent, f"keys with no SCALE.md line: {absent}"
     placeholder = sorted(k for k, v in rows.items() if v.strip() == "MISSING")
     assert not placeholder, f"MISSING placeholder rows: {placeholder}"
+
+
+RATIO = re.compile(r"\d+(?:\.\d+)?\s*[x×]")
+# a cell that is NOTHING BUT two-or-more space-separated ratio tokens
+# is a per-10x step-factor list, not a vs-oracle ratio
+STEP_ONLY = re.compile(
+    r"^(?:\*\*)?\d+(?:\.\d+)?[x×](?:\*\*)?(?:\s+\d+(?:\.\d+)?[x×])+$"
+)
+MEASURED_EXEMPT = re.compile(
+    r"\bCLOSED\b|\bDELIBERATE\b|\bEXCLUDED\b|\bSURFACE\b|\bFLOOR\b|\bfloor\b|\babs\b"
+)
+
+
+def test_measured_rows_carry_a_comparator_ratio():
+    """VERDICT r9 item 3: a measured SCALE.md table row (two or more
+    timing cells) must carry a vs-oracle ratio — a step-factor-only
+    cell like '1.1x 10.4x' (growth per 10x data) or a bare timing
+    column does not price the row against the baseline. Status-stamped
+    and floor-regime rows are audited by the stamp test above."""
+    offenders = []
+    for line in (REPO / "SCALE.md").read_text().splitlines():
+        m = re.match(r"- `([a-z0-9_]+)`: (\|.*)", line)
+        if not m:
+            continue  # prose/pointer rows carry their own evidence text
+        key, row = m.groups()
+        cells = [c.strip() for c in row.strip("|").split("|") if c.strip()]
+        timing_cells = [c for c in cells if re.match(r"^[\d.,/ →*]+ ?s\b", c)]
+        if len(timing_cells) < 2:
+            continue
+        ratio_cells = [
+            c for c in cells if RATIO.search(c) and not STEP_ONLY.match(c)
+        ]
+        if not ratio_cells and not MEASURED_EXEMPT.search(row):
+            offenders.append(key)
+    assert not offenders, (
+        f"measured SCALE.md rows without a vs-oracle ratio: {offenders}"
+    )
