@@ -3683,3 +3683,22 @@ def test_tumbling_us_layout_dispatch_and_identical(spark, sf_dir, tmp_path):
     assert "events_us" not in fallback._jdf.queryExecution().executedPlan().toString()
     shutil.rmtree(os.path.dirname(_tumbling_us_paths(tmp_sf)[0]), ignore_errors=True)
     os.remove(_tumbling_us_paths(sf_dir)[1])  # no layout left behind for other tests
+
+
+def test_tws_bucketed_totals_equals_registered(spark, sf_dir):
+    """The coarse-key TWS form (r10 A/B: 8.8x shrink of the per-user
+    state-server constant at x100) must produce the registered
+    per-user key's exact totals — same 2-micro-batch drain, state
+    carried across the batch boundary inside the bucket blob."""
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.streaming.stream_queries import (
+        tws_bucketed_totals_form,
+    )
+
+    reg = sorted(
+        map(tuple, QUERIES["stm_transform_with_state"](spark, sf_dir).collect())
+    )
+    coarse = sorted(
+        map(tuple, tws_bucketed_totals_form(spark, sf_dir, n_buckets=32).collect())
+    )
+    assert reg == coarse and reg
