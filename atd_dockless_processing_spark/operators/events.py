@@ -82,13 +82,21 @@ def ensure_tumbling_us_layout(spark: SparkSession, sf_dir: str) -> str:
     (``ensure_q5_bucketed_layout`` discipline)."""
     from pathlib import Path
 
+    from .. import tables
     from ..tables import signature_unavailable
 
     staged, marker = _tumbling_us_paths(sf_dir)
     sig = _tumbling_src_sig(sf_dir)
     if signature_unavailable(sig):
         return staged
-    if not _tumbling_us_available(sf_dir):
+    if tables._PROVIDER is not None:
+        # a table provider serves ALTERNATIVE physical rows for the
+        # logical tables — a layout built from them would be signed
+        # with the on-disk source's signature and keep serving
+        # provider rows after the provider is gone (r10 review
+        # finding #4). Decline; callers keep the ad-hoc plan.
+        return staged
+    if not _tumbling_us_available(sf_dir, sig):
         prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
         spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
@@ -109,17 +117,22 @@ def ensure_tumbling_us_layout(spark: SparkSession, sf_dir: str) -> str:
     return staged
 
 
-def _tumbling_us_available(sf_dir: str) -> bool:
+def _tumbling_us_available(sf_dir: str, sig: str | None = None) -> bool:
     """Staged dir complete (_SUCCESS), marker present AND matching the
     current source signature — a regenerated events table invalidates
-    the layout instead of silently serving stale rows."""
+    the layout instead of silently serving stale rows. The signature
+    walk is recomputed per dispatch BY DESIGN (freshness beats the
+    O(source files) stat cost, which is bounded by one table's file
+    count; a cataloged 100 TB deployment would swap this probe for
+    catalog-event invalidation); callers that already hold the
+    signature pass it to avoid the double walk."""
     from pathlib import Path
 
     staged, marker = _tumbling_us_paths(sf_dir)
     return (
         Path(staged, "_SUCCESS").exists()
         and Path(marker).exists()
-        and Path(marker).read_text() == _tumbling_src_sig(sf_dir)
+        and Path(marker).read_text() == (sig if sig is not None else _tumbling_src_sig(sf_dir))
     )
 
 

@@ -377,10 +377,16 @@ def ensure_q5_bucketed_layout(
     (r9 review finding #3)."""
     from pathlib import Path
 
+    from .. import tables
     from ..tables import signature_unavailable
 
     li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir, buckets)
     if signature_unavailable(_q5_src_sig(sf_dir)):
+        return li_tbl, o_tbl
+    if tables._PROVIDER is not None:
+        # provider-served rows must never be persisted under the
+        # on-disk source's signature (r10 review finding #4 — same
+        # guard as ensure_tumbling_us_layout)
         return li_tbl, o_tbl
     if not _q5_layout_available(spark, sf_dir, buckets):
         (

@@ -1211,7 +1211,13 @@ def _drain_to_target(
                 # availableNow does terminate, or an under-emitting
                 # batch): fail FAST with the observed count instead of
                 # burning the whole timeout (r9 ADVICE #2); one final
-                # recheck since rows may have landed after the poll
+                # recheck since rows may have landed after the poll —
+                # and re-check the query's OWN exception first, so a
+                # failure that landed between the exception poll and
+                # the isActive check surfaces as itself, not as a
+                # generic under-target error (r10 review finding #3)
+                if q.exception() is not None:
+                    raise q.exception()
                 final = spark.table(name).count()
                 if final >= target:
                     break

@@ -147,8 +147,19 @@ def source_signature(path: str) -> str:
             # one-level listdir would keep serving a stale marker. Flat
             # directories produce the same entries as before (files at
             # rel ".", no prefix).
+            def _raise(exc: OSError) -> None:
+                # an unreadable subdir must poison the signature (->
+                # UNAVAILABLE nonce below), not be silently skipped —
+                # a skipped subtree would freeze the marker while its
+                # contents change (r10 review finding #2)
+                raise exc
+
             entries: list[str] = []
-            for root, dirnames, filenames in os.walk(path):
+            # followlinks: a symlinked partition dir's CONTENTS are
+            # part of the source's freshness, same as a real subdir
+            for root, dirnames, filenames in os.walk(
+                path, onerror=_raise, followlinks=True
+            ):
                 dirnames.sort()
                 rel = os.path.relpath(root, path)
                 prefix = "" if rel == "." else rel + "/"

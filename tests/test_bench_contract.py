@@ -63,7 +63,11 @@ def test_key_order_not_stale():
     import __spark_entry__ as entry
     from atd_dockless_processing_spark import ORACLES, QUERIES
 
-    from atd_dockless_processing_spark.retier import EVIDENCE_INVALIDATED
+    # the production rule, not a re-implementation: this test pins the
+    # ORDERING contract, and a hand-copied is_green already proved it
+    # drifts (it needed the same EVIDENCE_INVALIDATED patch in lockstep
+    # — r10 review finding #6)
+    from atd_dockless_processing_spark.retier import is_green
 
     latest: dict[str, tuple[int, dict]] = {}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
@@ -71,22 +75,14 @@ def test_key_order_not_stale():
         for key, row in json.loads(path.read_text()).items():
             latest[key] = (rnd, row)
 
-    def is_green(key: str, rnd: int, row: dict) -> bool:
-        if rnd < EVIDENCE_INVALIDATED.get(key, 0):
-            # evidence earned by a superseded implementation
-            return False
-        if row.get("err") == "no_oracle":
-            # a rows-only pass is only current evidence while the key
-            # is STILL rows-only; once an oracle exists the key needs
-            # a fresh hash-checked row (check type changed)
-            return key not in ORACLES and (row.get("spark_rows") or 0) > 0
-        return row.get("err") is None and bool(row.get("hash_match"))
+    def green(key: str, rnd: int, row: dict) -> bool:
+        return is_green(key, row, ORACLES, rnd)
 
     # mirror queries(): a key missing from _KEY_ORDER ranks first
     # (new operator, no evidence) rather than KeyError-ing this test
     rank = {k: i for i, k in enumerate(entry._KEY_ORDER)}
-    needs_evidence = [k for k in QUERIES if k not in latest or not is_green(k, *latest[k])]
-    has_green = [k for k in QUERIES if k in latest and is_green(k, *latest[k])]
+    needs_evidence = [k for k in QUERIES if k not in latest or not green(k, *latest[k])]
+    has_green = [k for k in QUERIES if k in latest and green(k, *latest[k])]
     if not needs_evidence or not has_green:
         return  # nothing to order between
     worst_needy = max(rank.get(k, -1) for k in needs_evidence)
@@ -116,19 +112,14 @@ def test_green_tier_rotates_oldest_evidence_first():
         for key, row in json.loads(path.read_text()).items():
             latest[key] = (rnd, row)
 
-    from atd_dockless_processing_spark.retier import EVIDENCE_INVALIDATED
-
-    def is_green(key: str, rnd: int, row: dict) -> bool:
-        if rnd < EVIDENCE_INVALIDATED.get(key, 0):
-            return False
-        if row.get("err") == "no_oracle":
-            return key not in ORACLES and (row.get("spark_rows") or 0) > 0
-        return row.get("err") is None and bool(row.get("hash_match"))
+    from atd_dockless_processing_spark.retier import is_green
 
     green_rounds = [
         latest[k][0]
         for k in entry._KEY_ORDER
-        if k in QUERIES and k in latest and is_green(k, *latest[k])
+        if k in QUERIES
+        and k in latest
+        and is_green(k, latest[k][1], ORACLES, latest[k][0])
     ]
     out_of_order = [
         (a, b) for a, b in zip(green_rounds, green_rounds[1:]) if a > b

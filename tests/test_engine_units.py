@@ -2402,9 +2402,9 @@ def test_corr_subquery_window_rewrite_equality(spark, sf_dir):
     reg = {
         r["o_orderpriority"]: r["n_max_orders"] for r in reg_df.collect()
     }
+    demo_df = corr_decorrelated_sql_form(spark, sf_dir)
     demo = {
-        r["o_orderpriority"]: r["n_max_orders"]
-        for r in corr_decorrelated_sql_form(spark, sf_dir).collect()
+        r["o_orderpriority"]: r["n_max_orders"] for r in demo_df.collect()
     }
     assert reg == demo and reg
     plan = reg_df._jdf.queryExecution().executedPlan().toString()
@@ -2412,6 +2412,9 @@ def test_corr_subquery_window_rewrite_equality(spark, sf_dir):
     # single-exchange window form: no self-join of orders (the
     # decorrelated demo plans an aggregate + join)
     assert "Join" not in plan, plan[:3000]
+    demo_plan = demo_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in demo_plan, demo_plan[:2000]  # agg + join, decorrelated
+    assert "Subquery" not in demo_plan, demo_plan[:3000]  # no per-row subquery
 
 
 def test_gap_islands_fold_equals_window_form(spark):
@@ -3632,6 +3635,7 @@ def test_tumbling_us_layout_dispatch_and_identical(spark, sf_dir, tmp_path):
     regeneration must invalidate the layout."""
     import glob
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
@@ -3642,47 +3646,53 @@ def test_tumbling_us_layout_dispatch_and_identical(spark, sf_dir, tmp_path):
         tumbling_hour_plan,
     )
 
-    staged = ensure_tumbling_us_layout(spark, sf_dir)
-    assert _tumbling_us_available(sf_dir)
-    part = glob.glob(f"{staged}/*.parquet")[0]
-    assert str(pq.ParquetFile(part).schema_arrow.field("ts").type) == "timestamp[us, tz=UTC]"
-    assert pq.ParquetFile(part).schema_arrow.names == ["ts", "event_type", "value"]
-
-    adhoc = sorted(map(tuple, tumbling_hour_plan(spark, sf_dir, "adhoc").collect()))
-    auto = tumbling_hour_plan(spark, sf_dir)  # must dispatch to staged
-    plan = auto._jdf.queryExecution().executedPlan().toString()
-    assert "events_us" in plan, plan[:2000]
-    got = sorted(map(tuple, auto.collect()))
-    assert got == adhoc and got, (got[:3], adhoc[:3])
-
-    # registered key == plan dispatch (the @query wrapper routes here)
-    from atd_dockless_processing_spark import QUERIES
-
-    reg = sorted(map(tuple, QUERIES["evt_tumbling_hour"](spark, sf_dir).collect()))
-    assert reg == adhoc
-
-    # freshness: against a THROWAWAY copy of the source (testdata is
-    # read-only), build a layout, then bump the copy's mtime — the
-    # layout must stop dispatching and 'auto' must fall back to ad-hoc
-    import shutil
-
     tmp_sf = str(tmp_path / "sf")
-    os.makedirs(tmp_sf)
-    if os.path.isdir(f"{sf_dir}/events.parquet"):
-        shutil.copytree(f"{sf_dir}/events.parquet", f"{tmp_sf}/events.parquet")
-    else:
-        shutil.copy2(f"{sf_dir}/events.parquet", f"{tmp_sf}/events.parquet")
-    ensure_tumbling_us_layout(spark, tmp_sf)
-    assert _tumbling_us_available(tmp_sf)
-    src = f"{tmp_sf}/events.parquet"
-    target = os.path.join(src, sorted(os.listdir(src))[0]) if os.path.isdir(src) else src
-    st = os.stat(target)
-    os.utime(target, ns=(st.st_mtime_ns + 10**9, st.st_mtime_ns + 10**9))
-    assert not _tumbling_us_available(tmp_sf)
-    fallback = tumbling_hour_plan(spark, tmp_sf)
-    assert "events_us" not in fallback._jdf.queryExecution().executedPlan().toString()
-    shutil.rmtree(os.path.dirname(_tumbling_us_paths(tmp_sf)[0]), ignore_errors=True)
-    os.remove(_tumbling_us_paths(sf_dir)[1])  # no layout left behind for other tests
+    try:
+        staged = ensure_tumbling_us_layout(spark, sf_dir)
+        assert _tumbling_us_available(sf_dir)
+        part = glob.glob(f"{staged}/*.parquet")[0]
+        assert str(pq.ParquetFile(part).schema_arrow.field("ts").type) == "timestamp[us, tz=UTC]"
+        assert pq.ParquetFile(part).schema_arrow.names == ["ts", "event_type", "value"]
+
+        adhoc = sorted(map(tuple, tumbling_hour_plan(spark, sf_dir, "adhoc").collect()))
+        auto = tumbling_hour_plan(spark, sf_dir)  # must dispatch to staged
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "events_us" in plan, plan[:2000]
+        got = sorted(map(tuple, auto.collect()))
+        assert got == adhoc and got, (got[:3], adhoc[:3])
+
+        # registered key == plan dispatch (the @query wrapper routes here)
+        from atd_dockless_processing_spark import QUERIES
+
+        reg = sorted(map(tuple, QUERIES["evt_tumbling_hour"](spark, sf_dir).collect()))
+        assert reg == adhoc
+
+        # freshness: against a THROWAWAY copy of the source (testdata
+        # is read-only), build a layout, then bump the copy's mtime —
+        # the layout must stop dispatching, 'auto' falls back to ad-hoc
+        os.makedirs(tmp_sf)
+        if os.path.isdir(f"{sf_dir}/events.parquet"):
+            shutil.copytree(f"{sf_dir}/events.parquet", f"{tmp_sf}/events.parquet")
+        else:
+            shutil.copy2(f"{sf_dir}/events.parquet", f"{tmp_sf}/events.parquet")
+        ensure_tumbling_us_layout(spark, tmp_sf)
+        assert _tumbling_us_available(tmp_sf)
+        src = f"{tmp_sf}/events.parquet"
+        target = os.path.join(src, sorted(os.listdir(src))[0]) if os.path.isdir(src) else src
+        st = os.stat(target)
+        os.utime(target, ns=(st.st_mtime_ns + 10**9, st.st_mtime_ns + 10**9))
+        assert not _tumbling_us_available(tmp_sf)
+        fallback = tumbling_hour_plan(spark, tmp_sf)
+        assert "events_us" not in fallback._jdf.queryExecution().executedPlan().toString()
+    finally:
+        # remove BOTH layouts wholesale (parquet dir + marker), even on
+        # assertion failure — a leaked layout would silently flip every
+        # later evt_tumbling_hour plan in this repo checkout (r10
+        # review finding #1)
+        for sf in (sf_dir, tmp_sf):
+            shutil.rmtree(
+                os.path.dirname(_tumbling_us_paths(sf)[0]), ignore_errors=True
+            )
 
 
 def test_tws_bucketed_totals_equals_registered(spark, sf_dir):
