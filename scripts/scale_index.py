@@ -94,9 +94,9 @@ POINTERS = {
     "stm_stateful_running": "batch twin win_running_sum (0.51x x10)",
     "stm_stateful_session": "batch twin evt_sessionize_lag (1.17-1.37x x100)",
     "stm_python_stream_source": "SURFACE demo (python streaming DataSource contract) - driver-side prefetch + offset log by construction (fixed 5x1000-row feed); production volume streams stay on the JVM file/rate/kafka sources; replay path (readBetweenOffsets) pinned equal to read() in tests",
-    "stm_tws_list_state": "TWS ListState sibling of stm_transform_with_state - same per-(key,batch) state-server constant (see its MEASURED INCLUSIVE x100 row); state = k-bounded list per user, strictly bounded",
-    "stm_tws_timers": "TWS event-time-timer sibling of stm_transform_with_state - same state-server constant (see its MEASURED INCLUSIVE x100 row); one bounded RocksDB timer per user, watermark-driven expiry",
-    "stm_tws_map_state": "TWS MapState sibling of stm_transform_with_state - same per-(key,batch) state-server protocol constant (see its MEASURED INCLUSIVE x100 row); state rows = (user,type) pairs, still bounded and incremental",
+    "stm_tws_list_state": "TWS ListState sibling of stm_transform_with_state - same per-(key,batch) state-server constant (see its MEASURED INCLUSIVE x100 row; r10: key-coarsening-reducible, 8.8x A/B); state = k-bounded list per user, strictly bounded",
+    "stm_tws_timers": "TWS event-time-timer sibling of stm_transform_with_state - same state-server constant (see its MEASURED INCLUSIVE x100 row; r10 coarsening A/B does NOT apply here — timers are inherently per-user keys); one bounded RocksDB timer per user, watermark-driven expiry",
+    "stm_tws_map_state": "TWS MapState sibling of stm_transform_with_state - same per-(key,batch) state-server protocol constant (see its MEASURED INCLUSIVE x100 row; r10: key-coarsening-reducible for totals-shaped state, 8.8x A/B); state rows = (user,type) pairs, still bounded and incremental",
     "llm_bpe_merge_step": "both agg exchanges collapse to VOCABULARY size map-side (word partial agg before the shuffle, pair agg over the (word,count) summary) - shuffled bytes O(vocab) at any corpus size; plan family of llm_term_topk (0.59x x100) with one extra vocab-sized exchange",
     "stm_transform_with_state": "DELIBERATE API-SURFACE (udf_scalar_python precedent) — MEASURED INCLUSIVE x100: 137-267 s across epochs (r8 179-267 s, r10 same-session 137.1 s) vs DuckDB 0.55 s batch groupBy — the per-(key, batch) state-server round-trip tax of the TWS protocol; r10 SHRINK A/B (VERDICT r9 item 5, .scratch/r10_tws_ab.log): the constant is key-coarsening-reducible, NOT irreducible — tws_bucketed_totals_form (pmod(user_id,1024) buckets, one pickled dict ValueState row per bucket, 2xbuckets instead of 2xusers round-trips per batch) measures 15.6 s = 8.8x shrink with identical output (equality test-pinned); residual 15 s = per-batch pandas fold + protocol floor; trade-off priced in the twin docstring (bucket blob is opaque to per-user TTL/timers). Registered key keeps the declared per-user API surface; volume shape stays the batch groupBy (trivial) / applyInPandasWithState twin stm_stateful_session (1.17-1.37x)",
     "stm_join_stream_static": "batch twin join_broadcast_dim (floor-regime x10); static side broadcast per micro-batch",
