@@ -162,7 +162,12 @@ def main() -> None:
     # aggregate on other keys (q1, q5, tumbling, grouping_sets) keep
     # their partial-agg-reduced exchange unchanged — measured A/B:
     # q3 170 -> 115 ms min on the probe session, no regressions.
-    cache_key = {"lineitem": "l_orderkey", "orders": "o_custkey", "events": "user_id"}
+    cache_key = {
+        "lineitem": "l_orderkey",
+        "orders": "o_custkey",
+        "events": "user_id",
+        "documents": "text",  # dedup_docs' groupBy(text) combine
+    }
 
     def provider(s, d, name):
         key = (d, name)
