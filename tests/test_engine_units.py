@@ -3712,3 +3712,50 @@ def test_tws_bucketed_totals_equals_registered(spark, sf_dir):
         map(tuple, tws_bucketed_totals_form(spark, sf_dir, n_buckets=32).collect())
     )
     assert reg == coarse and reg
+
+
+def test_group_by_all_equals_explicit_grouping(spark, sf_dir):
+    """GROUP BY ALL must resolve to exactly the explicit
+    GROUP BY o_orderstatus, YEAR(o_orderdate) — value-identical, and
+    the computed item groups by its EXPRESSION (not its alias)."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    got = sorted(map(tuple, QUERIES["sql_group_by_all"](spark, sf_dir).collect()))
+    twin = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+    assert got == sorted(map(tuple, twin.collect())) and got
+
+
+def test_aes_roundtrip_actually_encrypts_and_is_deterministic(spark, sf_dir):
+    """fn_aes_roundtrip's integrity checks are only meaningful if the
+    cipher column (a) differs from the plaintext for every row and
+    (b) is deterministic across runs (ECB mode) — pin both, plus that
+    every row round-trips exactly (n_rt_exact == n_rows per group)."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.operators.pipeline_r10 import _AES_KEY
+    from atd_dockless_processing_spark.tables import load
+
+    c = load(spark, sf_dir, "customer").select("c_name")
+    enc = c.select(
+        "c_name",
+        F.aes_encrypt(F.col("c_name").cast("binary"), F.lit(_AES_KEY), F.lit("ECB")).alias("cipher"),
+    )
+    n_equal = enc.where(F.col("cipher") == F.col("c_name").cast("binary")).count()
+    assert n_equal == 0
+    once = {r["c_name"]: bytes(r["cipher"]) for r in enc.collect()}
+    again = {r["c_name"]: bytes(r["cipher"]) for r in enc.collect()}
+    assert once == again and once
+
+    rows = QUERIES["fn_aes_roundtrip"](spark, sf_dir).collect()
+    assert rows and all(r["n_rt_exact"] == r["n_rows"] for r in rows)
