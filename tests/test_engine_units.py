@@ -3759,3 +3759,76 @@ def test_aes_roundtrip_actually_encrypts_and_is_deterministic(spark, sf_dir):
 
     rows = QUERIES["fn_aes_roundtrip"](spark, sf_dir).collect()
     assert rows and all(r["n_rt_exact"] == r["n_rows"] for r in rows)
+
+
+def test_table_checksum_detects_corruption_and_ignores_order(spark, sf_dir):
+    """dq_table_checksum must be row-order-insensitive (a reshuffled
+    copy of the table checksums identically) yet flip when a SINGLE
+    value is corrupted — the properties that make it a migration
+    validator rather than a row count."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load, set_table_provider
+
+    base = {
+        r["o_orderstatus"]: (r["n_rows"], r["checksum"])
+        for r in QUERIES["dq_table_checksum"](spark, sf_dir).collect()
+    }
+    orders = load(spark, sf_dir, "orders")
+
+    def with_orders(df):
+        def provider(s, d, name):
+            return df if name == "orders" else load_orig(s, d, name)
+        return provider
+
+    from atd_dockless_processing_spark.tables import load as load_orig
+
+    try:
+        set_table_provider(with_orders(orders.repartition(7)))
+        shuffled = {
+            r["o_orderstatus"]: (r["n_rows"], r["checksum"])
+            for r in QUERIES["dq_table_checksum"](spark, sf_dir).collect()
+        }
+        assert shuffled == base and base
+
+        corrupted = orders.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == orders.agg(F.min("o_orderkey")).collect()[0][0],
+                   F.col("o_totalprice") + 0.01).otherwise(F.col("o_totalprice")),
+        )
+        set_table_provider(with_orders(corrupted))
+        bad = {
+            r["o_orderstatus"]: (r["n_rows"], r["checksum"])
+            for r in QUERIES["dq_table_checksum"](spark, sf_dir).collect()
+        }
+        # same row counts everywhere, exactly one group's checksum moved
+        assert {k: v[0] for k, v in bad.items()} == {k: v[0] for k, v in base.items()}
+        moved = [k for k in base if bad[k][1] != base[k][1]]
+        assert len(moved) == 1, moved
+    finally:
+        set_table_provider(None)
+
+
+def test_grouping_flags_subtotal_algebra(spark, sf_dir):
+    """The four CUBE grouping sets must be internally consistent: the
+    (ALL, ALL) row equals the table total, each flag side's subtotals
+    re-sum to it, and the 'ALL' sentinel appears exactly where the
+    flags say (never in a detail row)."""
+    from atd_dockless_processing_spark import QUERIES
+
+    rows = QUERIES["agg_grouping_flags"](spark, sf_dir).collect()
+    grand = [r for r in rows if r["g_status"] == 1 and r["g_priority"] == 1]
+    assert len(grand) == 1
+    detail = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 0]
+    by_status = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 1]
+    by_prio = [r for r in rows if r["g_status"] == 1 and r["g_priority"] == 0]
+    g = grand[0]
+    for part in (detail, by_status, by_prio):
+        assert sum(r["n_orders"] for r in part) == g["n_orders"]
+        assert sum(r["total_cents"] for r in part) == g["total_cents"]
+    for r in detail:
+        assert r["status"] != "ALL" and r["priority"] != "ALL"
+    assert all(r["priority"] == "ALL" for r in by_status)
+    assert all(r["status"] == "ALL" for r in by_prio)
+    assert g["status"] == "ALL" and g["priority"] == "ALL"
