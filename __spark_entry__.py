@@ -52,23 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_bench_contract.py guards BOTH ordering properties, and
 # tests/test_round_boundary.py simulates a post-commit evidence drop.
 _KEY_ORDER_BASE = [
-    "sql_lateral_column_alias", "stm_dedup_within_watermark",
-    "agg_bitmap_distinct", "agg_regression", "snk_python_datasource_write",
-    "sql_create_function", "sql_session_variable", "stm_tws_value_ttl",
-    "agg_listagg", "fn_collation_group", "sql_exec_immediate",
-    "sql_identifier_clause", "sql_pipe_syntax", "udtf_arrow_lateral",
-    "udtf_table_argument", "etl_declarative_pipeline",
-    "stm_rocksdb_changelog", "geo_hex_bin", "geo_point_in_polygon",
-    "txt_boilerplate_strip", "llm_contamination_ngram",
-    "evt_cohort_retention", "fn_variant_json", "sql_recursive_cte",
-    "snk_parquet", "fn_date_derive", "agg_collect_sorted", "fn_json_extract",
-    "win_lag_lead", "fn_try_arith", "fn_date_derive_tz", "fn_map_ops",
-    "evt_attribution_last_touch", "agg_minmax_by", "llm_bm25_topk",
-    "stm_foreachbatch_sink", "src_partition_prune", "llm_knn_join",
-    "evt_funnel", "src_orc_roundtrip", "src_incremental_extract",
-    "stm_join_stream_static", "llm_tfidf_topk", "src_csv_roundtrip",
-    "llm_vector_quantize", "stm_session_window", "agg_corr_cov",
-    "snk_partitioned", "stm_sliding_watermark", "stm_tumbling_availablenow",
+    "agg_grouping_flags", "dq_table_checksum", "fn_aes_roundtrip",
+    "sql_group_by_all", "evt_tumbling_hour", "sql_correlated_subquery",
     "join_interval_overlap", "snk_bucketed_join", "snk_jdbc_derby",
     "stm_late_data_drop", "fn_geojson_route", "stm_watermark_dedup",
     "llm_ann_hyperplane", "llm_ann_ivf", "stm_stateful_running",
@@ -129,16 +114,32 @@ _KEY_ORDER_BASE = [
     "llm_dataset_mixture", "src_schema_merge", "evt_sessionize_lag",
     "llm_centroid_per_label", "fn_bitwise", "evt_time_spine",
     "txt_repetition_filter", "set_union_all", "evt_anomaly_zscore",
-    "llm_corpus_funnel", "set_intersect", "geo_grid_bin",
-    "evt_tumbling_hour", "set_except", "evt_gap_islands",
-    "llm_pack_sequences", "set_except_all", "set_intersect_all",
-    "sql_lateral_topn", "evt_time_weighted_avg", "evt_session_window_native",
-    "llm_term_topk", "evt_sliding_window", "llm_dedup_exact",
-    "src_text_log_parse", "llm_cosine_topk", "set_union_distinct",
-    "src_json_roundtrip", "txt_lang_id", "llm_unigram_logprob",
-    "udf_scalar_python", "evt_markov_transitions", "sql_correlated_subquery",
+    "llm_corpus_funnel", "set_intersect", "geo_grid_bin", "set_except",
+    "evt_gap_islands", "llm_pack_sequences", "set_except_all",
+    "set_intersect_all", "sql_lateral_topn", "evt_time_weighted_avg",
+    "evt_session_window_native", "llm_term_topk", "evt_sliding_window",
+    "llm_dedup_exact", "src_text_log_parse", "llm_cosine_topk",
+    "set_union_distinct", "src_json_roundtrip", "txt_lang_id",
+    "llm_unigram_logprob", "udf_scalar_python", "evt_markov_transitions",
     "geo_nearest_hub", "srt_topk_global", "evt_session_batch",
-    "snk_upsert_merge", "udaf_grouped_map",
+    "snk_upsert_merge", "udaf_grouped_map", "sql_lateral_column_alias",
+    "stm_dedup_within_watermark", "agg_bitmap_distinct", "agg_regression",
+    "snk_python_datasource_write", "sql_create_function",
+    "sql_session_variable", "stm_tws_value_ttl", "agg_listagg",
+    "fn_collation_group", "sql_exec_immediate", "sql_identifier_clause",
+    "sql_pipe_syntax", "udtf_arrow_lateral", "udtf_table_argument",
+    "etl_declarative_pipeline", "stm_rocksdb_changelog", "geo_hex_bin",
+    "geo_point_in_polygon", "txt_boilerplate_strip",
+    "llm_contamination_ngram", "evt_cohort_retention", "fn_variant_json",
+    "sql_recursive_cte", "snk_parquet", "fn_date_derive",
+    "agg_collect_sorted", "fn_json_extract", "win_lag_lead", "fn_try_arith",
+    "fn_date_derive_tz", "fn_map_ops", "evt_attribution_last_touch",
+    "agg_minmax_by", "llm_bm25_topk", "stm_foreachbatch_sink",
+    "src_partition_prune", "llm_knn_join", "evt_funnel", "src_orc_roundtrip",
+    "src_incremental_extract", "stm_join_stream_static", "llm_tfidf_topk",
+    "src_csv_roundtrip", "llm_vector_quantize", "stm_session_window",
+    "agg_corr_cov", "snk_partitioned", "stm_sliding_watermark",
+    "stm_tumbling_availablenow",
 ]
 
 _KEY_ORDER = retier_from_repo(_KEY_ORDER_BASE, QUERIES, ORACLES, Path(_REPO))
