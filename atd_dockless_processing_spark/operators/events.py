@@ -89,7 +89,7 @@ def ensure_tumbling_us_layout(spark: SparkSession, sf_dir: str) -> str:
     sig = _tumbling_src_sig(sf_dir)
     if signature_unavailable(sig):
         return staged
-    if tables._PROVIDER is not None:
+    if tables.provider_active():
         # a table provider serves ALTERNATIVE physical rows for the
         # logical tables — a layout built from them would be signed
         # with the on-disk source's signature and keep serving
@@ -125,9 +125,16 @@ def _tumbling_us_available(sf_dir: str, sig: str | None = None) -> bool:
     O(source files) stat cost, which is bounded by one table's file
     count; a cataloged 100 TB deployment would swap this probe for
     catalog-event invalidation); callers that already hold the
-    signature pass it to avoid the double walk."""
+    signature pass it to avoid the double walk. NEVER true while a
+    table provider is active: the provider IS the events table right
+    now, and dispatching to the disk layout would silently shadow the
+    rows it serves (r10 second-review finding #1)."""
     from pathlib import Path
 
+    from .. import tables
+
+    if tables.provider_active():
+        return False
     staged, marker = _tumbling_us_paths(sf_dir)
     return (
         Path(staged, "_SUCCESS").exists()

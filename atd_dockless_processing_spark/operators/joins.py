@@ -383,7 +383,7 @@ def ensure_q5_bucketed_layout(
     li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir, buckets)
     if signature_unavailable(_q5_src_sig(sf_dir)):
         return li_tbl, o_tbl
-    if tables._PROVIDER is not None:
+    if tables.provider_active():
         # provider-served rows must never be persisted under the
         # on-disk source's signature (r10 review finding #4 — same
         # guard as ensure_tumbling_us_layout)
@@ -417,9 +417,16 @@ def _q5_layout_available(
     """Catalog entries present, their external paths still on disk (a
     wiped .scratch leaves stale metastore rows behind), AND the
     freshness marker matches the current source parquet signature (a
-    regenerated corpus invalidates the layout)."""
+    regenerated corpus invalidates the layout). NEVER true while a
+    table provider is active — dispatching to the disk layout would
+    silently shadow the provider's rows (r10 second-review
+    finding #1)."""
     from pathlib import Path
 
+    from .. import tables
+
+    if tables.provider_active():
+        return False
     li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir, buckets)
     marker = Path(base, f".{li_tbl}.src_sig")
     return (

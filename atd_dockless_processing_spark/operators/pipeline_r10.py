@@ -33,7 +33,7 @@ _GBA_SQL_T = """
     SELECT o_orderstatus,
            CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS total_price
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM {orders}
     GROUP BY ALL
 """
@@ -48,9 +48,13 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle runs the IDENTICAL text on DuckDB, so the key also
     pins that the two engines' ALL-resolution rules agree on this
     shape (a resolution divergence flips the row count, not just
-    values). Plan: the same single-exchange partial+final hash
-    aggregate as agg_groupby_q1 — pure analyzer surface, measured
-    plan family. Views are uuid-scoped (sql_tpch_q6 pattern)."""
+    values). SUM in integer cents: at scale a grouped double SUM is
+    association-order FP noise across engines' partition orders,
+    well above the hash compare's exactness (the agg_grouping_flags
+    rationale; r10 second-review finding #2). Plan: the same
+    single-exchange partial+final hash aggregate as agg_groupby_q1 —
+    pure analyzer surface, measured plan family. Views are
+    uuid-scoped (sql_tpch_q6 pattern)."""
     v = f"orders_gba_{_uuid.uuid4().hex[:8]}"
     load(spark, sf_dir, "orders").createOrReplaceTempView(v)
     out = spark.sql(_GBA_SQL_T.format(orders=v))
@@ -136,11 +140,11 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(('0x' || substr(md5(
-                 CAST(o_orderkey AS VARCHAR) || '|' ||
-                 CAST(o_custkey  AS VARCHAR) || '|' ||
-                 o_orderstatus || '|' ||
-                 CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
-                 strftime(o_orderdate, '%Y-%m-%d')
+                 COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
+                 COALESCE(CAST(o_custkey  AS VARCHAR), '<NULL>') || '|' ||
+                 COALESCE(o_orderstatus, '<NULL>') || '|' ||
+                 COALESCE(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), '<NULL>') || '|' ||
+                 COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '<NULL>')
                ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
     FROM orders
     GROUP BY o_orderstatus
@@ -156,7 +160,13 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hazards explicitly: integers via plain casts,
     DOUBLES as integer cents (float->string rendering is not
     portable), DATES through an explicit format (neither engine's
-    default timestamp rendering is), '|' field separator, md5 (both
+    default timestamp rendering is), NULLS via an explicit
+    ``<NULL>`` sentinel per field (Spark's concat_ws silently DROPS
+    null fields and their separators — 'a'|NULL|'b' would collide
+    with a genuine 'a|b' — while DuckDB's ``||`` nulls the whole
+    rendering and drops the row from the SUM; the sentinel makes
+    both engines render the same unambiguous bytes, r10
+    second-review finding #3), '|' field separator, md5 (both
     engines) with the first 8 hex chars as the summed word — the
     identical bytes hash on both engines by construction, verified
     value-equal here against DuckDB's independent implementation.
@@ -165,13 +175,16 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM/COUNT exchange — embarrassingly parallel at any scale, the
     agg_groupby_q1 family."""
     o = load(spark, sf_dir, "orders")
+    sent = F.lit("<NULL>")
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.coalesce(F.col("o_orderkey").cast("string"), sent),
+        F.coalesce(F.col("o_custkey").cast("string"), sent),
+        F.coalesce(F.col("o_orderstatus"), sent),
+        F.coalesce(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), sent
+        ),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), sent),
     )
     h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
     return (

@@ -46,6 +46,17 @@ def set_table_provider(provider) -> None:
     _PROVIDER = provider
 
 
+def provider_active() -> bool:
+    """True while a table provider is installed. Layout machinery
+    (ensure_* builders AND their availability/dispatch probes) must
+    treat this as 'the logical tables are NOT the on-disk files right
+    now': a layout must neither be BUILT from provider rows under the
+    disk source's signature nor SERVED in place of provider rows
+    (r10 review findings #4/#1 — one shared predicate so the rule
+    lands everywhere at once, the stage_scratch argument)."""
+    return _PROVIDER is not None
+
+
 def events_ts_to_timestamp(df: DataFrame) -> DataFrame:
     """Normalize an ``events`` frame's ``ts`` column to TimestampType.
 
@@ -156,11 +167,22 @@ def source_signature(path: str) -> str:
 
             entries: list[str] = []
             # followlinks: a symlinked partition dir's CONTENTS are
-            # part of the source's freshness, same as a real subdir
+            # part of the source's freshness, same as a real subdir;
+            # the visited set bounds symlink cycles (and de-dups two
+            # links to the same dir) — without it a cycle re-walks
+            # until ENAMETOOLONG on every dispatch probe (r10 review
+            # finding #5)
+            seen: set[tuple[int, int]] = set()
             for root, dirnames, filenames in os.walk(
                 path, onerror=_raise, followlinks=True
             ):
-                dirnames.sort()
+                pruned = []
+                for d in sorted(dirnames):
+                    st = os.stat(os.path.join(root, d))
+                    if (st.st_dev, st.st_ino) not in seen:
+                        seen.add((st.st_dev, st.st_ino))
+                        pruned.append(d)
+                dirnames[:] = pruned
                 rel = os.path.relpath(root, path)
                 prefix = "" if rel == "." else rel + "/"
                 for f in sorted(filenames):

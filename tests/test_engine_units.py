@@ -3729,7 +3729,7 @@ def test_group_by_all_equals_explicit_grouping(spark, sf_dir):
         .groupBy("o_orderstatus", F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
         )
     )
     assert got == sorted(map(tuple, twin.collect())) and got
@@ -3778,11 +3778,12 @@ def test_table_checksum_detects_corruption_and_ignores_order(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
 
     def with_orders(df):
+        # None = fall through to disk inside tables.load — calling
+        # load() from here would re-enter this provider and recurse
+        # (r10 second-review finding #4)
         def provider(s, d, name):
-            return df if name == "orders" else load_orig(s, d, name)
+            return df if name == "orders" else None
         return provider
-
-    from atd_dockless_processing_spark.tables import load as load_orig
 
     try:
         set_table_provider(with_orders(orders.repartition(7)))
@@ -3806,6 +3807,25 @@ def test_table_checksum_detects_corruption_and_ignores_order(spark, sf_dir):
         assert {k: v[0] for k, v in bad.items()} == {k: v[0] for k, v in base.items()}
         moved = [k for k in base if bad[k][1] != base[k][1]]
         assert len(moved) == 1, moved
+
+        # NULL sentinel: a NULL field must render as the explicit
+        # '<NULL>' token (concat_ws would otherwise silently drop the
+        # field AND its separator, colliding distinct rows) — pinned
+        # against an independent Python md5 of the canonical bytes
+        import hashlib
+
+        tiny = spark.createDataFrame(
+            [(1, 2, None, 3.00, None)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp",
+        )
+        set_table_provider(with_orders(tiny))
+        row = QUERIES["dq_table_checksum"](spark, sf_dir).collect()
+        assert len(row) == 1 and row[0]["o_orderstatus"] is None
+        expect = int(
+            hashlib.md5(b"1|2|<NULL>|300|<NULL>").hexdigest()[:8], 16
+        )
+        assert row[0]["checksum"] == expect
     finally:
         set_table_provider(None)
 
