@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import uuid as _uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -261,4 +261,150 @@ def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "total_cents",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_fill_forward — LOCF via IGNORE NULLS window (gap fill surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_fill_forward",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_id % 5 = 0 THEN value END AS v
+      FROM events
+    ), f AS (
+      SELECT user_id,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(fv) AS BIGINT) AS n_filled,
+           ROUND(SUM(fv), 4) AS sum_filled
+    FROM f
+    GROUP BY user_id
+    """,
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF) through the WINDOW IGNORE-NULLS surface:
+    ``last(v, ignorenulls=True)`` over an ordered per-user frame
+    carries the latest observed value across the NULL gaps — the
+    standard sparse-sensor densification, and the surface itself
+    (`IGNORE NULLS`, distinct from a join- or interpolation-based
+    fill: evt_ts_interpolate covers linear interpolation,
+    evt_time_weighted_avg the duration-weighted LOCF aggregate).
+    Sparsity is manufactured deterministically (value visible only
+    when event_id % 5 == 0) so both engines fill the identical gap
+    pattern; (ts, event_id) ordering makes the carried value unique
+    under ts ties. Rows BEFORE a user's first observation stay NULL —
+    COUNT(fv) < COUNT(*) pins that IGNORE NULLS does not invent a
+    value. Plan: ONE user_id exchange, in-partition sort + running
+    window + re-agg on the same key (no second exchange) — the
+    win_topk_per_group family."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.select(
+        "user_id", F.last("v", ignorenulls=True).over(w).alias("fv")
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("fv").alias("n_filled"),
+        F.round(F.sum("fv"), 4).alias("sum_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# src_csv_multiline — RFC 4180 CSV with embedded newlines/quotes/delimiters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_csv_multiline",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             'line1' || chr(10) || lang || ',comma "quoted" ' ||
+               CAST(doc_id AS VARCHAR) AS tricky
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(LENGTH(tricky)) AS BIGINT) AS sum_len,
+           CAST(SUM(CASE WHEN tricky LIKE '%' || chr(10) || '%' THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline
+    FROM d
+    GROUP BY lang
+    """,
+)
+def src_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 4180 CSV hard mode: fields containing EMBEDDED NEWLINES,
+    the delimiter, and double quotes, written with
+    quote-doubling (``escape='"'`` — Spark's DEFAULT escape is
+    backslash, which no RFC 4180 reader understands; the option is
+    the key's point) and re-read with ``multiLine=True`` (without it
+    the reader splits records at the embedded newlines and row
+    counts explode). The tricky field is built deterministically
+    from (lang, doc_id), and the oracle recomputes the expected
+    aggregate from the SOURCE table — any mis-parse (split rows,
+    swallowed quotes, truncated fields) changes n_rows/sum_len/
+    n_multiline. A unit test additionally feeds the staged files to
+    an independent RFC 4180 reader (DuckDB read_csv) and requires
+    the identical parse.
+
+    Scale note: multiLine=True makes a CSV file NON-SPLITTABLE (a
+    record boundary cannot be found mid-file) — one task per file,
+    so the staging writes many files; at 100 TB the guidance is the
+    same (many medium files, or parquet as soon as possible)."""
+    import os
+
+    from ..tables import stage_scratch
+
+    def build(indir: str) -> None:
+        src = load(spark, sf_dir, "documents").select(
+            "lang",
+            F.concat(
+                F.lit("line1\n"),
+                F.col("lang"),
+                F.lit(',comma "quoted" '),
+                F.col("doc_id").cast("string"),
+            ).alias("tricky"),
+        )
+        (
+            src.repartition(4)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(indir)
+        )
+
+    indir = stage_scratch("src_csv_multiline", sf_dir, "documents", build)
+    back = (
+        spark.read.schema("lang string, tricky string")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(indir)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("tricky")).alias("sum_len"),
+        F.sum(
+            F.when(F.col("tricky").contains("\n"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_multiline"),
     )

@@ -3852,3 +3852,92 @@ def test_grouping_flags_subtotal_algebra(spark, sf_dir):
     assert all(r["priority"] == "ALL" for r in by_status)
     assert all(r["status"] == "ALL" for r in by_prio)
     assert g["status"] == "ALL" and g["priority"] == "ALL"
+
+
+def test_fill_forward_matches_python_locf(spark, sf_dir):
+    """win_fill_forward's per-user aggregates must equal a Python
+    forward-fill over the same (ts, event_id)-ordered rows — pins the
+    IGNORE NULLS carry rule, the tie-break, and that rows before a
+    user's first observation stay NULL (never invented)."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    got = {
+        r["user_id"]: (r["n_rows"], r["n_filled"], r["sum_filled"])
+        for r in QUERIES["win_fill_forward"](spark, sf_dir).collect()
+    }
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(got) == set(by_user)
+    saw_leading_null = False
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        carried, n_filled, total = None, 0, 0.0
+        for r in evs:
+            if r["event_id"] % 5 == 0:
+                carried = r["value"]
+            if carried is not None:
+                n_filled += 1
+                total += carried
+            else:
+                saw_leading_null = True
+        exp_sum = round(total, 4) if n_filled else None
+        assert got[uid] == (len(evs), n_filled, exp_sum), uid
+    assert saw_leading_null, "corpus never exercised the leading-NULL case"
+
+
+def test_csv_multiline_parses_identically_in_independent_reader(spark, sf_dir):
+    """The staged RFC 4180 files must parse IDENTICALLY in DuckDB's
+    read_csv (quote-doubling, embedded newlines) — and a non-multiLine
+    Spark read must NOT match (record explosion), proving the corpus
+    actually exercises embedded newlines."""
+    import glob
+
+    import duckdb
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import scratch_dir
+
+    got = sorted(
+        map(tuple, QUERIES["src_csv_multiline"](spark, sf_dir).collect())
+    )
+    staged = scratch_dir("src_csv_multiline", sf_dir.strip("/").replace("/", "_"))
+    files = sorted(glob.glob(f"{staged}/in/*.csv"))
+    assert files
+    con = duckdb.connect()
+    duck = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        SELECT lang, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(LENGTH(tricky)) AS BIGINT),
+               CAST(SUM(CASE WHEN tricky LIKE '%' || chr(10) || '%' THEN 1 ELSE 0 END) AS BIGINT)
+        FROM read_csv(?, header=true, columns={'lang': 'VARCHAR', 'tricky': 'VARCHAR'})
+        GROUP BY lang
+        """,
+                [files],
+            ).fetchall(),
+        )
+    )
+    assert got == duck and got
+
+    from pyspark.sql import functions as F
+
+    naive = (
+        spark.read.schema("lang string, tricky string")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(f"{staged}/in")
+    )
+    n_true = sum(r[1] for r in got)
+    assert naive.count() != n_true, "corpus has no embedded newlines?"
