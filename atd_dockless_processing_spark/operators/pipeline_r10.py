@@ -369,8 +369,6 @@ def src_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     record boundary cannot be found mid-file) — one task per file,
     so the staging writes many files; at 100 TB the guidance is the
     same (many medium files, or parquet as soon as possible)."""
-    import os
-
     from ..tables import stage_scratch
 
     def build(indir: str) -> None:

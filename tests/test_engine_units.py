@@ -3859,8 +3859,6 @@ def test_fill_forward_matches_python_locf(spark, sf_dir):
     forward-fill over the same (ts, event_id)-ordered rows — pins the
     IGNORE NULLS carry rule, the tie-break, and that rows before a
     user's first observation stay NULL (never invented)."""
-    from pyspark.sql import functions as F
-
     from atd_dockless_processing_spark import QUERIES
     from atd_dockless_processing_spark.tables import load
 
@@ -3882,7 +3880,11 @@ def test_fill_forward_matches_python_locf(spark, sf_dir):
         evs.sort(key=lambda r: (r["ts"], r["event_id"]))
         carried, n_filled, total = None, 0, 0.0
         for r in evs:
-            if r["event_id"] % 5 == 0:
+            # IGNORE NULLS carries THROUGH a NULL observation (latent
+            # today — testdata has no NULL values — but a regeneration
+            # must not flip this model against the engine, r10
+            # third-review finding #1)
+            if r["event_id"] % 5 == 0 and r["value"] is not None:
                 carried = r["value"]
             if carried is not None:
                 n_filled += 1
@@ -3902,15 +3904,24 @@ def test_csv_multiline_parses_identically_in_independent_reader(spark, sf_dir):
     import glob
 
     import duckdb
+    import pytest
 
     from atd_dockless_processing_spark import QUERIES
-    from atd_dockless_processing_spark.tables import scratch_dir
+    from atd_dockless_processing_spark.tables import stage_scratch
 
     got = sorted(
         map(tuple, QUERIES["src_csv_multiline"](spark, sf_dir).collect())
     )
-    staged = scratch_dir("src_csv_multiline", sf_dir.strip("/").replace("/", "_"))
-    files = sorted(glob.glob(f"{staged}/in/*.csv"))
+    # resolve the staged path through the function that OWNS the
+    # layout (the key's run above guarantees a fresh marker, so the
+    # build callback must never fire — r10 third-review finding #2)
+    indir = stage_scratch(
+        "src_csv_multiline",
+        sf_dir,
+        "documents",
+        lambda d: pytest.fail("staging should already exist"),
+    )
+    files = sorted(glob.glob(f"{indir}/*.csv"))
     assert files
     con = duckdb.connect()
     duck = sorted(
@@ -3930,14 +3941,12 @@ def test_csv_multiline_parses_identically_in_independent_reader(spark, sf_dir):
     )
     assert got == duck and got
 
-    from pyspark.sql import functions as F
-
     naive = (
         spark.read.schema("lang string, tricky string")
         .option("header", True)
         .option("quote", '"')
         .option("escape", '"')
-        .csv(f"{staged}/in")
+        .csv(indir)
     )
     n_true = sum(r[1] for r in got)
     assert naive.count() != n_true, "corpus has no embedded newlines?"
