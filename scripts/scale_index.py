@@ -124,6 +124,8 @@ POINTERS = {
     "agg_grouping_flags": "MEASURED x100 same-session: 1.077 s vs DuckDB 0.762 s = 1.41x after the PAIRS-FIRST rewrite (Expand x4 over the pair summary, not the 15M-row stream; naive cube measured 2.87x in the same session — the agg_cube 2.92x->1.32x precedent); COUNT/integer-cents SUM are exactly decomposable so the rewrite is bit-identical",
     "win_fill_forward": "MEASURED x100 same-session: 1.764 s vs DuckDB 1.696 s = 1.04x — one user_id exchange, in-partition sort + running IGNORE-NULLS window + same-key re-agg (win_topk_per_group family)",
     "src_csv_multiline": "MEASURED x100 same-session: Spark multiLine read 0.319 s; the registered oracle recomputes from the source table (asymmetric by design — it pins parse INTEGRITY), so the symmetric comparator is DuckDB read_csv over the SAME staged files: 0.187 s = 1.71x. multiLine files are non-splittable (record boundaries unfindable mid-file) — the staging writes many files, which is also the 100 TB guidance",
+    "set_union_by_name": "MEASURED x100 same-session: 0.825 s vs DuckDB 0.492 s = 1.68x — two parity-filtered scans of the same parquet + one combinable agg exchange; the union itself is plan-free (name alignment at analysis)",
+    "fn_luhn_check": "MEASURED x100 same-session: 1.182 s vs DuckDB 7.529 s = 0.16x (Spark 6.4x FASTER) — the JVM built-in runs codegen per row while the oracle pays a per-row list-lambda reimplementation; one combinable agg exchange",
     "sql_group_by_all": "SURFACE demo (GROUP BY ALL resolution; cross-engine rule agreement is the point, identical SQL on both engines) — MEASURED x100 same-session (integer-cents form, r10 second review: a grouped double SUM is association-order FP noise at scale): 1.085 s vs DuckDB 0.476 s = 2.28x, the per-row agg-map + YEAR + cents-cast constant over 15M orders rows (the evt_tumbling_hour-decomposition CONSTANT-FACTOR regime, ~72 ns/row all-in, both engines pay the cents conversion; one combinable exchange, executor-count-bound at scale); explicit-grouping equality pinned in tests",
     "fn_aes_roundtrip": "DELIBERATE ASYMMETRIC-ORACLE key (the oracle CANNOT do AES — DuckDB has no crypto; it hash-checks the encrypt->decrypt IDENTITY via plaintext arithmetic, not the crypto work) — MEASURED x100 same-session: full key 7.433 s, DECOMPOSED: plaintext-aggregates twin 0.889 s, encrypt-only+distinct 3.204 s => AES ~2 us/row/op, ~6.5 s of the total is the operator's defined crypto work; embarrassingly parallel map + one distinct exchange, executor-count-bound at 100 TB",
     "sql_pipe_syntax": "SURFACE demo (SQL pipe operators) — canonicalized-plan IDENTITY with the clause form pinned in tests; the plan is Q1's filter+hash-agg family (agg_groupby_q1: 0.68x at x100)",

@@ -3950,3 +3950,65 @@ def test_csv_multiline_parses_identically_in_independent_reader(spark, sf_dir):
     )
     n_true = sum(r[1] for r in got)
     assert naive.count() != n_true, "corpus has no embedded newlines?"
+
+
+def test_union_by_name_fills_and_positional_would_differ(spark, sf_dir):
+    """unionByName must NULL-fill each branch's missing column and
+    align the SWAPPED key columns by name; the positional union of the
+    same branches (padded to equal width) would mis-zip — pinned by
+    checking per-branch NULL patterns and total conservation."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    rows = QUERIES["set_union_by_name"](spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders")
+    n_even = o.where(F.col("o_orderkey") % 2 == 0).count()
+    n_odd = o.where(F.col("o_orderkey") % 2 == 1).count()
+    assert sum(r["n_rows"] for r in rows) == n_even + n_odd
+    assert sum(r["n_with_cents"] for r in rows) == n_even  # old branch only
+    assert sum(r["n_with_year"] for r in rows) == n_odd    # new branch only
+    exp_cents = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert sum(r["sum_cents"] for r in rows) == exp_cents
+
+
+def test_luhn_check_matches_reference_implementation(spark, sf_dir):
+    """Spark's built-in luhn_check must agree with a from-definition
+    Python Luhn on every synthesized card, including known-answer
+    anchors (a canonical valid test number and its off-by-one)."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    def luhn(card: str) -> bool:
+        digits = [int(c) for c in card][::-1]
+        total = 0
+        for i, x in enumerate(digits, start=1):
+            if i % 2 == 0:
+                x *= 2
+                x = x // 10 + x % 10
+            total += x
+        return total % 10 == 0
+
+    assert luhn("4539148803436467") and not luhn("4539148803436468")
+
+    got = {
+        r["o_orderstatus"]: (r["n_rows"], r["n_valid"])
+        for r in QUERIES["fn_luhn_check"](spark, sf_dir).collect()
+    }
+    src = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderstatus", F.lpad(F.col("o_orderkey").cast("string"), 16, "0").alias("card"))
+        .collect()
+    )
+    exp: dict = {}
+    for r in src:
+        n, v = exp.get(r["o_orderstatus"], (0, 0))
+        exp[r["o_orderstatus"]] = (n + 1, v + (1 if luhn(r["card"]) else 0))
+    assert got == exp and got
