@@ -52,35 +52,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_bench_contract.py guards BOTH ordering properties, and
 # tests/test_round_boundary.py simulates a post-commit evidence drop.
 _KEY_ORDER_BASE = [
-    "src_csv_multiline", "win_fill_forward", "agg_grouping_flags",
-    "dq_table_checksum", "fn_aes_roundtrip", "sql_group_by_all",
-    "evt_tumbling_hour", "sql_correlated_subquery", "join_interval_overlap",
-    "snk_bucketed_join", "snk_jdbc_derby", "stm_late_data_drop",
-    "fn_geojson_route", "stm_watermark_dedup", "llm_ann_hyperplane",
-    "llm_ann_ivf", "stm_stateful_running", "stm_join_stream_stream",
-    "llm_dedup_simhash", "geo_bbox_join", "llm_dedup_near_minhash",
-    "llm_dedup_url_canon", "stm_stateful_session", "llm_kmeans_step",
-    "llm_dedup_embedding", "llm_dedup_clusters", "llm_dedup_keep_list",
-    "llm_dedup_ngram", "fn_url_parse", "geo_point_in_polygon_table",
-    "mm_decode_wav", "geo_od_matrix", "dq_profile_table",
-    "agg_hll_deterministic", "src_binary_files", "mm_frame_sample",
-    "dq_psi_drift", "agg_cms_heavy_hitters", "mm_decode_stub",
-    "agg_approx_distinct", "agg_stats", "agg_pivot", "agg_percentiles",
-    "join_anti", "join_inner", "fn_explode", "fn_levenshtein", "join_semi",
-    "join_left_outer", "join_full_outer", "join_skew_salted",
-    "join_broadcast_dim", "fn_from_json_struct", "agg_distinct_count",
-    "join_null_safe", "dq_constraint_report", "agg_global",
-    "join_theta_range", "agg_filtered", "agg_histogram", "agg_rollup",
-    "join_cross_small", "join_multiway_5", "agg_grouping_sets", "agg_cube",
-    "join_asof", "agg_groupby_q1", "prj_select_rename", "win_running_sum",
-    "win_moving_avg", "win_rank_dense", "prj_derived_expr",
-    "src_parquet_scan", "win_first_last", "win_ntile_pct",
-    "win_percent_rank", "win_ratio_to_report", "prj_case_when",
-    "snk_zorder_layout", "agg_bloom_membership", "agg_quantile_sketch",
-    "llm_semdedup", "etl_publish_funnel", "evt_state_intervals",
-    "evt_new_vs_returning", "stm_cdc_stream_apply", "txt_dedup_paragraphs",
-    "join_scd2_temporal", "llm_rouge_overlap", "mm_image_embed_sim",
-    "dq_skew_report", "stm_join_stream_left", "agg_gini", "dq_fk_orphans",
+    "fn_luhn_check", "set_union_by_name", "src_csv_multiline",
+    "win_fill_forward", "agg_grouping_flags", "dq_table_checksum",
+    "fn_aes_roundtrip", "sql_group_by_all", "evt_tumbling_hour",
+    "sql_correlated_subquery", "join_interval_overlap", "snk_bucketed_join",
+    "snk_jdbc_derby", "stm_late_data_drop", "fn_geojson_route",
+    "stm_watermark_dedup", "llm_ann_hyperplane", "llm_ann_ivf",
+    "stm_stateful_running", "stm_join_stream_stream", "llm_dedup_simhash",
+    "geo_bbox_join", "llm_dedup_near_minhash", "llm_dedup_url_canon",
+    "stm_stateful_session", "llm_kmeans_step", "llm_dedup_embedding",
+    "llm_dedup_clusters", "llm_dedup_keep_list", "llm_dedup_ngram",
+    "fn_url_parse", "geo_point_in_polygon_table", "mm_decode_wav",
+    "geo_od_matrix", "dq_profile_table", "agg_hll_deterministic",
+    "src_binary_files", "mm_frame_sample", "dq_psi_drift",
+    "agg_cms_heavy_hitters", "mm_decode_stub", "agg_approx_distinct",
+    "agg_stats", "agg_pivot", "agg_percentiles", "join_anti", "join_inner",
+    "fn_explode", "fn_levenshtein", "join_semi", "join_left_outer",
+    "join_full_outer", "join_skew_salted", "join_broadcast_dim",
+    "fn_from_json_struct", "agg_distinct_count", "join_null_safe",
+    "dq_constraint_report", "agg_global", "join_theta_range", "agg_filtered",
+    "agg_histogram", "agg_rollup", "join_cross_small", "join_multiway_5",
+    "agg_grouping_sets", "agg_cube", "join_asof", "agg_groupby_q1",
+    "prj_select_rename", "win_running_sum", "win_moving_avg",
+    "win_rank_dense", "prj_derived_expr", "src_parquet_scan",
+    "win_first_last", "win_ntile_pct", "win_percent_rank",
+    "win_ratio_to_report", "prj_case_when", "snk_zorder_layout",
+    "agg_bloom_membership", "agg_quantile_sketch", "llm_semdedup",
+    "etl_publish_funnel", "evt_state_intervals", "evt_new_vs_returning",
+    "stm_cdc_stream_apply", "txt_dedup_paragraphs", "join_scd2_temporal",
+    "llm_rouge_overlap", "mm_image_embed_sim", "dq_skew_report",
+    "stm_join_stream_left", "agg_gini", "dq_fk_orphans",
     "llm_curriculum_order", "mm_audio_silence_trim", "snk_manifest_publish",
     "dq_freshness", "evt_path_topk", "geo_hex_ring_smooth",
     "llm_train_val_split", "mm_video_scene_cut", "snk_cdc_apply",
