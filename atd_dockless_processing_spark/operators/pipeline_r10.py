@@ -286,7 +286,8 @@ def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(fv) AS BIGINT) AS n_filled,
-           ROUND(SUM(fv), 4) AS sum_filled
+           CAST(SUM(CAST(ROUND(fv * 10000, 0) AS BIGINT)) AS BIGINT)
+             AS sum_filled_e4
     FROM f
     GROUP BY user_id
     """,
@@ -304,7 +305,12 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern; (ts, event_id) ordering makes the carried value unique
     under ts ties. Rows BEFORE a user's first observation stay NULL —
     COUNT(fv) < COUNT(*) pins that IGNORE NULLS does not invent a
-    value. Plan: ONE user_id exchange, in-partition sort + running
+    value. The checked sum is FP-EXACT: each filled value is scaled
+    and rounded to an e4 integer PER ROW (deterministic — fv is a
+    carried member of the column, not an accumulated float), then
+    summed as BIGINT, so per-engine accumulation order cannot move
+    the hash (r10 ADVICE #2; the sql_group_by_all integer-cents
+    pattern). Plan: ONE user_id exchange, in-partition sort + running
     window + re-agg on the same key (no second exchange) — the
     win_topk_per_group family."""
     ev = load(spark, sf_dir, "events").select(
@@ -324,7 +330,9 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("fv").alias("n_filled"),
-        F.round(F.sum("fv"), 4).alias("sum_filled"),
+        F.sum(F.round(F.col("fv") * 10000, 0).cast("bigint")).alias(
+            "sum_filled_e4"
+        ),
     )
 
 

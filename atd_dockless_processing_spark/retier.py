@@ -51,6 +51,9 @@ CARRY_OK = {"agg_weighted_avg", "fn_base64_roundtrip", "evt_interarrival_hist"}
 EVIDENCE_INVALIDATED: dict[str, int] = {
     "evt_tumbling_hour": 10,
     "sql_correlated_subquery": 10,
+    # r11: sum_filled -> FP-exact sum_filled_e4 (schema + value change,
+    # r10 ADVICE #2)
+    "win_fill_forward": 11,
 }
 
 

@@ -226,6 +226,22 @@ def stage_scratch(name: str, sf_dir: str, src_table: str, build_fn) -> str:
     base = scratch_dir(name, sf_dir.strip("/").replace("/", "_"))
     indir = f"{base}/in"
     marker = f"{base}/src_mtime"
+    # While a table provider is installed, build_fn derives the staging
+    # from PROVIDER rows, not the on-disk source — reusing or signing it
+    # with the disk source's signature would keep serving provider rows
+    # after the provider is gone (r10 ADVICE #1: the same hazard
+    # provider_active() guards in ensure_tumbling_us_layout /
+    # ensure_q5_bucketed_layout, applied to the shared helper itself).
+    # Degrade to rebuild-per-call with no marker, and drop any marker a
+    # prior non-provider run left so the next plain run re-stages too.
+    if provider_active():
+        shutil.rmtree(indir, ignore_errors=True)
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        build_fn(indir)
+        return indir
     src_sig = source_signature(f"{sf_dir}/{src_table}.parquet")
     if os.path.isdir(indir) and os.path.exists(marker):
         with open(marker) as fh:

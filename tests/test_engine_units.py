@@ -5,6 +5,7 @@ handling, and plan-shape assertions for the scale-critical operators.
 
 from __future__ import annotations
 
+import math
 import sys
 from pathlib import Path
 
@@ -3863,7 +3864,7 @@ def test_fill_forward_matches_python_locf(spark, sf_dir):
     from atd_dockless_processing_spark.tables import load
 
     got = {
-        r["user_id"]: (r["n_rows"], r["n_filled"], r["sum_filled"])
+        r["user_id"]: (r["n_rows"], r["n_filled"], r["sum_filled_e4"])
         for r in QUERIES["win_fill_forward"](spark, sf_dir).collect()
     }
     rows = (
@@ -3878,7 +3879,7 @@ def test_fill_forward_matches_python_locf(spark, sf_dir):
     saw_leading_null = False
     for uid, evs in by_user.items():
         evs.sort(key=lambda r: (r["ts"], r["event_id"]))
-        carried, n_filled, total = None, 0, 0.0
+        carried, n_filled, total_e4 = None, 0, 0
         for r in evs:
             # IGNORE NULLS carries THROUGH a NULL observation (latent
             # today — testdata has no NULL values — but a regeneration
@@ -3888,10 +3889,16 @@ def test_fill_forward_matches_python_locf(spark, sf_dir):
                 carried = r["value"]
             if carried is not None:
                 n_filled += 1
-                total += carried
+                # per-row e4 scale-round, half AWAY from zero — the
+                # engine-side ROUND semantics (Spark HALF_UP, DuckDB
+                # std::round), NOT Python's banker's round
+                x = carried * 10000
+                total_e4 += (
+                    math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+                )
             else:
                 saw_leading_null = True
-        exp_sum = round(total, 4) if n_filled else None
+        exp_sum = total_e4 if n_filled else None
         assert got[uid] == (len(evs), n_filled, exp_sum), uid
     assert saw_leading_null, "corpus never exercised the leading-NULL case"
 
@@ -4012,3 +4019,58 @@ def test_luhn_check_matches_reference_implementation(spark, sf_dir):
         n, v = exp.get(r["o_orderstatus"], (0, 0))
         exp[r["o_orderstatus"]] = (n + 1, v + (1 if luhn(r["card"]) else 0))
     assert got == exp and got
+
+
+def test_stage_scratch_never_persists_provider_staging(spark, sf_dir):
+    """While a table provider is active, stage_scratch's build_fn
+    derives staging from PROVIDER rows — the helper must neither sign
+    that staging with the on-disk source's signature nor reuse an
+    existing marker, or provider rows keep being served after the
+    provider is gone (r10 ADVICE #1: the ensure_*-layout guard applied
+    to the shared helper itself)."""
+    import os
+    import shutil
+
+    from atd_dockless_processing_spark import tables
+
+    name = "unit_stage_scratch_guard"
+    base = tables.scratch_dir(name, sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(base, ignore_errors=True)
+    marker = f"{base}/src_mtime"
+    calls: list[str] = []
+
+    def build(tag):
+        def _build(indir):
+            calls.append(tag)
+            os.makedirs(indir, exist_ok=True)
+            with open(f"{indir}/rows.txt", "w") as fh:
+                fh.write(tag)
+        return _build
+
+    try:
+        # plain run: stages once, writes the marker, reuses on repeat
+        d1 = tables.stage_scratch(name, sf_dir, "orders", build("disk"))
+        assert calls == ["disk"] and os.path.exists(marker)
+        tables.stage_scratch(name, sf_dir, "orders", build("disk2"))
+        assert calls == ["disk"]  # reused, not rebuilt
+
+        # provider active: must rebuild (not serve the disk staging),
+        # must NOT leave a marker, and repeat calls rebuild again
+        tables.set_table_provider(lambda s, d, n: None)
+        d2 = tables.stage_scratch(name, sf_dir, "orders", build("prov"))
+        assert calls == ["disk", "prov"] and not os.path.exists(marker)
+        with open(f"{d2}/rows.txt") as fh:
+            assert fh.read() == "prov"
+        tables.stage_scratch(name, sf_dir, "orders", build("prov2"))
+        assert calls == ["disk", "prov", "prov2"]
+
+        # provider gone: the provider-built staging must not be served
+        tables.set_table_provider(None)
+        d3 = tables.stage_scratch(name, sf_dir, "orders", build("disk3"))
+        assert calls[-1] == "disk3" and os.path.exists(marker)
+        with open(f"{d3}/rows.txt") as fh:
+            assert fh.read() == "disk3"
+        assert d1 == d2 == d3
+    finally:
+        tables.set_table_provider(None)
+        shutil.rmtree(base, ignore_errors=True)
