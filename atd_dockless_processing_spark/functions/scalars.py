@@ -338,16 +338,35 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed from_json into a struct, then field access ([P med]:
-    typed JSON parsing of provider payloads)."""
+    typed JSON parsing of provider payloads).
+
+    Plan (r11 single-parse fix): the naive project-then-filter form
+    parses every row TWICE — PushDownPredicates substitutes the
+    `p = from_json(props)` alias into the pushed filter, so the
+    Jackson parse runs once in the Filter and again in the Project
+    (the no-CSE hazard, verified in the optimized plan:
+    `from_json ×2`). The filter is therefore folded into the
+    aggregate as a conditional (`when(k > 50, k)` summed/counted,
+    then a post-agg `n_rows > 0` gate — value-identical to WHERE +
+    GROUP BY since a group exists iff ≥1 row qualifies), which keeps
+    exactly ONE from_json per row. ×100 A/B: 2.589 s → 1.653 s
+    (4.73× → 3.02× vs DuckDB 0.547 s, same session). The remaining
+    gap is the declared surface itself — see SCALE.md's
+    CLOSED-AS-DEFINITIONAL-SURFACE stamp (the anchored-regex fast
+    path measured 0.59 s on this shape lives in fn_json_extract;
+    THIS key exists to exercise the engine's typed Jackson parse)."""
     ev = load(spark, sf_dir, "events")
-    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    parsed = ev.select("event_type", F.from_json("props", "k INT").alias("p"))
     return (
-        parsed.where(F.col("p.k") > 50)
+        parsed.select(
+            "event_type", F.when(F.col("p.k") > 50, F.col("p.k")).alias("kq")
+        )
         .groupBy("event_type")
         .agg(
-            F.sum("p.k").alias("sum_k"),
-            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("kq").alias("sum_k"),
+            F.count("kq").alias("n_rows"),
         )
+        .where(F.col("n_rows") > 0)
     )
 
 

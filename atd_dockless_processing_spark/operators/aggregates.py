@@ -169,13 +169,27 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set order is nondeterministic, so sort_array makes it
     deterministic; core). Serialized via array_join so pandas-based
     comparison harnesses can hash the column (numpy arrays are
-    unhashable); oracle mirrors with array_to_string."""
+    unhashable); oracle mirrors with array_to_string.
+
+    Plan (r11 pairs-first rewrite, the agg_cube precedent): a direct
+    collect_set over the fact stream is a TypedImperativeAggregate,
+    which forces ObjectHashAggregateExec and drops the 15M-row pass
+    out of whole-stage codegen. Distinct-pair pre-agg first — a
+    codegen HashAggregate whose exchange is bounded by |status| ×
+    |priority| (~15 rows) — then the collect runs over the tiny
+    summary. Same two-exchange count, but the full-corpus pass stays
+    in codegen: ×100 A/B 0.723 s → 0.381 s (2.51× → 1.32× vs DuckDB
+    0.288 s, same session). Value-identical by construction: the
+    pair pre-agg preserves exactly the distinct (status, priority)
+    combinations collect_set would return."""
     return (
         load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("_n"))
         .groupBy("o_orderstatus")
         .agg(
             F.array_join(
-                F.sort_array(F.collect_set("o_orderpriority")), "|"
+                F.sort_array(F.collect_list("o_orderpriority")), "|"
             ).alias("priorities")
         )
     )

@@ -709,13 +709,24 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap binary traversal, with shredding/pushdown landing in the
     parquet variant spec. The oracle does the same typed extraction
     via DuckDB's JSON functions, proving the variant path
-    value-identical to a classic JSON-string pipeline."""
+    value-identical to a classic JSON-string pipeline.
+
+    Plan (r11 single-parse fix): inlining `parse_json(props)` in both
+    variant_get expressions encodes every document TWICE (no-CSE
+    hazard — the optimized plan showed `parseJson ×2`). The variant
+    value is staged in its own projection tier, and CollapseProject
+    declines to re-inline it (a static_invoke is not a cheap
+    expression), so the parse runs once and both path extractions
+    traverse the staged binary. ×100 A/B: 1.775 s → 1.695 s (2.42× →
+    2.31× vs DuckDB 0.733 s, same session) — the parse was never the
+    dominant cost (the variant binary encode is fast); the remaining
+    gap is the declared surface, stamped CLOSED-AS-DEFINITIONAL-
+    SURFACE in SCALE.md."""
     ev = load(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    kk = F.try_variant_get(v, "$.k", "int")
-    missing = F.try_variant_get(v, "$.missing", "int")
-    return ev.select(
-        kk.alias("k"), missing.alias("m")
+    staged = ev.select(F.parse_json("props").alias("v"))
+    return staged.select(
+        F.try_variant_get(F.col("v"), "$.k", "int").alias("k"),
+        F.try_variant_get(F.col("v"), "$.missing", "int").alias("m"),
     ).groupBy((F.col("k") % 10).alias("k_bucket")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("k").alias("sum_k"),

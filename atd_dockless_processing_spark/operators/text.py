@@ -76,10 +76,32 @@ def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-profile language identification: score each document
     against per-language marker-token profiles, predict the argmax
     (alphabetical first-wins tie-break), return the (actual,
-    predicted) confusion-matrix counts."""
-    d = load(spark, sf_dir, "documents")
+    predicted) confusion-matrix counts.
+
+    Plan (r11 marker-prefilter rewrite): the naive form runs FIVE
+    full filter-HOF traversals of the token array (one per language
+    score) — and since the five scores live in one projection, even
+    staging the split leaves 5× the lambda work (measured: staging
+    alone moved nothing, 2.680 → 2.579 s ×100). Instead the tokens
+    are prefiltered ONCE against the union of all 15 marker tokens
+    (marker sets are disjoint by construction) into a staged tiny
+    array — most documents carry only a handful of markers — and the
+    five per-language counts traverse that. One full traversal + five
+    tiny ones: ×100 A/B 2.680 s → 1.566 s = **1.75×** vs the paired
+    DuckDB 0.892 s (was 2.32×). The staged `__mk` column is its own
+    projection tier so CollapseProject cannot re-inline the filter
+    into the five consumers (no-CSE rule)."""
+    all_markers = ", ".join(
+        f"'{m}'" for lg in _LANGS for m in _LANG_MARKERS[lg]
+    )
+    d = load(spark, sf_dir, "documents").withColumn(
+        "__mk", F.expr(f"filter(split(text, ' '), t -> t IN ({all_markers}))")
+    )
     for lg in _LANGS:
-        d = d.withColumn(f"s_{lg}", _score(_LANG_MARKERS[lg]))
+        inlist = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lg])
+        d = d.withColumn(
+            f"s_{lg}", F.expr(f"size(filter(__mk, t -> t IN ({inlist})))")
+        )
     pred = F.expr(_argmax_case_sql())
     return (
         d.select("lang", pred.alias("lang_pred"))

@@ -54,6 +54,13 @@ EVIDENCE_INVALIDATED: dict[str, int] = {
     # r11: sum_filled -> FP-exact sum_filled_e4 (schema + value change,
     # r10 ADVICE #2)
     "win_fill_forward": 11,
+    # r11 weak-burn rewrites (VERDICT r10 item 2): pairs-first
+    # collect, single-parse from_json/variant, marker-prefilter
+    # lang_id — registered plans changed, evidence re-earned
+    "agg_collect_sorted": 11,
+    "fn_from_json_struct": 11,
+    "fn_variant_json": 11,
+    "txt_lang_id": 11,
 }
 
 

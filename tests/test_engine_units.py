@@ -4074,3 +4074,130 @@ def test_stage_scratch_never_persists_provider_staging(spark, sf_dir):
     finally:
         tables.set_table_provider(None)
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_collect_sorted_pairs_first_form_and_equality(spark, sf_dir):
+    """agg_collect_sorted's r11 pairs-first rewrite: the full-corpus
+    pass must be a codegen HashAggregate on (status, priority) — NOT
+    an ObjectHashAggregate collect_set over the fact stream — and the
+    result must equal the direct collect_set form exactly."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    got = QUERIES["agg_collect_sorted"](spark, sf_dir)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side aggregate groups on BOTH keys in codegen
+    assert "o_orderstatus" in plan and "o_orderpriority" in plan
+    import re
+
+    oha = [
+        ln for ln in plan.splitlines() if "ObjectHashAggregate" in ln
+    ]
+    # collect_list still needs an object agg, but only over the pair
+    # summary — its grouping must be status alone, never the raw scan
+    assert oha and all("o_orderpriority, " not in ln for ln in oha), oha
+    direct = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities")
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_from_json_struct_parses_once_and_matches_where_form(spark, sf_dir):
+    """fn_from_json_struct's r11 conditional-agg form must carry
+    exactly ONE from_json in the optimized plan (the WHERE form
+    parses twice: PushDownPredicates substitutes the alias into the
+    pushed filter) and equal the WHERE + GROUP BY semantics."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    got = QUERIES["fn_from_json_struct"](spark, sf_dir)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") == 1, plan
+    where_form = (
+        load(spark, sf_dir, "events")
+        .withColumn("p", F.from_json("props", "k INT"))
+        .where(F.col("p.k") > 50)
+        .groupBy("event_type")
+        .agg(F.sum("p.k").alias("sum_k"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, where_form.collect())
+    )
+
+
+def test_variant_json_parses_once(spark, sf_dir):
+    """fn_variant_json's r11 staged variant must encode each document
+    once (optimized plan: parseJson ×1; the inline form carried ×2)
+    and equal the inline two-parse form."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    got = QUERIES["fn_variant_json"](spark, sf_dir)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("parseJson") == 1, plan
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    inline = (
+        ev.select(
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.missing", "int").alias("m"),
+        )
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).alias(
+                "n_missing"
+            ),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+
+def test_lang_id_prefilter_equals_direct_scoring(spark, sf_dir):
+    """txt_lang_id's r11 marker-prefilter must split each document
+    ONCE (staged __mk tier — the direct form splits five times) and
+    score identically to five independent full-array traversals.
+    Soundness does not even need marker-set disjointness: the union
+    prefilter keeps every token any per-language IN-set could count."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.operators.text import (
+        _LANG_MARKERS,
+        _LANGS,
+        _argmax_case_sql,
+        _score,
+    )
+    from atd_dockless_processing_spark.tables import load
+
+    got = QUERIES["txt_lang_id"](spark, sf_dir)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    d = load(spark, sf_dir, "documents")
+    for lg in _LANGS:
+        d = d.withColumn(f"s_{lg}", _score(_LANG_MARKERS[lg]))
+    direct = (
+        d.select("lang", F.expr(_argmax_case_sql()).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -106,3 +106,29 @@ def test_retier_skips_malformed_evidence_file(tmp_path):
     (tmp_path / "CORRECTNESS_rXX.json").write_text("{}")
     ev = latest_evidence(tmp_path)
     assert ev == {"a": (1, {"err": None, "hash_match": True})}
+
+
+def test_no_key_evidence_older_than_five_rounds():
+    """Evidence-age alarm (VERDICT r10 item 5): the retier provably
+    fronts stale-oldest keys, so under the driver's ~50-key/round
+    sweep budget no key's latest GREEN evidence should ever lag the
+    newest evidence round by more than 5 rounds. If this rings, the
+    sweep budget shrank or the rotation broke — both need a human, so
+    a red test is the right alarm (the bar is fresh green, not union
+    green). Keys currently invalidated/needy are excluded: the retier
+    places them at the very head of the next sweep by construction
+    (asserted by the ordering-contract tests above)."""
+    evidence = latest_evidence(REPO)
+    assert evidence, "no CORRECTNESS files in repo"
+    current = max(rnd for rnd, _ in evidence.values())
+    too_old = sorted(
+        k
+        for k in QUERIES
+        if k in evidence
+        and is_green(k, evidence[k][1], ORACLES, evidence[k][0])
+        and evidence[k][0] < current - 5
+    )
+    assert not too_old, (
+        f"{len(too_old)} keys' latest green evidence is >5 rounds stale "
+        f"(newest evidence round = r{current}): {too_old[:10]}"
+    )
