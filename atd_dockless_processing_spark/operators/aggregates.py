@@ -184,8 +184,8 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinations collect_set would return."""
     return (
         load(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
         .groupBy("o_orderstatus")
         .agg(
             F.array_join(

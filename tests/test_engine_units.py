@@ -4086,18 +4086,20 @@ def test_collect_sorted_pairs_first_form_and_equality(spark, sf_dir):
     from atd_dockless_processing_spark import QUERIES
     from atd_dockless_processing_spark.tables import load
 
-    got = QUERIES["agg_collect_sorted"](spark, sf_dir)
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    # the corpus-side aggregate groups on BOTH keys in codegen
-    assert "o_orderstatus" in plan and "o_orderpriority" in plan
     import re
 
-    oha = [
-        ln for ln in plan.splitlines() if "ObjectHashAggregate" in ln
-    ]
-    # collect_list still needs an object agg, but only over the pair
-    # summary — its grouping must be status alone, never the raw scan
-    assert oha and all("o_orderpriority, " not in ln for ln in oha), oha
+    got = QUERIES["agg_collect_sorted"](spark, sf_dir)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side pass is a codegen HashAggregate grouping on BOTH
+    # keys (attributes print with expr IDs — match them, or the
+    # assertion is vacuous: r11 review finding #1)
+    assert re.search(
+        r"HashAggregate\(keys=\[o_orderstatus#\d+, o_orderpriority#\d+",
+        plan,
+    ), plan
+    # a regression to the old form would collect_set over the raw scan
+    assert "collect_set" not in plan, plan
+    assert "ObjectHashAggregate" in plan  # the tiny summary collect
     direct = (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")

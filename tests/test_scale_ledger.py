@@ -34,10 +34,12 @@ WEAK_LIST = [
     "evt_sliding_window",
     "stm_sliding_watermark",
     "stm_transform_with_state",
-    # r11 weak-burn (VERDICT r10 items 2/4): the three rows that stayed
-    # >2x after the measured rewrites/decompositions carry CLOSED
-    # stamps; llm_term_topk / txt_lang_id / agg_collect_sorted left
-    # the weak list by measurement (0.86x / 1.75x / 1.32x at x100)
+    # r11 weak-burn (VERDICT r10 items 2/4): the rows that stayed >2x
+    # after the measured rewrites/decompositions carry CLOSED stamps.
+    # llm_term_topk / txt_lang_id / agg_collect_sorted were on the r10
+    # VERDICT's prose weak list (never on this curated test list) and
+    # left it by measurement (0.86x / 1.75x / 1.32x at x100), so they
+    # need no stamp here.
     "fn_from_json_struct",
     "fn_variant_json",
     "txt_token_bpe",
