@@ -53,32 +53,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_round_boundary.py simulates a post-commit evidence drop.
 _KEY_ORDER_BASE = [
     "win_fill_forward", "fn_from_json_struct", "txt_lang_id",
-    "fn_variant_json", "agg_collect_sorted", "join_left_outer",
-    "join_full_outer", "join_skew_salted", "join_broadcast_dim",
-    "agg_distinct_count", "join_null_safe", "dq_constraint_report",
-    "agg_global", "join_theta_range", "agg_filtered", "agg_histogram",
-    "agg_rollup", "join_cross_small", "join_multiway_5", "agg_grouping_sets",
-    "agg_cube", "join_asof", "agg_groupby_q1", "prj_select_rename",
-    "win_running_sum", "win_moving_avg", "win_rank_dense",
-    "prj_derived_expr", "src_parquet_scan", "win_first_last",
-    "win_ntile_pct", "win_percent_rank", "win_ratio_to_report",
-    "prj_case_when", "snk_zorder_layout", "agg_bloom_membership",
-    "agg_quantile_sketch", "llm_semdedup", "etl_publish_funnel",
-    "evt_state_intervals", "evt_new_vs_returning", "stm_cdc_stream_apply",
-    "txt_dedup_paragraphs", "join_scd2_temporal", "llm_rouge_overlap",
-    "mm_image_embed_sim", "dq_skew_report", "stm_join_stream_left",
-    "agg_gini", "dq_fk_orphans", "llm_curriculum_order",
-    "mm_audio_silence_trim", "snk_manifest_publish", "dq_freshness",
-    "evt_path_topk", "geo_hex_ring_smooth", "llm_train_val_split",
-    "mm_video_scene_cut", "snk_cdc_apply", "win_rolling_median", "agg_mode",
-    "dq_pk_uniqueness", "evt_attribution_linear", "evt_cusum_changepoint",
-    "evt_ewma", "fn_ip_cidr", "gph_bfs_reachability",
-    "llm_doc_sample_per_source", "mm_audio_features", "mm_image_histogram",
-    "src_xml_roundtrip", "txt_readability", "snk_compact_small_files",
-    "join_bloom_prefilter", "stm_sketch_hll_merge", "evt_outlier_mad",
-    "gph_pagerank_scaled", "llm_shard_assign", "src_json_corrupt",
-    "agg_kmv_theta_sketch", "dq_benford_digits", "evt_rebalance_detect",
-    "evt_ts_interpolate", "gph_degree_distribution",
+    "fn_variant_json", "agg_collect_sorted", "join_bloom_prefilter",
+    "join_left_outer", "join_full_outer", "join_skew_salted",
+    "join_broadcast_dim", "agg_distinct_count", "join_null_safe",
+    "dq_constraint_report", "agg_global", "join_theta_range", "agg_filtered",
+    "agg_histogram", "agg_rollup", "join_cross_small", "join_multiway_5",
+    "agg_grouping_sets", "agg_cube", "join_asof", "agg_groupby_q1",
+    "prj_select_rename", "win_running_sum", "win_moving_avg",
+    "win_rank_dense", "prj_derived_expr", "src_parquet_scan",
+    "win_first_last", "win_ntile_pct", "win_percent_rank",
+    "win_ratio_to_report", "prj_case_when", "snk_zorder_layout",
+    "agg_bloom_membership", "agg_quantile_sketch", "llm_semdedup",
+    "etl_publish_funnel", "evt_state_intervals", "evt_new_vs_returning",
+    "stm_cdc_stream_apply", "txt_dedup_paragraphs", "join_scd2_temporal",
+    "llm_rouge_overlap", "mm_image_embed_sim", "dq_skew_report",
+    "stm_join_stream_left", "agg_gini", "dq_fk_orphans",
+    "llm_curriculum_order", "mm_audio_silence_trim", "snk_manifest_publish",
+    "dq_freshness", "evt_path_topk", "geo_hex_ring_smooth",
+    "llm_train_val_split", "mm_video_scene_cut", "snk_cdc_apply",
+    "win_rolling_median", "agg_mode", "dq_pk_uniqueness",
+    "evt_attribution_linear", "evt_cusum_changepoint", "evt_ewma",
+    "fn_ip_cidr", "gph_bfs_reachability", "llm_doc_sample_per_source",
+    "mm_audio_features", "mm_image_histogram", "src_xml_roundtrip",
+    "txt_readability", "snk_compact_small_files", "stm_sketch_hll_merge",
+    "evt_outlier_mad", "gph_pagerank_scaled", "llm_shard_assign",
+    "src_json_corrupt", "agg_kmv_theta_sketch", "dq_benford_digits",
+    "evt_rebalance_detect", "evt_ts_interpolate", "gph_degree_distribution",
     "stm_rate_source_window", "src_python_datasource", "udtf_python_custom",
     "stm_state_store_read", "udf_arrow_native", "sql_scripting",
     "llm_temperature_mixture", "geo_trip_quality_flags",

@@ -1581,10 +1581,14 @@ def gph_pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JBF_M = 262144  # bits (2^18), shared with agg_bloom_membership
 _JBF_K = 4
-_JBF_POS_SPARK = (
-    "CAST(conv(substr(md5(CAST({key} AS STRING) || ':' || CAST({i} AS STRING)), 1, 15), 16, 10)"
-    f" AS BIGINT) % {_JBF_M}"
-)
+# r11: positions come from xxhash64(key, seed) — the bloom is
+# semantically TRANSPARENT (the exact join removes false positives and
+# the oracle never computes it), so the hash needs no cross-engine
+# portability, and xxhash64 on the native long is ~1.7× cheaper per
+# probe than the md5+conv+substr string pipeline (×100 A/B below).
+# agg_bloom_membership keeps md5 positions — there the ORACLE
+# recomputes the same positions in SQL, so portability is load-bearing.
+_JBF_POS_SPARK = f"pmod(xxhash64({{key}}, {{i}}), {_JBF_M})"
 
 
 @query(
@@ -1609,10 +1613,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact join; Spark's own `spark.sql.optimizer.runtimeFilter.
     bloomFilter` does this opaquely — here the reduction is explicit,
     engine-neutral, and verifiable). Build: the dim keys (customers
-    of one nation) set K=4 md5 bit positions; positions fold into
-    <=4096 64-bit WORDS via bit_or, and the whole <=32 KB bitmap
-    collapses into ONE broadcast row as a word->mask MAP. Probe:
-    every order tests its 4 (word, mask) pairs with element_at +
+    of one nation) set K=4 xxhash64 bit positions; positions fold
+    into <=4096 64-bit WORDS via bit_or, and the whole <=32 KB bitmap
+    collapses into ONE broadcast row as a DENSE word-indexed long
+    array (r11: a word->mask MAP probed 4x/row was an O(words) linear
+    scan per element_at — 14.3 s at x100; dense get() is O(1)).
+    Probe: every order tests its 4 (word, mask) pairs with get() +
     bitwise AND — pure codegen, NO shuffle, no explode. Survivors
     (all true matches + ~0.2% false positives) then pass the exact
     broadcast semi join, so the bloom stage is semantically
@@ -1650,30 +1656,43 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one array of (word, mask) ENTRIES per agg buffer row — explicit
     # pairing via map_from_entries instead of positional alignment of
     # two collect_list buffers (r6 ADVICE: the two-buffer form leans
-    # on an undocumented same-order implementation detail)
+    # on an undocumented same-order implementation detail) — then
+    # DENSIFIED into a word-indexed long array. This is the r11 scale
+    # fix: Spark's element_at on a MapData is a LINEAR SCAN of the
+    # keys, so probing a ~4096-entry map 4×/row cost O(rows·K·words) —
+    # measured 14.3 s at ×100; the dense array's O(1) get() reads the
+    # word directly (14.3 → 3.24 s; xxhash64 positions take it to
+    # 1.95 s). The densification itself pays the map scan only once
+    # per word (4096², inside the 1-row aggregate) — negligible.
     bitmap = words.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word", "wordmask"))
         ).alias("bm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {_JBF_M // 64 - 1}),"
+            " w -> coalesce(element_at(bm, cast(w as bigint)),"
+            " cast(0 as bigint)))"
+        ).alias("bma")
     )
     o = load(spark, sf_dir, "orders")
     probed = o.crossJoin(F.broadcast(bitmap))
     # membership test as a forall over the position ARRAY: each of the
-    # K md5 positions is computed ONCE as an array element and the
+    # K hash positions is computed ONCE as an array element and the
     # lambda variable binds its VALUE, so deriving word + mask costs no
-    # re-evaluation — 4 md5/row, not 8 (r6 ADVICE; a staged projection
-    # would NOT survive here: the filter predicate is deterministic, so
-    # PushDownPredicates would substitute the alias back to the full
-    # md5 subtree on both references)
+    # re-evaluation — 4 hashes/row, not 8 (r6 ADVICE; a staged
+    # projection would NOT survive here: the filter predicate is
+    # deterministic, so PushDownPredicates would substitute the alias
+    # back to the full hash subtree on both references)
     poss = ", ".join(
         _JBF_POS_SPARK.format(key="o_custkey", i=i) for i in range(_JBF_K)
     )
     test = F.expr(
         f"forall(array({poss}), p ->"
-        " (coalesce(element_at(bm, p div 64), cast(0 as bigint))"
+        " (get(bma, cast(p div 64 as int))"
         " & shiftleft(cast(1 as bigint), cast(p % 64 as int))) != 0)"
     )
-    prefiltered = probed.where(test).drop("bm")
+    prefiltered = probed.where(test).drop("bma")
     exact = prefiltered.join(
         F.broadcast(dim),
         prefiltered.o_custkey == dim.c_custkey,

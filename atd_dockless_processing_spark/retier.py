@@ -61,6 +61,9 @@ EVIDENCE_INVALIDATED: dict[str, int] = {
     "fn_from_json_struct": 11,
     "fn_variant_json": 11,
     "txt_lang_id": 11,
+    # r11: map->dense-array bitmap + xxhash64 positions (34x -> 4.7x
+    # at x100; the map element_at linear scan was the scale bug)
+    "join_bloom_prefilter": 11,
 }
 
 
