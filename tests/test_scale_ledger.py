@@ -48,6 +48,9 @@ WEAK_LIST = [
     # (34.4x -> 4.70x); the residual is the explicit bloom surface,
     # stamped DELIBERATE with the bloom-free twin decomposition
     "join_bloom_prefilter",
+    # r11 floor sweep: map-typed Jackson parse is the declared
+    # dynamic-schema surface (fn_from_json_struct family)
+    "fn_map_ops",
 ]
 
 STATUS = re.compile(r"\bCLOSED\b|\bDELIBERATE\b")
