@@ -27,6 +27,7 @@ extremes. Exits non-zero on any failure.
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -68,8 +69,14 @@ sys.exit(1 if fails else 0)
 
 def round_boundary() -> int:
     """Prove the round-start checklist survives a post-commit evidence
-    drop: synthesize CORRECTNESS_r{N+1}.json from the latest real file,
-    run the ordering/tripwire tests with it present, clean up."""
+    drop: synthesize CORRECTNESS_r{N+1}.json as the drop the driver
+    would ACTUALLY produce — green rows for the first ~50 keys of the
+    CURRENT effective sweep order (needy first, then oldest evidence)
+    — then run the ordering/tripwire tests with it present, clean up.
+    (Through r10 the synthetic file replayed the latest file's key set
+    verbatim; that world ignores the retier rotation, which the r11
+    evidence-age alarm rightly flags — an unrealistic simulation, not
+    a real failure mode.)"""
     # keep the ACTUAL globbed path — reconstructing it with a padded
     # {:02d} format would miss an unpadded driver drop like
     # CORRECTNESS_r9.json (r9 review finding #4)
@@ -85,8 +92,26 @@ def round_boundary() -> int:
     if synth.exists():
         print(f"stray {synth.name} already present — refusing to overwrite")
         return 1
-    synth.write_text(latest.read_text())
-    print(f"synthesized {synth.name} from {latest.name}")
+    sys.path.insert(0, str(REPO))
+    from atd_dockless_processing_spark import ORACLES  # noqa: E402
+    import __spark_entry__ as entry  # noqa: E402
+
+    rows = {}
+    for k in entry._KEY_ORDER[:50]:
+        if k in ORACLES:
+            rows[k] = {
+                "rows_match": True, "schema_match": True,
+                "hash_match": True, "spark_rows": 1, "oracle_rows": 1,
+                "err": None,
+            }
+        else:
+            rows[k] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": 1, "oracle_rows": None,
+                "err": "no_oracle",
+            }
+    synth.write_text(json.dumps(rows))
+    print(f"synthesized {synth.name}: sweep-head 50 of the effective order")
     try:
         r = subprocess.run(
             [
