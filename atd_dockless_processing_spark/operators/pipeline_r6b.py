@@ -1588,7 +1588,13 @@ _JBF_K = 4
 # probe than the md5+conv+substr string pipeline (×100 A/B below).
 # agg_bloom_membership keeps md5 positions — there the ORACLE
 # recomputes the same positions in SQL, so portability is load-bearing.
-_JBF_POS_SPARK = f"pmod(xxhash64({{key}}, {{i}}), {_JBF_M})"
+# The key is cast to BIGINT before hashing: xxhash64 is sensitive to
+# the physical integer WIDTH (xxhash64(5::INT) != xxhash64(5::BIGINT)),
+# and a build/probe width divergence would be a silent FALSE NEGATIVE —
+# unrecoverable, unlike false positives which the exact join removes
+# (r11 second-review finding #1; the removed md5 form normalized via
+# CAST AS STRING).
+_JBF_POS_SPARK = f"pmod(xxhash64(cast({{key}} as bigint), {{i}}), {_JBF_M})"
 
 
 @query(
@@ -1626,14 +1632,36 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     no bloom at all, and any dropped true key or leaked false
     positive flips the hash.
 
-    Plan shape: dim side = 2 tiny aggs (positions -> words -> 1-row
-    map); fact side = scan -> broadcast-map membership test ->
-    broadcast semi join -> ONE combinable agg exchange. At 100 TB
+    Plan shape: dim side = 2 tiny aggs (positions -> words -> one
+    1-row dense long array); fact side = scan -> broadcast-array
+    get() membership test -> broadcast semi join -> ONE combinable
+    agg exchange. At 100 TB
     with a SHUFFLE join on the other side of the reduction, the
     bloom test deletes ~(1 - selectivity) of the fact shuffle bytes
     — the entire point; here both joins broadcast, so the test run
     shows transparency + pruning (asserted in tests), not wall-time.
     Exact DECIMAL sums (house rule)."""
+    dim, prefiltered = _bloom_stage(spark, sf_dir)
+    exact = prefiltered.join(
+        F.broadcast(dim),
+        prefiltered.o_custkey == dim.c_custkey,
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_price"),
+    )
+
+
+def _bloom_stage(spark: SparkSession, sf_dir: str):
+    """Build the bloom bitmap and return (dim, prefiltered-orders) —
+    the stage BEFORE the exact semi join. Split out so the pruning
+    test can count actual bloom survivors (true matches + false
+    positives) instead of the post-exact-join rows, which would be
+    blind to a vacuous always-true probe (r11 second-review finding
+    #2)."""
     cust = load(spark, sf_dir, "customer")
     dim = cust.where(F.col("c_nationkey") == 3).select("c_custkey")
     # bloom build: K positions per key -> word/mask -> bit_or words
@@ -1693,17 +1721,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         " & shiftleft(cast(1 as bigint), cast(p % 64 as int))) != 0)"
     )
     prefiltered = probed.where(test).drop("bma")
-    exact = prefiltered.join(
-        F.broadcast(dim),
-        prefiltered.o_custkey == dim.c_custkey,
-        "left_semi",
-    )
-    return exact.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
-        ).alias("sum_price"),
-    )
+    return dim, prefiltered
 
 
 # ---------------------------------------------------------------------------

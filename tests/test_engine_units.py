@@ -1363,14 +1363,30 @@ def test_bloom_prefilter_prunes_and_is_transparent(spark, sf_dir):
         ).collect()
     }
     assert {k: v[0] for k, v in got.items()} == want
-    # pruning: count survivors of the bloom stage alone by rebuilding
-    # the exact stage's input == true matches + false positives
+    # pruning: count survivors of the BLOOM STAGE ALONE (true matches
+    # + false positives), not the post-exact-join rows — a vacuous
+    # always-true probe would leave the final result correct but keep
+    # every fact row, and only this count catches it (r11 second-
+    # review finding #2)
+    from atd_dockless_processing_spark.operators.pipeline_r6b import (
+        _bloom_stage,
+    )
+
     n_fact = o.count()
     n_true = plain.count()
+    n_bloom = _bloom_stage(spark, sf_dir)[1].count()
     n_kept = sum(v[0] for v in got.values())
     assert n_kept == n_true
-    # the bloom must have been able to prune at all (dim is a subset)
-    assert n_true < n_fact
+    # no false negatives (every true match survives the bloom) and
+    # REAL pruning: survivors must sit far below the fact count —
+    # within 2% false positives of the true-match count at this
+    # bitmap load (m=2^18, k=4, |dim| ~ 600 keys at sf0.01)
+    assert n_true <= n_bloom <= n_true + max(10, int(0.02 * n_fact)), (
+        n_true,
+        n_bloom,
+        n_fact,
+    )
+    assert n_bloom < n_fact // 2
 
 
 def test_json_corrupt_survives_column_pruned_actions(spark, sf_dir):
