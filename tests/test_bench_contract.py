@@ -31,6 +31,16 @@ def test_bench_emits_contract_json():
     assert isinstance(doc["value"], (int, float)) and doc["value"] > 0
     assert len(doc["queries"]) == 12
     assert abs(sum(doc["queries"].values()) - doc["value"]) < 0.01
+    # r11 noise-hardening fields: the DuckDB pair is measured and
+    # recorded at ANY sf, but the drift check (and its re-run loop)
+    # applies only at sf0.1 where BASELINE's 0.393 s denominator was
+    # measured — at sf0.001 the baseline/drift must be None and no
+    # epoch may have been discarded (r11 review finding #2)
+    assert isinstance(doc["duckdb_pair_s"], (int, float))
+    assert doc["duckdb_pair_s"] > 0
+    assert doc["duckdb_baseline_s"] is None
+    assert doc["pair_drift"] is None
+    assert doc["noisy_epochs_discarded"] == 0
 
 
 def test_key_order_matches_registry():
