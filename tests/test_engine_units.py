@@ -4219,3 +4219,40 @@ def test_lang_id_prefilter_equals_direct_scoring(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_bloom_prefilter_survives_key_width_divergence(spark, sf_dir):
+    """xxhash64 is physical-integer-WIDTH sensitive, so the bloom
+    positions cast both sides to BIGINT first (r11 second-review
+    finding #1). Pin the hazard: serve customer with an INT32
+    c_custkey (as a provider or schema drift could) while orders
+    keeps int64 — every true match must still survive (a width
+    divergence without the cast would silently drop ~all of them,
+    a false NEGATIVE the exact join cannot repair)."""
+    from pyspark.sql import functions as F
+
+    from atd_dockless_processing_spark import QUERIES, tables
+
+    base = {
+        r.o_orderpriority: (r.n_orders, r.sum_price)
+        for r in QUERIES["join_bloom_prefilter"](spark, sf_dir).collect()
+    }
+    cust_narrow = (
+        tables.load(spark, sf_dir, "customer")
+        .withColumn("c_custkey", F.col("c_custkey").cast("int"))
+    )
+
+    def provider(s, d, name):
+        # None = fall through to disk inside tables.load (recursion
+        # guard pattern from the checksum test)
+        return cust_narrow if name == "customer" else None
+
+    try:
+        tables.set_table_provider(provider)
+        narrowed = {
+            r.o_orderpriority: (r.n_orders, r.sum_price)
+            for r in QUERIES["join_bloom_prefilter"](spark, sf_dir).collect()
+        }
+    finally:
+        tables.set_table_provider(None)
+    assert narrowed == base and base
