@@ -361,6 +361,17 @@ def main() -> None:
                 "pair_drift": (
                     round(pair / BASELINE_12Q_S, 3) if pair_applies else None
                 ),
+                # True when even the QUIETEST of the (<=3) epochs
+                # exceeded PAIR_DRIFT_LIMIT — the recorded numbers were
+                # measured inside a noisy host window and must not be
+                # stamped as the round's artifact of record without a
+                # re-run (r11 advice: noisy_epochs_discarded alone
+                # implied the kept epoch was clean when all 3 were not)
+                "pair_noisy": (
+                    pair > BASELINE_12Q_S * PAIR_DRIFT_LIMIT
+                    if pair_applies
+                    else None
+                ),
                 "noisy_epochs_discarded": len(epochs) - 1,
                 "method": (
                     f"hot inputs (tables cached), FRESH plan instance per"

@@ -92,13 +92,32 @@ def round_boundary() -> int:
     if synth.exists():
         print(f"stray {synth.name} already present — refusing to overwrite")
         return 1
-    sys.path.insert(0, str(REPO))
-    from atd_dockless_processing_spark import ORACLES  # noqa: E402
-    import __spark_entry__ as entry  # noqa: E402
+    # Compute the sweep head in a SUBPROCESS (r12 advice): importing
+    # __spark_entry__/ORACLES here would mutate this process's
+    # sys.path and leave heavy cached imports that later sim stages
+    # in the same process would silently inherit.
+    head_probe = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import sys, json; sys.path.insert(0, r'" + str(REPO) + "'); "
+                "from atd_dockless_processing_spark import ORACLES; "
+                "import __spark_entry__ as entry; "
+                "print(json.dumps("
+                "[[k, k in ORACLES] for k in entry._KEY_ORDER[:50]]))"
+            ),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(REPO),
+        check=True,
+    )
+    sweep_head = json.loads(head_probe.stdout.strip().splitlines()[-1])
 
     rows = {}
-    for k in entry._KEY_ORDER[:50]:
-        if k in ORACLES:
+    for k, has_oracle in sweep_head:
+        if has_oracle:
             rows[k] = {
                 "rows_match": True, "schema_match": True,
                 "hash_match": True, "spark_rows": 1, "oracle_rows": 1,

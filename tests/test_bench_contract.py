@@ -221,3 +221,29 @@ def test_bench_no_per_query_regression_between_rounds():
         f"per-query bench regression {rounds[-2].name} -> {rounds[-1].name}: "
         f"{regressed}"
     )
+
+
+def test_baseline_constant_pinned_to_doc():
+    """BASELINE_12Q_S in bench.py duplicates the measured total that
+    BASELINE.md documents as the 2x gate's denominator (r12 advice:
+    a baseline re-measure that updates the doc but not the constant
+    would silently skew the pair-drift gate). Parse both texts — no
+    bench import, no Spark — and require them equal to the ms."""
+    import re
+
+    bench_src = (REPO / "bench.py").read_text()
+    m = re.search(r"^BASELINE_12Q_S\s*=\s*([0-9.]+)", bench_src, re.M)
+    assert m, "BASELINE_12Q_S constant missing from bench.py"
+    const_s = float(m.group(1))
+
+    doc = (REPO / "BASELINE.md").read_text()
+    d = re.search(
+        r"total, 12-query representative set\*\*\s*\|\s*\*\*[^0-9]*([0-9]+(?:\.[0-9]+)?)\s*ms\*\*",
+        doc,
+    )
+    assert d, "12-query total row missing from BASELINE.md"
+    doc_s = float(d.group(1)) / 1000.0
+    assert abs(const_s - doc_s) < 5e-4, (
+        f"bench.py BASELINE_12Q_S={const_s} != BASELINE.md {doc_s} — "
+        "update BOTH when the baseline is re-measured"
+    )

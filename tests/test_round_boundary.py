@@ -16,6 +16,8 @@ import json
 import sys
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
@@ -108,6 +110,7 @@ def test_retier_skips_malformed_evidence_file(tmp_path):
     assert ev == {"a": (1, {"err": None, "hash_match": True})}
 
 
+@pytest.mark.tripwire
 def test_no_key_evidence_older_than_five_rounds():
     """Evidence-age alarm (VERDICT r10 item 5): the retier provably
     fronts stale-oldest keys, so under the driver's ~50-key/round
