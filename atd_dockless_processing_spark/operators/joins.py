@@ -28,17 +28,17 @@ from ..tables import load
     """,
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi inner join orders⋈customer + aggregate (core)."""
-    orders = load(spark, sf_dir, "orders")
-    customer = load(spark, sf_dir, "customer")
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
-        )
-    )
+    """Equi inner join orders⋈customer + aggregate (core).
+
+    r12 (VERDICT r11 item 2): routes through the layout-aware
+    ``custkey_inner_plan`` — when the one-time bucketed-custkey layout
+    (``ensure_custkey_bucketed_layout``) is present for this sf_dir
+    the join plans EXCHANGE-FREE off the bucketed scans (0.95x DuckDB
+    at x100, Spark faster); without it the ad-hoc plan runs unchanged
+    (the driver's fresh-session sweep always takes this path). Both
+    forms are the same logical query — cross-form equality pinned in
+    tests; dispatch is a pure physical-plan probe."""
+    return custkey_inner_plan(spark, sf_dir)
 
 
 @query(
@@ -157,12 +157,13 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join: customers with zero orders (orphan detection,
-    [P med])."""
-    customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_mktsegment")
+    [P med]).
+
+    r12: layout-aware dispatch (``custkey_anti_plan``) — with the
+    bucketed-custkey layout the whole query is a ZERO-exchange
+    sort-merge anti join (1.12x DuckDB at x100, was 2.83x); the
+    ad-hoc shuffled anti runs unchanged when no layout exists."""
+    return custkey_anti_plan(spark, sf_dir)
 
 
 _BANDS = [
@@ -503,6 +504,222 @@ def multiway5_plan(
     )
 
 
+# ---------------------------------------------------------------------------
+# Bucketed-CUSTKEY layout (r12, VERDICT r11 item 2): the orders⋈customer
+# spine behind join_inner / join_anti / join_cross_small. Same machinery
+# and guard discipline as the Q5 orderkey layout above — one-time
+# bucketBy(custkey)+sortBy external tables with narrow column sets, so
+# every custkey join plans EXCHANGE-FREE off the bucketed scans. Eager-agg
+# pushdown was A/B'd and REJECTED for these shapes (custkey cardinality
+# ~rows/10 — commit 853ac82); the layout is the lever that works:
+# measured at x100 (scripts in .scratch/ab_custkey_bucket*.py, rows in
+# BASELINE.md) join_inner 3.29x→0.95x, join_anti 2.83x→1.12x,
+# join_cross_small 3.99x→1.52x, one-time build 10.9+1.4 s.
+# ---------------------------------------------------------------------------
+
+_CK_BUCKETS = 32
+
+
+def _ck_bucket_tables(sf_dir: str, buckets: int) -> tuple[str, str, str]:
+    # bucket count is part of the table identity (the _q5_bucket_tables
+    # rule): an ensure() with a different count must NOT silently reuse
+    # another count's layout
+    sftag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    from ..tables import scratch_dir
+
+    base = scratch_dir("ck_bucketed", sf_dir.strip("/").replace("/", "_"))
+    return (
+        f"ckb_orders_{sftag}_b{buckets}",
+        f"ckb_customer_{sftag}_b{buckets}",
+        base,
+    )
+
+
+def _ck_src_sig(sf_dir: str) -> str:
+    """Freshness signature of the layout's sources (shared
+    ``tables.source_signature`` — per-file for directory-shaped
+    tables, nonce on OSError so an unstatable source never matches)."""
+    from ..tables import source_signature
+
+    return ";".join(
+        f"{t}:{source_signature(f'{sf_dir}/{t}.parquet')}"
+        for t in ("orders", "customer")
+    )
+
+
+def ensure_custkey_bucketed_layout(
+    spark: SparkSession, sf_dir: str, buckets: int = _CK_BUCKETS
+) -> tuple[str, str]:
+    """One-time bucketed-custkey layout: orders and customer (narrow
+    column sets covering the three registered custkey shapes) written
+    bucketBy(buckets, custkey) + sortBy as external tables, so every
+    subsequent orders⋈customer join is exchange-free — the 100 TB
+    repeated-join amortizer, same economics as the Q5 orderkey layout
+    (pay 12.3 s once at x100, every custkey join thereafter runs at
+    DuckDB parity). Idempotent per (sf_dir, buckets); rebuilt when the
+    source parquet changes; DECLINES on an unstatable source and while
+    a table provider is active (the ensure_q5_bucketed_layout rules)."""
+    from pathlib import Path
+
+    from .. import tables
+    from ..tables import signature_unavailable
+
+    o_tbl, c_tbl, base = _ck_bucket_tables(sf_dir, buckets)
+    if signature_unavailable(_ck_src_sig(sf_dir)):
+        return o_tbl, c_tbl
+    if tables.provider_active():
+        return o_tbl, c_tbl
+    if not _ck_layout_available(spark, sf_dir, buckets):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite")
+            .bucketBy(buckets, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", f"{base}/{o_tbl}")
+            .saveAsTable(o_tbl)
+        )
+        (
+            load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_nationkey")
+            .write.mode("overwrite")
+            .bucketBy(buckets, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", f"{base}/{c_tbl}")
+            .saveAsTable(c_tbl)
+        )
+        Path(base, f".{o_tbl}.src_sig").write_text(_ck_src_sig(sf_dir))
+    return o_tbl, c_tbl
+
+
+def _ck_layout_available(
+    spark: SparkSession, sf_dir: str, buckets: int = _CK_BUCKETS
+) -> bool:
+    """Catalog entries present, external paths on disk, freshness
+    marker matching the current source signature; NEVER true while a
+    table provider is active (the _q5_layout_available rules — a
+    provider's rows must not be shadowed by a disk layout)."""
+    from pathlib import Path
+
+    from .. import tables
+
+    if tables.provider_active():
+        return False
+    o_tbl, c_tbl, base = _ck_bucket_tables(sf_dir, buckets)
+    marker = Path(base, f".{o_tbl}.src_sig")
+    return (
+        spark.catalog.tableExists(o_tbl)
+        and spark.catalog.tableExists(c_tbl)
+        and Path(base, o_tbl).exists()
+        and Path(base, c_tbl).exists()
+        and marker.exists()
+        and marker.read_text() == _ck_src_sig(sf_dir)
+    )
+
+
+def _ck_sides(
+    spark: SparkSession,
+    sf_dir: str,
+    layout: str = "auto",
+    buckets: int = _CK_BUCKETS,
+) -> tuple[DataFrame, DataFrame, bool]:
+    """(orders, customer, is_bucketed) for the custkey join plans:
+    ``layout`` = 'auto' (bucketed when the layout exists, else ad-hoc)
+    | 'adhoc' | 'bucketed' (requires the layout). The bucketed frames
+    are the narrow external tables; callers add the merge hint on the
+    probe side so small-SF stats cannot broadcast away the layout
+    (hint scope: nearest join only — the q5-pinned Spark behavior)."""
+    if layout == "auto":
+        layout = (
+            "bucketed" if _ck_layout_available(spark, sf_dir, buckets) else "adhoc"
+        )
+    if layout == "bucketed":
+        o_tbl, c_tbl, _ = _ck_bucket_tables(sf_dir, buckets)
+        return spark.table(o_tbl), spark.table(c_tbl), True
+    return load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer"), False
+
+
+def custkey_inner_plan(
+    spark: SparkSession, sf_dir: str, layout: str = "auto",
+    buckets: int = _CK_BUCKETS,
+) -> DataFrame:
+    """join_inner's plan: orders⋈customer + segment aggregate. With
+    the layout: exchange-free SMJ off the bucketed scans, then ONE
+    5-group agg exchange — 0.95x DuckDB at x100 (Spark faster);
+    without: Catalyst's shuffled-hash join, 3.29x constant-factor
+    race (the r11-measured floor; eager-agg rejected, commit 853ac82)."""
+    o, c, bucketed = _ck_sides(spark, sf_dir, layout, buckets)
+    if bucketed:
+        c = c.hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+def custkey_anti_plan(
+    spark: SparkSession, sf_dir: str, layout: str = "auto",
+    buckets: int = _CK_BUCKETS,
+) -> DataFrame:
+    """join_anti's plan: customer ANTI orders. With the layout the
+    whole query is a ZERO-exchange sort-merge anti join off the
+    bucketed scans — 1.12x DuckDB at x100 (was 2.83x shuffled)."""
+    o, c, bucketed = _ck_sides(spark, sf_dir, layout, buckets)
+    if bucketed:
+        o = o.hint("merge")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def custkey_cross_plan(
+    spark: SparkSession, sf_dir: str, layout: str = "auto",
+    buckets: int = _CK_BUCKETS,
+) -> DataFrame:
+    """join_cross_small's plan: region×status grid left-joined with
+    actual counts. r12 rewrite (BOTH forms): aggregate the
+    orders⋈customer spine to (c_nationkey, o_orderstatus) — ≤75
+    rows — BEFORE the nation/region dim joins, so the dims join the
+    aggregate instead of being broadcast across the 15M-row fact
+    (value-identical: count partitioned by nationkey sums to the
+    region counts). With the layout the spine is the exchange-free
+    SMJ: 1.52x DuckDB at x100 (was 3.99x)."""
+    o, c, bucketed = _ck_sides(spark, sf_dir, layout, buckets)
+    if bucketed:
+        c = c.hint("merge")
+    region = load(spark, sf_dir, "region")
+    statuses = spark.createDataFrame([("F",), ("O",), ("P",)], "s string")
+    grid = region.select("r_name").crossJoin(statuses)
+    nation = load(spark, sf_dir, "nation")
+    nk_counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n0"))
+    )
+    counts = (
+        nk_counts.join(
+            F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("cr_name"),
+            F.col("o_orderstatus").alias("cs"),
+        )
+        .agg(F.sum("n0").alias("n"))
+    )
+    return grid.join(
+        counts, (grid.r_name == counts.cr_name) & (grid.s == counts.cs), "left"
+    ).select(
+        "r_name",
+        F.col("s").alias("o_orderstatus"),
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+    )
+
+
 @query(
     "join_cross_small",
     oracle="""
@@ -522,27 +739,14 @@ def multiway5_plan(
 )
 def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-join scaffold (all region×status cells) + left join of
-    actual counts, zero-filled (report grids, [P med])."""
-    region = load(spark, sf_dir, "region")
-    statuses = spark.createDataFrame([("F",), ("O",), ("P",)], "s string")
-    grid = region.select("r_name").crossJoin(statuses)
-    orders = load(spark, sf_dir, "orders")
-    customer = load(spark, sf_dir, "customer")
-    nation = load(spark, sf_dir, "nation")
-    counts = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy(F.col("r_name").alias("cr_name"), F.col("o_orderstatus").alias("cs"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return grid.join(
-        counts, (grid.r_name == counts.cr_name) & (grid.s == counts.cs), "left"
-    ).select(
-        "r_name",
-        F.col("s").alias("o_orderstatus"),
-        F.coalesce("n", F.lit(0)).alias("n_orders"),
-    )
+    actual counts, zero-filled (report grids, [P med]).
+
+    r12: layout-aware dispatch (``custkey_cross_plan``), and BOTH
+    forms now aggregate the spine to (c_nationkey, o_orderstatus)
+    before the dim joins — the dims join a ≤75-row aggregate instead
+    of broadcasting across the 15M-row fact (1.52x DuckDB at x100
+    with the layout, was 3.99x)."""
+    return custkey_cross_plan(spark, sf_dir)
 
 
 _SALT_N = 16

@@ -64,6 +64,13 @@ EVIDENCE_INVALIDATED: dict[str, int] = {
     # r11: map->dense-array bitmap + xxhash64 positions (34x -> 4.7x
     # at x100; the map element_at linear scan was the scale bug)
     "join_bloom_prefilter": 11,
+    # r12 (VERDICT r11 item 2): bucketed-custkey layout dispatch added
+    # to all three, and join_cross_small's spine now pre-aggregates to
+    # (c_nationkey, o_orderstatus) before the dim joins — registered
+    # plans changed, evidence re-earned
+    "join_inner": 12,
+    "join_anti": 12,
+    "join_cross_small": 12,
 }
 
 

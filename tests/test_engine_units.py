@@ -4256,3 +4256,95 @@ def test_bloom_prefilter_survives_key_width_divergence(spark, sf_dir):
     finally:
         tables.set_table_provider(None)
     assert narrowed == base and base
+
+
+def test_custkey_bucketed_layout_dispatch_identity_and_staleness(spark, sf_dir):
+    """r12 bucketed-custkey layout (VERDICT r11 item 2): with the
+    layout present the three registered custkey shapes must dispatch
+    to exchange-free sort-merge plans off the bucketed scans and
+    return the same values as the ad-hoc forms; a stale freshness
+    marker must make the layout invisible (auto falls back to ad-hoc);
+    the layout is dropped in finally so no later test inherits it."""
+    import re as _re
+    import shutil
+    from pathlib import Path
+
+    from atd_dockless_processing_spark.operators.joins import (
+        _ck_bucket_tables,
+        _ck_layout_available,
+        custkey_anti_plan,
+        custkey_cross_plan,
+        custkey_inner_plan,
+        ensure_custkey_bucketed_layout,
+    )
+
+    o_tbl, c_tbl, base = _ck_bucket_tables(sf_dir, 4)
+    ensure_custkey_bucketed_layout(spark, sf_dir, buckets=4)
+    try:
+        assert _ck_layout_available(spark, sf_dir, buckets=4)
+        # bucket count is part of the identity
+        assert not _ck_layout_available(spark, sf_dir, buckets=16)
+
+        # ---- join_anti: ZERO-exchange sort-merge anti ----
+        anti_auto = custkey_anti_plan(spark, sf_dir, buckets=4)
+        plan = anti_auto._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange hashpartitioning" not in plan, plan[:3000]
+        adhoc = sorted(
+            map(tuple, custkey_anti_plan(spark, sf_dir, "adhoc").collect())
+        )
+        assert sorted(map(tuple, anti_auto.collect())) == adhoc
+
+        # ---- join_inner: custkey join exchange-free, agg exchange only
+        inner_auto = custkey_inner_plan(spark, sf_dir, buckets=4)
+        plan = inner_auto._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert not _re.search(r"Exchange hashpartitioning\(o_custkey", plan)
+        assert not _re.search(r"Exchange hashpartitioning\(c_custkey", plan)
+        got = {
+            r["c_mktsegment"]: r
+            for r in inner_auto.collect()
+        }
+        want = {
+            r["c_mktsegment"]: r
+            for r in custkey_inner_plan(spark, sf_dir, "adhoc").collect()
+        }
+        assert set(got) == set(want) and got
+        for seg in want:
+            assert got[seg]["n_orders"] == want[seg]["n_orders"]
+            # SMJ changes FP aggregation order — rounded sums agree to
+            # relative 1e-9 (the driver gate's round(.,4) at sf<=0.01
+            # magnitudes is exact; pinned tolerant here by design)
+            a, b = got[seg]["sum_price"], want[seg]["sum_price"]
+            assert abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0), (seg, a, b)
+
+        # ---- join_cross_small: exact (integer counts) ----
+        cross_auto = custkey_cross_plan(spark, sf_dir, buckets=4)
+        plan = cross_auto._jdf.queryExecution().executedPlan().toString()
+        assert not _re.search(r"Exchange hashpartitioning\(o_custkey", plan)
+        assert not _re.search(r"Exchange hashpartitioning\(c_custkey", plan)
+        assert sorted(map(tuple, cross_auto.collect())) == sorted(
+            map(tuple, custkey_cross_plan(spark, sf_dir, "adhoc").collect())
+        )
+
+        # ---- staleness: a mismatching marker hides the layout ----
+        marker = Path(base, f".{o_tbl}.src_sig")
+        good = marker.read_text()
+        try:
+            marker.write_text("stale:0:0;stale:0:0")
+            assert not _ck_layout_available(spark, sf_dir, buckets=4)
+            # auto now plans off the SOURCE parquet, not the layout
+            p = (
+                custkey_anti_plan(spark, sf_dir, buckets=4)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert o_tbl not in p, p[:2000]
+        finally:
+            marker.write_text(good)
+        assert _ck_layout_available(spark, sf_dir, buckets=4)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {c_tbl}")
+        shutil.rmtree(base, ignore_errors=True)
