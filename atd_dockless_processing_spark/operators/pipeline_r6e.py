@@ -146,7 +146,19 @@ def snk_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout (the publish-layout cost, same as snk_partitioned), one
     file-granular agg for the manifest, one month agg + broadcast
     join for verification. Integer cents via the shared
-    floor(x*100+0.5) lift (hazard: bare CAST rounds vs truncates)."""
+    floor(x*100+0.5) lift (hazard: bare CAST rounds vs truncates).
+
+    r12 decomposition (BASELINE.md round-12 section; was the 2.66x
+    INCLUSIVE row): at x100 the phases split write 3.86 s (3.07x —
+    scan+project+repartition 1.99 s noop-measured, parquet writer
+    proper ~1.87 s ≈ 125 ns/row), manifest 0.71 s, verify 0.52 s
+    (dispatch-floor absolutes). Writer-knob ledger all measured, none
+    beats default snappy (zstd 4.45 s, lz4 4.40 s, uncompressed
+    4.69 s, dictionary-off 4.09 s, dict-off+8MB-pages 4.25 s);
+    maxRecordsPerFile is moot — n_files=12 is hash-checked, so the
+    repartition stands. CLOSED-AS-CONSTANT-FACTOR with the constant
+    named: the InternalRow→Parquet per-row writer path vs DuckDB's
+    vectorized native writer; executor-parallel at 100 TB."""
     data_dir = scratch_dir(
         "snk_manifest_pub", sf_dir.strip("/").replace("/", "_"), "data"
     )

@@ -102,11 +102,11 @@ POINTERS = {
     "stm_join_stream_static": "batch twin join_broadcast_dim (floor-regime x10); static side broadcast per micro-batch",
     "stm_join_stream_stream": "stream-stream inner; the LEFT OUTER twin's decomposition (stm_join_stream_left) prices the watermark machinery",
     "stm_late_data_drop": "rows-only by contract (engine-specific watermark-drop semantics)",
-    "stm_foreachbatch_sink": "per-batch sink write; write path measured under snk_parquet/snk_partitioned family (manifest row, 2.66x INCLUSIVE)",
+    "stm_foreachbatch_sink": "per-batch sink write; write path measured under snk_parquet/snk_partitioned family (r12 decomposed manifest row: write 3.07x / manifest 4.17x / verify 3.69x, writer constant ~1.87 s per 15M rows)",
     # sinks: side effects execute at plan build; inclusive rows carry
     "snk_cdc_apply": "BASELINE round-6d — 1.85x at x100 INCLUSIVE of the published write",
-    "snk_manifest_publish": "BASELINE round-6e — 2.66x vs DuckDB's own partitioned COPY+verify (INCLUSIVE). CLOSED AS INCLUSIVE-MEASURE: both engines pay their real partitioned write + manifest build, so the ratio prices Spark's per-partition-file commit protocol (task temp-file + rename + _SUCCESS marker), a fixed sink constant that amortizes away at production file sizes; the compute terms (row hash + verify agg) are already at their one-exchange floor",
-    "snk_parquet": "write-shape of the manifest row (2.66x inclusive); plain parquet sink",
+    "snk_manifest_publish": "BASELINE round-12 write-path decomposition — phases split at x100: write 3.86 s (3.07x; parquet writer proper ~1.87 s, noop-measured), manifest 0.71 s / verify 0.52 s (sub-second dispatch-floor absolutes). CLOSED-AS-CONSTANT-FACTOR with the writer-knob ledger (snappy/zstd/lz4/uncompressed/dict-off all measured — default snappy wins); the residual is the InternalRow->Parquet per-row constant (~125 ns/row) + the 1-file-per-month repartition the publish contract pins",
+    "snk_parquet": "write-shape of the r12-decomposed manifest row (write phase 3.07x, writer constant ~1.87 s / 15M rows, knob ledger measured); plain parquet sink",
     "snk_partitioned": "write-shape of the manifest row; partitionBy layout",
     "snk_upsert_merge": "merge logic measured via snk_cdc_apply (1.85x inclusive fold-once)",
     "snk_scd2": "SCD2 window-merge shares the cdc-apply merge shape (1.85x inclusive)",
