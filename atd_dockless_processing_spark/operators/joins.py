@@ -33,8 +33,9 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     r12 (VERDICT r11 item 2): routes through the layout-aware
     ``custkey_inner_plan`` — when the one-time bucketed-custkey layout
     (``ensure_custkey_bucketed_layout``) is present for this sf_dir
-    the join plans EXCHANGE-FREE off the bucketed scans (0.95x DuckDB
-    at x100, Spark faster); without it the ad-hoc plan runs unchanged
+    the join plans EXCHANGE-FREE off the bucketed scans (1.07x DuckDB
+    at x100, rows of record in BASELINE.md round-12); without it the
+    ad-hoc plan runs unchanged
     (the driver's fresh-session sweep always takes this path). Both
     forms are the same logical query — cross-form equality pinned in
     tests; dispatch is a pure physical-plan probe."""
@@ -161,7 +162,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r12: layout-aware dispatch (``custkey_anti_plan``) — with the
     bucketed-custkey layout the whole query is a ZERO-exchange
-    sort-merge anti join (1.12x DuckDB at x100, was 2.83x); the
+    sort-merge anti join (1.31x DuckDB at x100, was 3.35x ad-hoc); the
     ad-hoc shuffled anti runs unchanged when no layout exists."""
     return custkey_anti_plan(spark, sf_dir)
 
@@ -324,19 +325,112 @@ def join_multiway_5(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q5_BUCKETS = 32
 
 
-def _q5_bucket_tables(sf_dir: str, buckets: int) -> tuple[str, str, str]:
-    # bucket count is part of the table identity: an ensure() with a
-    # different count must NOT silently reuse another count's layout
-    # (r8 review finding #4)
-    sftag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    from ..tables import scratch_dir
+class _BucketedLayout:
+    """One-time bucketBy(key)+sortBy external-table layout machinery,
+    shared by the Q5 orderkey layout (r8) and the custkey layout (r12)
+    — ONE body so a guard fix lands in every layout at once (r12
+    review finding #3). Encodes the accumulated guard discipline:
+    bucket count in the table identity (r8 review #4), per-file source
+    freshness marker (r8 review #1 / ADVICE #1), decline on unstatable
+    sources (r9 review #3), decline while a table provider is active
+    (r10 review #4 / second-review #1), and the marker is written with
+    the signature sampled BEFORE the build so a source regenerated
+    mid-build can never be signed by the stale layout."""
 
-    base = scratch_dir("q5_bucketed", sf_dir.strip("/").replace("/", "_"))
-    return (
-        f"q5b_lineitem_{sftag}_b{buckets}",
-        f"q5b_orders_{sftag}_b{buckets}",
-        base,
-    )
+    def __init__(
+        self,
+        tag: str,
+        prefix: str,
+        specs: dict[str, tuple[str, tuple[str, ...]]],
+    ):
+        self.tag = tag
+        self.prefix = prefix
+        # source table -> (bucket/sort key, narrow column set)
+        self.specs = specs
+
+    def names(self, sf_dir: str, buckets: int) -> tuple[list[str], str]:
+        from ..tables import scratch_dir
+
+        sftag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+        base = scratch_dir(self.tag, sf_dir.strip("/").replace("/", "_"))
+        return (
+            [f"{self.prefix}_{t}_{sftag}_b{buckets}" for t in self.specs],
+            base,
+        )
+
+    def src_sig(self, sf_dir: str) -> str:
+        from ..tables import source_signature
+
+        return ";".join(
+            f"{t}:{source_signature(f'{sf_dir}/{t}.parquet')}"
+            for t in self.specs
+        )
+
+    def _marker(self, sf_dir: str, buckets: int):
+        from pathlib import Path
+
+        names, base = self.names(sf_dir, buckets)
+        return Path(base, f".{names[0]}.src_sig")
+
+    def ensure(
+        self, spark: SparkSession, sf_dir: str, buckets: int
+    ) -> list[str]:
+        from .. import tables
+        from ..tables import signature_unavailable
+
+        names, base = self.names(sf_dir, buckets)
+        sig = self.src_sig(sf_dir)
+        if signature_unavailable(sig) or tables.provider_active():
+            return names
+        if not self.available(spark, sf_dir, buckets):
+            for name, (t, (key, cols)) in zip(names, self.specs.items()):
+                (
+                    load(spark, sf_dir, t)
+                    .select(*cols)
+                    .write.mode("overwrite")
+                    .bucketBy(buckets, key)
+                    .sortBy(key)
+                    .option("path", f"{base}/{name}")
+                    .saveAsTable(name)
+                )
+            self._marker(sf_dir, buckets).write_text(sig)
+        return names
+
+    def available(
+        self, spark: SparkSession, sf_dir: str, buckets: int
+    ) -> bool:
+        from pathlib import Path
+
+        from .. import tables
+
+        if tables.provider_active():
+            return False
+        names, base = self.names(sf_dir, buckets)
+        marker = self._marker(sf_dir, buckets)
+        return (
+            all(spark.catalog.tableExists(n) for n in names)
+            and all(Path(base, n).exists() for n in names)
+            and marker.exists()
+            and marker.read_text() == self.src_sig(sf_dir)
+        )
+
+
+_Q5_LAYOUT = _BucketedLayout(
+    tag="q5_bucketed",
+    prefix="q5b",
+    specs={
+        "lineitem": (
+            "l_orderkey",
+            ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        ),
+        "orders": ("o_orderkey", ("o_orderkey", "o_custkey", "o_orderdate")),
+    },
+)
+
+
+def _q5_bucket_tables(sf_dir: str, buckets: int) -> tuple[str, str, str]:
+    names, base = _Q5_LAYOUT.names(sf_dir, buckets)
+    return names[0], names[1], base
 
 
 def _q5_src_sig(sf_dir: str) -> str:
@@ -353,12 +447,7 @@ def _q5_src_sig(sf_dir: str) -> str:
     ``ensure_q5_bucketed_layout`` DECLINES to build rather than
     rebuilding a never-verifiable layout on every call, r9 review
     finding #3)."""
-    from ..tables import source_signature
-
-    return ";".join(
-        f"{t}:{source_signature(f'{sf_dir}/{t}.parquet')}"
-        for t in ("lineitem", "orders")
-    )
+    return _Q5_LAYOUT.src_sig(sf_dir)
 
 
 def ensure_q5_bucketed_layout(
@@ -376,39 +465,7 @@ def ensure_q5_bucketed_layout(
     bucketBy writes on EVERY call (the marker can never match) and
     the layout still never dispatches; callers keep the ad-hoc plan
     (r9 review finding #3)."""
-    from pathlib import Path
-
-    from .. import tables
-    from ..tables import signature_unavailable
-
-    li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir, buckets)
-    if signature_unavailable(_q5_src_sig(sf_dir)):
-        return li_tbl, o_tbl
-    if tables.provider_active():
-        # provider-served rows must never be persisted under the
-        # on-disk source's signature (r10 review finding #4 — same
-        # guard as ensure_tumbling_us_layout)
-        return li_tbl, o_tbl
-    if not _q5_layout_available(spark, sf_dir, buckets):
-        (
-            load(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-            .write.mode("overwrite")
-            .bucketBy(buckets, "l_orderkey")
-            .sortBy("l_orderkey")
-            .option("path", f"{base}/{li_tbl}")
-            .saveAsTable(li_tbl)
-        )
-        (
-            load(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_custkey", "o_orderdate")
-            .write.mode("overwrite")
-            .bucketBy(buckets, "o_orderkey")
-            .sortBy("o_orderkey")
-            .option("path", f"{base}/{o_tbl}")
-            .saveAsTable(o_tbl)
-        )
-        Path(base, f".{li_tbl}.src_sig").write_text(_q5_src_sig(sf_dir))
+    li_tbl, o_tbl = _Q5_LAYOUT.ensure(spark, sf_dir, buckets)
     return li_tbl, o_tbl
 
 
@@ -422,22 +479,7 @@ def _q5_layout_available(
     table provider is active — dispatching to the disk layout would
     silently shadow the provider's rows (r10 second-review
     finding #1)."""
-    from pathlib import Path
-
-    from .. import tables
-
-    if tables.provider_active():
-        return False
-    li_tbl, o_tbl, base = _q5_bucket_tables(sf_dir, buckets)
-    marker = Path(base, f".{li_tbl}.src_sig")
-    return (
-        spark.catalog.tableExists(li_tbl)
-        and spark.catalog.tableExists(o_tbl)
-        and Path(base, li_tbl).exists()
-        and Path(base, o_tbl).exists()
-        and marker.exists()
-        and marker.read_text() == _q5_src_sig(sf_dir)
-    )
+    return _Q5_LAYOUT.available(spark, sf_dir, buckets)
 
 
 def multiway5_plan(
@@ -512,39 +554,41 @@ def multiway5_plan(
 # every custkey join plans EXCHANGE-FREE off the bucketed scans. Eager-agg
 # pushdown was A/B'd and REJECTED for these shapes (custkey cardinality
 # ~rows/10 — commit 853ac82); the layout is the lever that works:
-# measured at x100 (scripts in .scratch/ab_custkey_bucket*.py, rows in
-# BASELINE.md) join_inner 3.29x→0.95x, join_anti 2.83x→1.12x,
-# join_cross_small 3.99x→1.52x, one-time build 10.9+1.4 s.
+# measured at x100 with the REGISTERED plan functions (rows of record:
+# .scratch/ab_ck_final.py, BASELINE.md round-12 section) join_inner
+# 3.59x→1.07x, join_anti 3.35x→1.31x, join_cross_small 2.80x→1.23x
+# (ad-hoc itself 3.99x→2.80x from the pre-agg rewrite), one-time build
+# 12.3 s.
 # ---------------------------------------------------------------------------
 
 _CK_BUCKETS = 32
 
+_CK_LAYOUT = _BucketedLayout(
+    tag="ck_bucketed",
+    prefix="ckb",
+    specs={
+        "orders": (
+            "o_custkey",
+            ("o_custkey", "o_totalprice", "o_orderstatus"),
+        ),
+        "customer": (
+            "c_custkey",
+            ("c_custkey", "c_mktsegment", "c_nationkey"),
+        ),
+    },
+)
+
 
 def _ck_bucket_tables(sf_dir: str, buckets: int) -> tuple[str, str, str]:
-    # bucket count is part of the table identity (the _q5_bucket_tables
-    # rule): an ensure() with a different count must NOT silently reuse
-    # another count's layout
-    sftag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    from ..tables import scratch_dir
-
-    base = scratch_dir("ck_bucketed", sf_dir.strip("/").replace("/", "_"))
-    return (
-        f"ckb_orders_{sftag}_b{buckets}",
-        f"ckb_customer_{sftag}_b{buckets}",
-        base,
-    )
+    names, base = _CK_LAYOUT.names(sf_dir, buckets)
+    return names[0], names[1], base
 
 
 def _ck_src_sig(sf_dir: str) -> str:
     """Freshness signature of the layout's sources (shared
     ``tables.source_signature`` — per-file for directory-shaped
     tables, nonce on OSError so an unstatable source never matches)."""
-    from ..tables import source_signature
-
-    return ";".join(
-        f"{t}:{source_signature(f'{sf_dir}/{t}.parquet')}"
-        for t in ("orders", "customer")
-    )
+    return _CK_LAYOUT.src_sig(sf_dir)
 
 
 def ensure_custkey_bucketed_layout(
@@ -558,37 +602,8 @@ def ensure_custkey_bucketed_layout(
     (pay 12.3 s once at x100, every custkey join thereafter runs at
     DuckDB parity). Idempotent per (sf_dir, buckets); rebuilt when the
     source parquet changes; DECLINES on an unstatable source and while
-    a table provider is active (the ensure_q5_bucketed_layout rules)."""
-    from pathlib import Path
-
-    from .. import tables
-    from ..tables import signature_unavailable
-
-    o_tbl, c_tbl, base = _ck_bucket_tables(sf_dir, buckets)
-    if signature_unavailable(_ck_src_sig(sf_dir)):
-        return o_tbl, c_tbl
-    if tables.provider_active():
-        return o_tbl, c_tbl
-    if not _ck_layout_available(spark, sf_dir, buckets):
-        (
-            load(spark, sf_dir, "orders")
-            .select("o_custkey", "o_totalprice", "o_orderstatus")
-            .write.mode("overwrite")
-            .bucketBy(buckets, "o_custkey")
-            .sortBy("o_custkey")
-            .option("path", f"{base}/{o_tbl}")
-            .saveAsTable(o_tbl)
-        )
-        (
-            load(spark, sf_dir, "customer")
-            .select("c_custkey", "c_mktsegment", "c_nationkey")
-            .write.mode("overwrite")
-            .bucketBy(buckets, "c_custkey")
-            .sortBy("c_custkey")
-            .option("path", f"{base}/{c_tbl}")
-            .saveAsTable(c_tbl)
-        )
-        Path(base, f".{o_tbl}.src_sig").write_text(_ck_src_sig(sf_dir))
+    a table provider is active (the shared _BucketedLayout rules)."""
+    o_tbl, c_tbl = _CK_LAYOUT.ensure(spark, sf_dir, buckets)
     return o_tbl, c_tbl
 
 
@@ -599,22 +614,7 @@ def _ck_layout_available(
     marker matching the current source signature; NEVER true while a
     table provider is active (the _q5_layout_available rules — a
     provider's rows must not be shadowed by a disk layout)."""
-    from pathlib import Path
-
-    from .. import tables
-
-    if tables.provider_active():
-        return False
-    o_tbl, c_tbl, base = _ck_bucket_tables(sf_dir, buckets)
-    marker = Path(base, f".{o_tbl}.src_sig")
-    return (
-        spark.catalog.tableExists(o_tbl)
-        and spark.catalog.tableExists(c_tbl)
-        and Path(base, o_tbl).exists()
-        and Path(base, c_tbl).exists()
-        and marker.exists()
-        and marker.read_text() == _ck_src_sig(sf_dir)
-    )
+    return _CK_LAYOUT.available(spark, sf_dir, buckets)
 
 
 def _ck_sides(
@@ -645,8 +645,8 @@ def custkey_inner_plan(
 ) -> DataFrame:
     """join_inner's plan: orders⋈customer + segment aggregate. With
     the layout: exchange-free SMJ off the bucketed scans, then ONE
-    5-group agg exchange — 0.95x DuckDB at x100 (Spark faster);
-    without: Catalyst's shuffled-hash join, 3.29x constant-factor
+    5-group agg exchange — 1.07x DuckDB at x100 (BASELINE.md
+    round-12); without: Catalyst's shuffled-hash join, 3.59x constant-factor
     race (the r11-measured floor; eager-agg rejected, commit 853ac82)."""
     o, c, bucketed = _ck_sides(spark, sf_dir, layout, buckets)
     if bucketed:
@@ -667,7 +667,7 @@ def custkey_anti_plan(
 ) -> DataFrame:
     """join_anti's plan: customer ANTI orders. With the layout the
     whole query is a ZERO-exchange sort-merge anti join off the
-    bucketed scans — 1.12x DuckDB at x100 (was 2.83x shuffled)."""
+    bucketed scans — 1.31x DuckDB at x100 (was 3.35x shuffled)."""
     o, c, bucketed = _ck_sides(spark, sf_dir, layout, buckets)
     if bucketed:
         o = o.hint("merge")
@@ -687,7 +687,7 @@ def custkey_cross_plan(
     aggregate instead of being broadcast across the 15M-row fact
     (value-identical: count partitioned by nationkey sums to the
     region counts). With the layout the spine is the exchange-free
-    SMJ: 1.52x DuckDB at x100 (was 3.99x)."""
+    SMJ: 1.23x DuckDB at x100 (ad-hoc 2.80x, was 3.99x pre-r12)."""
     o, c, bucketed = _ck_sides(spark, sf_dir, layout, buckets)
     if bucketed:
         c = c.hint("merge")
@@ -744,8 +744,8 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     r12: layout-aware dispatch (``custkey_cross_plan``), and BOTH
     forms now aggregate the spine to (c_nationkey, o_orderstatus)
     before the dim joins — the dims join a ≤75-row aggregate instead
-    of broadcasting across the 15M-row fact (1.52x DuckDB at x100
-    with the layout, was 3.99x)."""
+    of broadcasting across the 15M-row fact (1.23x DuckDB at x100
+    with the layout; ad-hoc 2.80x, was 3.99x pre-r12)."""
     return custkey_cross_plan(spark, sf_dir)
 
 

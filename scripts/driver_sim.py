@@ -101,18 +101,25 @@ def round_boundary() -> int:
             sys.executable,
             "-c",
             (
-                "import sys, json; sys.path.insert(0, r'" + str(REPO) + "'); "
+                "import sys, json; sys.path.insert(0, sys.argv[1]); "
                 "from atd_dockless_processing_spark import ORACLES; "
                 "import __spark_entry__ as entry; "
                 "print(json.dumps("
                 "[[k, k in ORACLES] for k in entry._KEY_ORDER[:50]]))"
             ),
+            str(REPO),
         ],
         capture_output=True,
         text=True,
         cwd=str(REPO),
-        check=True,
+        check=False,
     )
+    if head_probe.returncode != 0:
+        # surface the child's traceback — an import-time regression in
+        # __spark_entry__/retier is exactly what this sim exists to catch
+        print(head_probe.stderr or head_probe.stdout)
+        print("sweep-head probe failed — see traceback above")
+        return 1
     sweep_head = json.loads(head_probe.stdout.strip().splitlines()[-1])
 
     rows = {}

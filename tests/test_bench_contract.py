@@ -237,12 +237,15 @@ def test_baseline_constant_pinned_to_doc():
     const_s = float(m.group(1))
 
     doc = (REPO / "BASELINE.md").read_text()
-    d = re.search(
+    # BASELINE.md is append-only (a re-measure appends a new total
+    # row rather than editing the old one — the scale_index.py
+    # last-row-wins rule), so pin to the LAST match, not the first
+    hits = re.findall(
         r"total, 12-query representative set\*\*\s*\|\s*\*\*[^0-9]*([0-9]+(?:\.[0-9]+)?)\s*ms\*\*",
         doc,
     )
-    assert d, "12-query total row missing from BASELINE.md"
-    doc_s = float(d.group(1)) / 1000.0
+    assert hits, "12-query total row missing from BASELINE.md"
+    doc_s = float(hits[-1]) / 1000.0
     assert abs(const_s - doc_s) < 5e-4, (
         f"bench.py BASELINE_12Q_S={const_s} != BASELINE.md {doc_s} — "
         "update BOTH when the baseline is re-measured"
