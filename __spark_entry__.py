@@ -52,22 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_bench_contract.py guards BOTH ordering properties, and
 # tests/test_round_boundary.py simulates a post-commit evidence drop.
 _KEY_ORDER_BASE = [
-    "win_fill_forward", "fn_from_json_struct", "txt_lang_id",
-    "fn_variant_json", "agg_collect_sorted", "join_bloom_prefilter",
-    "join_left_outer", "join_full_outer", "join_skew_salted",
-    "join_broadcast_dim", "agg_distinct_count", "join_null_safe",
-    "dq_constraint_report", "agg_global", "join_theta_range", "agg_filtered",
-    "agg_histogram", "agg_rollup", "join_cross_small", "join_multiway_5",
-    "agg_grouping_sets", "agg_cube", "join_asof", "agg_groupby_q1",
-    "prj_select_rename", "win_running_sum", "win_moving_avg",
-    "win_rank_dense", "prj_derived_expr", "src_parquet_scan",
-    "win_first_last", "win_ntile_pct", "win_percent_rank",
-    "win_ratio_to_report", "prj_case_when", "snk_zorder_layout",
-    "agg_bloom_membership", "agg_quantile_sketch", "llm_semdedup",
-    "etl_publish_funnel", "evt_state_intervals", "evt_new_vs_returning",
-    "stm_cdc_stream_apply", "txt_dedup_paragraphs", "join_scd2_temporal",
-    "llm_rouge_overlap", "mm_image_embed_sim", "dq_skew_report",
-    "stm_join_stream_left", "agg_gini", "dq_fk_orphans",
+    "join_cross_small", "join_anti", "join_inner", "dq_fk_orphans",
     "llm_curriculum_order", "mm_audio_silence_trim", "snk_manifest_publish",
     "dq_freshness", "evt_path_topk", "geo_hex_ring_smooth",
     "llm_train_val_split", "mm_video_scene_cut", "snk_cdc_apply",
@@ -140,8 +125,23 @@ _KEY_ORDER_BASE = [
     "dq_profile_table", "agg_hll_deterministic", "src_binary_files",
     "mm_frame_sample", "dq_psi_drift", "agg_cms_heavy_hitters",
     "mm_decode_stub", "agg_approx_distinct", "agg_stats", "agg_pivot",
-    "agg_percentiles", "join_anti", "join_inner", "fn_explode",
-    "fn_levenshtein", "join_semi",
+    "agg_percentiles", "fn_explode", "fn_levenshtein", "join_semi",
+    "win_fill_forward", "fn_from_json_struct", "txt_lang_id",
+    "fn_variant_json", "agg_collect_sorted", "join_bloom_prefilter",
+    "join_left_outer", "join_full_outer", "join_skew_salted",
+    "join_broadcast_dim", "agg_distinct_count", "join_null_safe",
+    "dq_constraint_report", "agg_global", "join_theta_range", "agg_filtered",
+    "agg_histogram", "agg_rollup", "join_multiway_5", "agg_grouping_sets",
+    "agg_cube", "join_asof", "agg_groupby_q1", "prj_select_rename",
+    "win_running_sum", "win_moving_avg", "win_rank_dense",
+    "prj_derived_expr", "src_parquet_scan", "win_first_last",
+    "win_ntile_pct", "win_percent_rank", "win_ratio_to_report",
+    "prj_case_when", "snk_zorder_layout", "agg_bloom_membership",
+    "agg_quantile_sketch", "llm_semdedup", "etl_publish_funnel",
+    "evt_state_intervals", "evt_new_vs_returning", "stm_cdc_stream_apply",
+    "txt_dedup_paragraphs", "join_scd2_temporal", "llm_rouge_overlap",
+    "mm_image_embed_sim", "dq_skew_report", "stm_join_stream_left",
+    "agg_gini",
 ]
 
 _KEY_ORDER = retier_from_repo(_KEY_ORDER_BASE, QUERIES, ORACLES, Path(_REPO))
