@@ -40,6 +40,9 @@ def test_bench_emits_contract_json():
     assert doc["duckdb_pair_s"] > 0
     assert doc["duckdb_baseline_s"] is None
     assert doc["pair_drift"] is None
+    # pair_noisy (r12 advice) only has meaning where the drift gate
+    # applies — at any other sf it must be None, mirroring pair_drift
+    assert doc["pair_noisy"] is None
     assert doc["noisy_epochs_discarded"] == 0
 
 
