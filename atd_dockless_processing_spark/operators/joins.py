@@ -22,7 +22,8 @@ from ..tables import load
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS sum_price
+           ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 4)
+             AS sum_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -278,7 +279,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway_5",
     oracle="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                          AS BIGINT)) / 10000.0, 4) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -335,7 +337,19 @@ class _BucketedLayout:
     sources (r9 review #3), decline while a table provider is active
     (r10 review #4 / second-review #1), and the marker is written with
     the signature sampled BEFORE the build so a source regenerated
-    mid-build can never be signed by the stale layout."""
+    mid-build can never be signed by the stale layout.
+
+    r13 (VERDICT r12 item 2): layouts now SURVIVE session boundaries.
+    The bucketed data files + marker always persisted; only the
+    catalog entry was session-scoped, so every fresh (driver-real)
+    session used to fall back to the ad-hoc plans. ``available()``
+    now DDL-re-attaches a disk-valid layout (``_reattach`` — CREATE
+    TABLE over the existing files, no data rewrite), so the one-time
+    build cost is paid once per corpus, not once per session. All
+    pre-existing guards still decline first: provider active, missing
+    files, stale/unreadable marker, unstatable source, and a foreign
+    bucket count never re-attaches (the count is part of the table
+    identity AND of the re-issued bucket spec)."""
 
     def __init__(
         self,
@@ -382,6 +396,10 @@ class _BucketedLayout:
         sig = self.src_sig(sf_dir)
         if signature_unavailable(sig) or tables.provider_active():
             return names
+        # available() re-attaches a valid on-disk layout first (DDL
+        # only, no data rewrite) — a fresh session with surviving
+        # bucketed files never pays the build again (r13, VERDICT r12
+        # item 2 / What's-wrong #1).
         if not self.available(spark, sf_dir, buckets):
             for name, (t, (key, cols)) in zip(names, self.specs.items()):
                 (
@@ -396,23 +414,73 @@ class _BucketedLayout:
             self._marker(sf_dir, buckets).write_text(sig)
         return names
 
+    def _disk_valid(self, sf_dir: str, buckets: int) -> bool:
+        """On-disk layout files present AND the freshness marker
+        matches the current source signature. The marker read is
+        guarded: a layout deleted concurrently (another session's
+        test-finally rmtree) must degrade the probe to False — ad-hoc
+        plan — never raise out of query dispatch (r12 ADVICE #3
+        TOCTOU). An unstatable source yields a nonce signature that
+        matches no marker, so it is implicitly declined here."""
+        from pathlib import Path
+
+        names, base = self.names(sf_dir, buckets)
+        if not all(Path(base, n).exists() for n in names):
+            return False
+        try:
+            return self._marker(sf_dir, buckets).read_text() == self.src_sig(
+                sf_dir
+            )
+        except OSError:
+            return False
+
+    def _reattach(self, spark: SparkSession, sf_dir: str, buckets: int) -> bool:
+        """DDL-only re-attach of a disk-valid layout whose catalog
+        entries were lost to a session boundary (bucketed external
+        tables live in the session-scoped in-memory catalog; the data
+        files + freshness marker persist). Re-issues ``CREATE TABLE
+        ... USING parquet CLUSTERED BY (key) SORTED BY (key) INTO n
+        BUCKETS LOCATION path`` with the column list read from the
+        parquet footer (Spark rejects bucket specs without an explicit
+        column list — SPECIFY_BUCKETING_IS_NOT_ALLOWED). Metadata
+        only: no data is rewritten, and the files' bucket-id filename
+        suffixes written by the original ``bucketBy`` build carry the
+        bucketing proof. Any failure degrades to False (ad-hoc plan)
+        rather than raising out of a dispatch probe. Caller has
+        already checked ``_disk_valid`` and the provider guard."""
+        names, base = self.names(sf_dir, buckets)
+        try:
+            for name, (key, _cols) in zip(names, self.specs.values()):
+                if spark.catalog.tableExists(name):
+                    continue
+                sch = spark.read.parquet(f"{base}/{name}").schema
+                cols_ddl = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in sch.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE IF NOT EXISTS `{name}` ({cols_ddl}) "
+                    f"USING parquet CLUSTERED BY (`{key}`) "
+                    f"SORTED BY (`{key}`) INTO {buckets} BUCKETS "
+                    f"LOCATION '{base}/{name}'"
+                )
+            return all(spark.catalog.tableExists(n) for n in names)
+        except Exception:
+            return False
+
     def available(
         self, spark: SparkSession, sf_dir: str, buckets: int
     ) -> bool:
-        from pathlib import Path
-
         from .. import tables
 
         if tables.provider_active():
             return False
-        names, base = self.names(sf_dir, buckets)
-        marker = self._marker(sf_dir, buckets)
-        return (
-            all(spark.catalog.tableExists(n) for n in names)
-            and all(Path(base, n).exists() for n in names)
-            and marker.exists()
-            and marker.read_text() == self.src_sig(sf_dir)
-        )
+        if not self._disk_valid(sf_dir, buckets):
+            return False
+        names, _ = self.names(sf_dir, buckets)
+        if all(spark.catalog.tableExists(n) for n in names):
+            return True
+        return self._reattach(spark, sf_dir, buckets)
 
 
 _Q5_LAYOUT = _BucketedLayout(
@@ -537,10 +605,26 @@ def multiway5_plan(
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
+        # r13: revenue summed in EXACT 1e-4 units — extendedprice and
+        # discount are 2-decimal, so the product is exactly 4-decimal;
+        # floor(x*10000+0.5) on the identical IEEE product recovers the
+        # same bigint in Spark and DuckDB, making the rounded sum
+        # bit-identical regardless of join order/physical plan (the
+        # bucketed layout re-attaches in fresh sessions from r13 on, so
+        # the SMJ form runs during hash-gated sweeps — r12 ADVICE #1).
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                        + F.lit(0.5)
+                    )
+                )
+                / 10000.0,
+                4,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -651,12 +735,25 @@ def custkey_inner_plan(
     o, c, bucketed = _ck_sides(spark, sf_dir, layout, buckets)
     if bucketed:
         c = c.hint("merge")
+    # r13: sum in EXACT integer cents (the floor(x*100+0.5) lift), then
+    # round once after the division. o_totalprice is 2-decimal money;
+    # the lift recovers the exact cent value from the double, the
+    # bigint sum is associative, and bigint/100.0 + round(.,4) is the
+    # identical IEEE sequence in Spark and DuckDB — so the result is
+    # bit-identical REGARDLESS of physical plan (SMJ vs SHJ change FP
+    # summation order; with layouts now re-attaching in fresh sessions
+    # the bucketed plan IS live during hash-gated driver sweeps —
+    # r12 ADVICE #1).
     return (
         o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.round(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+                / 100.0,
+                4,
+            ).alias("sum_price"),
         )
     )
 

@@ -68,9 +68,17 @@ EVIDENCE_INVALIDATED: dict[str, int] = {
     # to all three, and join_cross_small's spine now pre-aggregates to
     # (c_nationkey, o_orderstatus) before the dim joins — registered
     # plans changed, evidence re-earned
-    "join_inner": 12,
-    "join_anti": 12,
-    "join_cross_small": 12,
+    # r13 (VERDICT r12 item 2; supersedes these keys' r12 entries):
+    # bucketed layouts now DDL-re-attach in fresh sessions, so the
+    # driver-real sweep executes the BUCKETED physical plans for the
+    # four layout-dispatched join keys for the first time; join_inner
+    # and join_multiway_5 additionally changed their aggregate
+    # expressions to exact integer-unit sums (cents / e4 — r12 ADVICE
+    # #1) in both engines. Evidence re-earned on the new plans.
+    "join_inner": 13,
+    "join_anti": 13,
+    "join_cross_small": 13,
+    "join_multiway_5": 13,
 }
 
 

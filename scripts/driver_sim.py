@@ -120,6 +120,14 @@ def round_boundary() -> int:
         print(head_probe.stderr or head_probe.stdout)
         print("sweep-head probe failed — see traceback above")
         return 1
+    if not head_probe.stdout.strip():
+        # exit 0 with empty stdout (swallowed/redirected output) must
+        # produce THIS diagnostic, not an IndexError on [-1] (r12
+        # ADVICE #2)
+        print(head_probe.stderr)
+        print("sweep-head probe exited 0 but printed nothing — "
+              "stdout swallowed?")
+        return 1
     sweep_head = json.loads(head_probe.stdout.strip().splitlines()[-1])
 
     rows = {}

@@ -4312,11 +4312,12 @@ def test_custkey_bucketed_layout_dispatch_identity_and_staleness(spark, sf_dir):
         assert set(got) == set(want) and got
         for seg in want:
             assert got[seg]["n_orders"] == want[seg]["n_orders"]
-            # SMJ changes FP aggregation order — rounded sums agree to
-            # relative 1e-9 (the driver gate's round(.,4) at sf<=0.01
-            # magnitudes is exact; pinned tolerant here by design)
-            a, b = got[seg]["sum_price"], want[seg]["sum_price"]
-            assert abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0), (seg, a, b)
+            # r13: the sum is EXACT integer cents (floor(x*100+0.5)
+            # lift) precisely so that SMJ-vs-SHJ aggregation order
+            # cannot move it — bucketed and ad-hoc must now agree
+            # BIT-FOR-BIT at any SF (r12 ADVICE #1; required because
+            # re-attached layouts are live during hash-gated sweeps)
+            assert got[seg]["sum_price"] == want[seg]["sum_price"], seg
 
         # ---- join_cross_small: exact (integer counts) ----
         cross_auto = custkey_cross_plan(spark, sf_dir, buckets=4)
@@ -4344,6 +4345,84 @@ def test_custkey_bucketed_layout_dispatch_identity_and_staleness(spark, sf_dir):
         finally:
             marker.write_text(good)
         assert _ck_layout_available(spark, sf_dir, buckets=4)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {c_tbl}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_bucketed_layout_reattaches_across_sessions(spark, sf_dir):
+    """r13 (VERDICT r12 item 2): bucketed external tables live in the
+    session-scoped in-memory catalog, but the data files + freshness
+    marker persist — a fresh session must DDL-re-attach a disk-valid
+    layout (CREATE TABLE over the existing files, no data rewrite)
+    instead of falling back to the ad-hoc plan forever. Simulated
+    fresh catalog = DROP TABLE both entries (exactly what a session
+    boundary loses); then the availability probe must restore them
+    and the dispatched plan must be the zero-exchange SMJ with values
+    identical to ad-hoc. Guards re-checked post-re-attach: foreign
+    bucket count, stale marker (no catalog resurrection from a stale
+    layout), active table provider."""
+    import shutil
+    from pathlib import Path
+
+    from atd_dockless_processing_spark import tables
+    from atd_dockless_processing_spark.operators.joins import (
+        _ck_bucket_tables,
+        _ck_layout_available,
+        custkey_anti_plan,
+        custkey_inner_plan,
+        ensure_custkey_bucketed_layout,
+    )
+
+    o_tbl, c_tbl, base = _ck_bucket_tables(sf_dir, 4)
+    ensure_custkey_bucketed_layout(spark, sf_dir, buckets=4)
+    try:
+        adhoc_inner = sorted(
+            map(tuple, custkey_inner_plan(spark, sf_dir, "adhoc").collect())
+        )
+
+        # ---- the session boundary: catalog entries vanish ----
+        spark.sql(f"DROP TABLE {o_tbl}")
+        spark.sql(f"DROP TABLE {c_tbl}")
+        assert not spark.catalog.tableExists(o_tbl)
+
+        # a foreign bucket count must NOT re-attach this layout
+        assert not _ck_layout_available(spark, sf_dir, buckets=16)
+        assert not spark.catalog.tableExists(o_tbl)
+
+        # provider active: probe declines BEFORE any DDL
+        tables.set_table_provider(lambda s, d, n: None)
+        try:
+            assert not _ck_layout_available(spark, sf_dir, buckets=4)
+        finally:
+            tables.set_table_provider(None)
+        assert not spark.catalog.tableExists(o_tbl)
+
+        # stale marker: no resurrection from a stale layout
+        marker = Path(base, f".{o_tbl}.src_sig")
+        good = marker.read_text()
+        try:
+            marker.write_text("stale:0:0;stale:0:0")
+            assert not _ck_layout_available(spark, sf_dir, buckets=4)
+            assert not spark.catalog.tableExists(o_tbl)
+        finally:
+            marker.write_text(good)
+
+        # ---- valid disk layout: DDL-only re-attach ----
+        assert _ck_layout_available(spark, sf_dir, buckets=4)
+        assert spark.catalog.tableExists(o_tbl)
+        assert spark.catalog.tableExists(c_tbl)
+
+        anti = custkey_anti_plan(spark, sf_dir, buckets=4)
+        plan = anti._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange hashpartitioning" not in plan, plan[:3000]
+        got_inner = sorted(
+            map(tuple, custkey_inner_plan(spark, sf_dir, buckets=4).collect())
+        )
+        # exact-cents sums: re-attached SMJ == ad-hoc, bit-for-bit
+        assert got_inner == adhoc_inner and got_inner
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {c_tbl}")
