@@ -26,7 +26,8 @@ from ..tables import load
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0, 4)
+             AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -158,9 +159,18 @@ def tumbling_hour_plan(
         ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        # r13: sum in EXACT integer cents (events.value is 2-decimal
+        # money; the floor(x*100+0.5) lift recovers the exact cent
+        # value from the double in BOTH engines), so the rounded sum
+        # is bit-identical regardless of scan partitioning — required
+        # because the µs-staged layout is now pre-built at the
+        # driver-sweep sf_dir and live during hash-gated runs (r12
+        # ADVICE #1 discipline, same as join_inner/multiway5).
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0, 4
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("hour_start"),

@@ -49,7 +49,6 @@ CARRY_OK = {"agg_weighted_avg", "fn_base64_roundtrip", "evt_interarrival_hist"}
 # tumbling µs-layout dispatch and the correlated-subquery window
 # promotion both rewired their registered plan in r10).
 EVIDENCE_INVALIDATED: dict[str, int] = {
-    "evt_tumbling_hour": 10,
     "sql_correlated_subquery": 10,
     # r11: sum_filled -> FP-exact sum_filled_e4 (schema + value change,
     # r10 ADVICE #2)
@@ -79,6 +78,10 @@ EVIDENCE_INVALIDATED: dict[str, int] = {
     "join_anti": 13,
     "join_cross_small": 13,
     "join_multiway_5": 13,
+    # r13: µs-staged layout pre-built at the driver sf_dir (the scan
+    # dispatches to it in driver-real sessions for the first time) +
+    # exact-cents sum_value in both engines
+    "evt_tumbling_hour": 13,
 }
 
 
