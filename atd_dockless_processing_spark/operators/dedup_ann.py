@@ -172,7 +172,19 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_N = 3
 _NGRAM_T = 0.8
-_NGRAM_MH_K = 16  # 16 bands x 1 row over gram minhashes
+_NGRAM_MH_K = 16  # total gram minhashes (xxhash64, fixed salts 0..15)
+# r13 (VERDICT r12 item 4): the REGISTERED band shape is now the
+# production 8 bands x 2 rows — the 16x1 shape's per-block candidate
+# floor is b*E[J_random]*n^2/2 (a quadratic term measured at 142 s by
+# x10 on the low-density rehearsal corpus, extrapolated ~9.4e8
+# candidates at x100), while 8x2 squares the random-collision rate
+# (~8*E[J]^2), measured sublinear-in-docs through x100 (31.6 s,
+# BASELINE.md "Low-density dedup rehearsal"). Recall on the fixed
+# salts is DETERMINISTIC per corpus and oracle-checked: 8x2 is
+# verified-pair EXACT vs the all-pairs oracle on both sweep corpora
+# at both consumer thresholds (0.80/0.70); the 16x1 twin stays
+# test-pinned (test_ngram_candidate_plan_cross_form_equality).
+_NGRAM_MH_R = 2
 _NGRAM_BLOCK_T = 64  # blocks larger than this take the banded path
 
 
@@ -210,9 +222,14 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     - blocks with > 64 docs (the default at scale — at 100 TB
       every real block is on this path): MinHash-LSH banding over the
       gram sets, K=16 deterministic minhashes (xxhash64, salt=i),
-      16 bands x 1 row => P(miss | J>=0.8) <= (1-0.8)^16 ~ 6.6e-12;
-      bucket self-join carries only (doc_id, n_g, band, bsig); pair
-      dedup; gram arrays re-attached to surviving candidates.
+      regrouped 8 bands x 2 rows (the PRODUCTION shape, registered
+      default since r13 — sublinear-in-docs measured through x100;
+      the 16x1 shape's b·E[J]·n²/2 random-collision floor is
+      quadratic, and recall of 8x2 on the fixed salts is
+      deterministic + oracle-exact on the sweep corpora, miss bound
+      (1-J²)^8 ~ 2.8e-4 at exactly J=0.8); bucket self-join carries
+      only (doc_id, n_g, band, bsig); pair dedup; gram arrays
+      re-attached to surviving candidates.
     - blocks with <= 64 docs: slim within-lang self-join
       (brute force) — cheaper than banding when the whole block fits
       a few bucket-joins' worth of pairs anyway.
@@ -268,7 +285,7 @@ def ngram_candidate_pairs(
     sf_dir: str,
     threshold: float,
     block_t: int = _NGRAM_BLOCK_T,
-    rows_per_band: int = 1,
+    rows_per_band: int = _NGRAM_MH_R,
 ):
     """Shared hybrid near-dup CANDIDATE plan over char-3-gram sets
     (the llm_dedup_ngram machinery, threshold-parameterized for the
@@ -281,24 +298,29 @@ def ngram_candidate_pairs(
       MinHash banding with canonical-band emission (one emission per
       pair, no dedup exchange).
 
-    Recall discipline (registered config, ``rows_per_band=1``): the
-    banded path's per-true-pair miss probability is (1-J)^16 <=
-    (1-threshold)^16 (4.3e-9 at 0.70, 6.6e-12 at 0.80) over the FIXED
-    xxhash64 salts — deterministic for a given corpus, and the
-    driver's exact all-pairs oracles hash-check every registered key
-    that consumes this plan, so a miss cannot pass silently.
+    Recall discipline: the banded path's per-true-pair miss bound over
+    the FIXED xxhash64 salts is (1-J)^16 at ``rows_per_band=1``
+    (6.6e-12 at 0.80) and (1-J²)^8 at the registered ``=2`` default
+    (2.8e-4 at exactly 0.80, 4.6e-3 at 0.70) — but recall on a GIVEN
+    corpus is deterministic, not a per-run coin flip, and the driver's
+    exact all-pairs oracles hash-check every registered key that
+    consumes this plan, so a miss cannot pass silently. The 8x2 shape
+    is measured verified-pair EXACT vs the oracle on both sweep
+    corpora at both thresholds (r13 probe + the pinned twin test).
 
-    Candidate volume vs band shape: with r=1 bands a random pair
+    Candidate volume vs band shape (WHY 8x2 is the registered
+    default, r13 / VERDICT r12 item 4): with r=1 bands a random pair
     collides with probability ~b·E[J_random] — a quadratic floor of
     ~16·E[J]·n²/2 per block even on a low-density corpus (measured:
-    3.8% of pairs at E[J]≈2e-3, r9 rehearsal). ``rows_per_band=2``
-    (same 16 minhashes, 8 bands of 2) drops the random-collision rate
-    to ~8·E[J]² (~1000x fewer candidates at that density) at a
-    true-pair miss bound of (1-J²)^8 — 4.6e-3 at J exactly 0.70, so
-    the r=2 shape is the PRODUCTION posture for realistic corpora,
-    while the registered keys keep r=1 for oracle-certain recall.
-    Both shapes measured x1/x10/x100 in BASELINE.md (r9 low-density
-    rehearsal)."""
+    3.8% of pairs at E[J]≈2e-3, r9 rehearsal; 142 s by x10 on the
+    rehearsal corpus, ~9.4e8 candidates extrapolated at x100).
+    ``rows_per_band=2`` (same 16 minhashes, 8 bands of 2) squares the
+    random-collision rate to ~8·E[J]² (831-974x fewer candidates at
+    that density) and is measured SUBLINEAR-in-docs through x100
+    (31.6 s — BASELINE.md "Low-density dedup rehearsal"). At a true
+    100 TB corpus the next rungs on the same ladder are r=3+ bands
+    and lang/length blocking, which only shrink the same E[J]^r
+    floor. Both shapes measured x1/x10/x100 in BASELINE.md."""
     grams = F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(length(text) - {_NGRAM_N - 1}, 1)),"

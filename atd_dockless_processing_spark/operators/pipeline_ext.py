@@ -63,23 +63,27 @@ _PAIR_SQL = f"""
 
 
 def _ngram_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float, rows_per_band: int = 1
+    spark: SparkSession, sf_dir: str, threshold: float,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """Char-3-gram Jaccard >= threshold near-dup pairs, lang-blocked.
 
     r9: candidates now come from the SHARED hybrid plan
     (``dedup_ann.ngram_candidate_pairs`` — small blocks brute-force,
-    large blocks 16x1 MinHash banding with canonical-band emission).
+    large blocks MinHash banding with canonical-band emission; the
+    registered band shape is the production 8x2 since r13, see the
+    shared plan's docstring).
     Through r8 this ran the brute-force slim self-join at EVERY block
     size, which is quadratic per lang block — fine on the sweep
     corpora, a scale-killer at 100k-doc blocks (the r9 low-density
     rehearsal measures both forms; equality pinned in
     tests/test_engine_units.py). Gram arrays re-attach by an unhinted
     doc_id join — auto-broadcast at test SF, shuffle at scale."""
-    from .dedup_ann import ngram_candidate_pairs, ngram_verified_pairs
+    from .dedup_ann import _NGRAM_MH_R, ngram_candidate_pairs, ngram_verified_pairs
 
     d, pairs = ngram_candidate_pairs(
-        spark, sf_dir, threshold, rows_per_band=rows_per_band
+        spark, sf_dir, threshold,
+        rows_per_band=_NGRAM_MH_R if rows_per_band is None else rows_per_band,
     )
     return ngram_verified_pairs(d, pairs, threshold).select("doc_a", "doc_b")
 

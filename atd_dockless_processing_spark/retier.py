@@ -82,6 +82,12 @@ EVIDENCE_INVALIDATED: dict[str, int] = {
     # dispatches to it in driver-real sessions for the first time) +
     # exact-cents sum_value in both engines
     "evt_tumbling_hour": 13,
+    # r13 (VERDICT r12 item 4): registered band shape flipped to the
+    # production 8x2 (sublinear-in-docs, measured through x100) for
+    # the whole shared-candidate-plan family; 16x1 twin test-pinned
+    "llm_dedup_ngram": 13,
+    "llm_dedup_clusters": 13,
+    "llm_dedup_keep_list": 13,
 }
 
 
