@@ -52,26 +52,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_bench_contract.py guards BOTH ordering properties, and
 # tests/test_round_boundary.py simulates a post-commit evidence drop.
 _KEY_ORDER_BASE = [
-    "join_cross_small", "join_anti", "join_inner", "dq_fk_orphans",
-    "llm_curriculum_order", "mm_audio_silence_trim", "snk_manifest_publish",
-    "dq_freshness", "evt_path_topk", "geo_hex_ring_smooth",
-    "llm_train_val_split", "mm_video_scene_cut", "snk_cdc_apply",
-    "win_rolling_median", "agg_mode", "dq_pk_uniqueness",
-    "evt_attribution_linear", "evt_cusum_changepoint", "evt_ewma",
-    "fn_ip_cidr", "gph_bfs_reachability", "llm_doc_sample_per_source",
-    "mm_audio_features", "mm_image_histogram", "src_xml_roundtrip",
-    "txt_readability", "snk_compact_small_files", "stm_sketch_hll_merge",
-    "evt_outlier_mad", "gph_pagerank_scaled", "llm_shard_assign",
-    "src_json_corrupt", "agg_kmv_theta_sketch", "dq_benford_digits",
-    "evt_rebalance_detect", "evt_ts_interpolate", "gph_degree_distribution",
-    "stm_rate_source_window", "src_python_datasource", "udtf_python_custom",
-    "stm_state_store_read", "udf_arrow_native", "sql_scripting",
-    "llm_temperature_mixture", "geo_trip_quality_flags",
-    "gph_jaccard_neighbors", "gph_triangle_count", "llm_importance_resample",
-    "mm_image_resize", "txt_ngram_topk", "win_distinct_count",
-    "evt_interarrival_hist", "fn_base64_roundtrip", "agg_weighted_avg",
-    "win_range_frame", "win_cume_dist", "fn_regexp_extract", "txt_pii_mask",
-    "fn_split_tokens", "llm_token_stats", "srt_multi_nulls", "fn_date_arith",
+    "join_cross_small", "join_anti", "join_inner", "evt_tumbling_hour",
+    "llm_dedup_clusters", "llm_dedup_keep_list", "llm_dedup_ngram",
+    "join_multiway_5", "win_distinct_count", "evt_interarrival_hist",
+    "fn_base64_roundtrip", "agg_weighted_avg", "win_range_frame",
+    "win_cume_dist", "fn_regexp_extract", "txt_pii_mask", "fn_split_tokens",
+    "llm_token_stats", "srt_multi_nulls", "fn_date_arith",
     "fn_date_interval", "fn_epoch_ts", "prj_unpivot", "snk_scd2",
     "srt_limit_offset", "udtf_posexplode", "fn_string_core",
     "txt_chunk_docs", "sql_tpch_q6", "txt_fingerprint", "txt_token_bpe",
@@ -113,35 +99,49 @@ _KEY_ORDER_BASE = [
     "snk_partitioned", "stm_sliding_watermark", "stm_tumbling_availablenow",
     "fn_luhn_check", "set_union_by_name", "src_csv_multiline",
     "agg_grouping_flags", "dq_table_checksum", "fn_aes_roundtrip",
-    "sql_group_by_all", "evt_tumbling_hour", "sql_correlated_subquery",
-    "join_interval_overlap", "snk_bucketed_join", "snk_jdbc_derby",
-    "stm_late_data_drop", "fn_geojson_route", "stm_watermark_dedup",
-    "llm_ann_hyperplane", "llm_ann_ivf", "stm_stateful_running",
-    "stm_join_stream_stream", "llm_dedup_simhash", "geo_bbox_join",
-    "llm_dedup_near_minhash", "llm_dedup_url_canon", "stm_stateful_session",
-    "llm_kmeans_step", "llm_dedup_embedding", "llm_dedup_clusters",
-    "llm_dedup_keep_list", "llm_dedup_ngram", "fn_url_parse",
-    "geo_point_in_polygon_table", "mm_decode_wav", "geo_od_matrix",
-    "dq_profile_table", "agg_hll_deterministic", "src_binary_files",
-    "mm_frame_sample", "dq_psi_drift", "agg_cms_heavy_hitters",
-    "mm_decode_stub", "agg_approx_distinct", "agg_stats", "agg_pivot",
-    "agg_percentiles", "fn_explode", "fn_levenshtein", "join_semi",
-    "win_fill_forward", "fn_from_json_struct", "txt_lang_id",
-    "fn_variant_json", "agg_collect_sorted", "join_bloom_prefilter",
-    "join_left_outer", "join_full_outer", "join_skew_salted",
-    "join_broadcast_dim", "agg_distinct_count", "join_null_safe",
-    "dq_constraint_report", "agg_global", "join_theta_range", "agg_filtered",
-    "agg_histogram", "agg_rollup", "join_multiway_5", "agg_grouping_sets",
-    "agg_cube", "join_asof", "agg_groupby_q1", "prj_select_rename",
-    "win_running_sum", "win_moving_avg", "win_rank_dense",
-    "prj_derived_expr", "src_parquet_scan", "win_first_last",
-    "win_ntile_pct", "win_percent_rank", "win_ratio_to_report",
-    "prj_case_when", "snk_zorder_layout", "agg_bloom_membership",
-    "agg_quantile_sketch", "llm_semdedup", "etl_publish_funnel",
-    "evt_state_intervals", "evt_new_vs_returning", "stm_cdc_stream_apply",
-    "txt_dedup_paragraphs", "join_scd2_temporal", "llm_rouge_overlap",
-    "mm_image_embed_sim", "dq_skew_report", "stm_join_stream_left",
-    "agg_gini",
+    "sql_group_by_all", "sql_correlated_subquery", "join_interval_overlap",
+    "snk_bucketed_join", "snk_jdbc_derby", "stm_late_data_drop",
+    "fn_geojson_route", "stm_watermark_dedup", "llm_ann_hyperplane",
+    "llm_ann_ivf", "stm_stateful_running", "stm_join_stream_stream",
+    "llm_dedup_simhash", "geo_bbox_join", "llm_dedup_near_minhash",
+    "llm_dedup_url_canon", "stm_stateful_session", "llm_kmeans_step",
+    "llm_dedup_embedding", "fn_url_parse", "geo_point_in_polygon_table",
+    "mm_decode_wav", "geo_od_matrix", "dq_profile_table",
+    "agg_hll_deterministic", "src_binary_files", "mm_frame_sample",
+    "dq_psi_drift", "agg_cms_heavy_hitters", "mm_decode_stub",
+    "agg_approx_distinct", "agg_stats", "agg_pivot", "agg_percentiles",
+    "fn_explode", "fn_levenshtein", "join_semi", "win_fill_forward",
+    "fn_from_json_struct", "txt_lang_id", "fn_variant_json",
+    "agg_collect_sorted", "join_bloom_prefilter", "join_left_outer",
+    "join_full_outer", "join_skew_salted", "join_broadcast_dim",
+    "agg_distinct_count", "join_null_safe", "dq_constraint_report",
+    "agg_global", "join_theta_range", "agg_filtered", "agg_histogram",
+    "agg_rollup", "agg_grouping_sets", "agg_cube", "join_asof",
+    "agg_groupby_q1", "prj_select_rename", "win_running_sum",
+    "win_moving_avg", "win_rank_dense", "prj_derived_expr",
+    "src_parquet_scan", "win_first_last", "win_ntile_pct",
+    "win_percent_rank", "win_ratio_to_report", "prj_case_when",
+    "snk_zorder_layout", "agg_bloom_membership", "agg_quantile_sketch",
+    "llm_semdedup", "etl_publish_funnel", "evt_state_intervals",
+    "evt_new_vs_returning", "stm_cdc_stream_apply", "txt_dedup_paragraphs",
+    "join_scd2_temporal", "llm_rouge_overlap", "mm_image_embed_sim",
+    "dq_skew_report", "stm_join_stream_left", "agg_gini", "dq_fk_orphans",
+    "llm_curriculum_order", "mm_audio_silence_trim", "snk_manifest_publish",
+    "dq_freshness", "evt_path_topk", "geo_hex_ring_smooth",
+    "llm_train_val_split", "mm_video_scene_cut", "snk_cdc_apply",
+    "win_rolling_median", "agg_mode", "dq_pk_uniqueness",
+    "evt_attribution_linear", "evt_cusum_changepoint", "evt_ewma",
+    "fn_ip_cidr", "gph_bfs_reachability", "llm_doc_sample_per_source",
+    "mm_audio_features", "mm_image_histogram", "src_xml_roundtrip",
+    "txt_readability", "snk_compact_small_files", "stm_sketch_hll_merge",
+    "evt_outlier_mad", "gph_pagerank_scaled", "llm_shard_assign",
+    "src_json_corrupt", "agg_kmv_theta_sketch", "dq_benford_digits",
+    "evt_rebalance_detect", "evt_ts_interpolate", "gph_degree_distribution",
+    "stm_rate_source_window", "src_python_datasource", "udtf_python_custom",
+    "stm_state_store_read", "udf_arrow_native", "sql_scripting",
+    "llm_temperature_mixture", "geo_trip_quality_flags",
+    "gph_jaccard_neighbors", "gph_triangle_count", "llm_importance_resample",
+    "mm_image_resize", "txt_ngram_topk",
 ]
 
 _KEY_ORDER = retier_from_repo(_KEY_ORDER_BASE, QUERIES, ORACLES, Path(_REPO))

@@ -294,9 +294,10 @@ def ngram_candidate_pairs(
     - ``d``: (doc_id, lang, grams) — for the caller's verify tail;
     - ``pairs``: (doc_a, doc_b, na, nb) candidates, size-ratio
       prefiltered; blocks with <= ``block_t`` docs via within-lang
-      brute-force self-join (slim rows), larger blocks via 16x1
-      MinHash banding with canonical-band emission (one emission per
-      pair, no dedup exchange).
+      brute-force self-join (slim rows), larger blocks via MinHash
+      banding (registered default: the production 8x2 shape, r13)
+      with canonical-band emission (one emission per pair, no dedup
+      exchange).
 
     Recall discipline: the banded path's per-true-pair miss bound over
     the FIXED xxhash64 salts is (1-J)^16 at ``rows_per_band=1``
@@ -353,7 +354,7 @@ def ngram_candidate_pairs(
     )
 
     # --- large blocks: MinHash banding over gram sets (16 minhashes
-    # total: 16x1 registered shape, or 8x2 with rows_per_band=2)
+    # total: 8x2 registered shape since r13, 16x1 with rows_per_band=1)
     r = rows_per_band
     n_bands = _NGRAM_MH_K // r
     big = d.join(F.broadcast(sizes.where(F.col("n_lang") > block_t)), "lang")

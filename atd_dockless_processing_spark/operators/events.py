@@ -165,7 +165,9 @@ def tumbling_hour_plan(
         # is bit-identical regardless of scan partitioning — required
         # because the µs-staged layout is now pre-built at the
         # driver-sweep sf_dir and live during hash-gated runs (r12
-        # ADVICE #1 discipline, same as join_inner/multiway5).
+        # ADVICE #1 discipline, same as join_inner/multiway5; long sum
+        # wraps past 2^63 cents per (hour, type) group — decimal(38,0)
+        # is the escape hatch far past the 100 TB posture).
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(

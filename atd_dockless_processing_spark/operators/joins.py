@@ -448,6 +448,8 @@ class _BucketedLayout:
         bucketing proof. Any failure degrades to False (ad-hoc plan)
         rather than raising out of a dispatch probe. Caller has
         already checked ``_disk_valid`` and the provider guard."""
+        import logging
+
         names, base = self.names(sf_dir, buckets)
         try:
             for name, (key, _cols) in zip(names, self.specs.values()):
@@ -458,14 +460,30 @@ class _BucketedLayout:
                     f"`{f.name}` {f.dataType.simpleString()}"
                     for f in sch.fields
                 )
+                # SQL string literal: '' is the only escape needed —
+                # a corpus path containing a quote must not turn every
+                # probe into a ParseException (build via .option(path)
+                # handles such paths, so re-attach must too)
+                loc = f"{base}/{name}".replace("'", "''")
                 spark.sql(
                     f"CREATE TABLE IF NOT EXISTS `{name}` ({cols_ddl}) "
                     f"USING parquet CLUSTERED BY (`{key}`) "
                     f"SORTED BY (`{key}`) INTO {buckets} BUCKETS "
-                    f"LOCATION '{base}/{name}'"
+                    f"LOCATION '{loc}'"
                 )
             return all(spark.catalog.tableExists(n) for n in names)
         except Exception:
+            # degrade to the ad-hoc plan, but LOUDLY: a persistently
+            # failing re-attach (syntax rejected by a Spark upgrade,
+            # unreadable location) is a 3x+ silent perf regression if
+            # indistinguishable from 'layout not built'
+            logging.getLogger(__name__).warning(
+                "bucketed-layout re-attach failed for %s at %s — "
+                "falling back to the ad-hoc plan",
+                self.tag,
+                sf_dir,
+                exc_info=True,
+            )
             return False
 
     def available(
@@ -612,6 +630,9 @@ def multiway5_plan(
         # bit-identical regardless of join order/physical plan (the
         # bucketed layout re-attaches in fresh sessions from r13 on, so
         # the SMJ form runs during hash-gated sweeps — r12 ADVICE #1).
+        # Bound: long sum wraps past 2^63 e4-units per group (~4.6e17
+        # at the 100 TB posture, 20x headroom); past it, lift into
+        # decimal(38,0) before summing.
         .agg(
             F.round(
                 F.sum(
@@ -743,7 +764,11 @@ def custkey_inner_plan(
     # bit-identical REGARDLESS of physical plan (SMJ vs SHJ change FP
     # summation order; with layouts now re-attaching in fresh sessions
     # the bucketed plan IS live during hash-gated driver sweeps —
-    # r12 ADVICE #1).
+    # r12 ADVICE #1). Bound: the long sum wraps past 2^63 ~ 9.2e18
+    # cents per group (non-ANSI Spark; DuckDB promotes to HUGEINT) —
+    # ~9e16 dollars/group, 4 orders of magnitude above the 100 TB
+    # posture (~4.5e15 cents/segment); past it, lift into
+    # decimal(38,0) before summing.
     return (
         o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
