@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import exact_unit_sum
 from ..registry import query
 from ..tables import load
 
@@ -165,14 +166,11 @@ def tumbling_hour_plan(
         # is bit-identical regardless of scan partitioning — required
         # because the µs-staged layout is now pre-built at the
         # driver-sweep sf_dir and live during hash-gated runs (r12
-        # ADVICE #1 discipline, same as join_inner/multiway5; long sum
-        # wraps past 2^63 cents per (hour, type) group — decimal(38,0)
-        # is the escape hatch far past the 100 TB posture).
+        # ADVICE #1 discipline, same as join_inner/multiway5; 2^63
+        # wrap bound and guard-band argument in functions/exact.py).
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0, 4
-            ).alias("sum_value"),
+            exact_unit_sum(F.col("value"), 100, "sum_value"),
         )
         .select(
             F.col("w.start").alias("hour_start"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import exact_unit_sum
 from ..registry import query
 from ..tables import load
 
@@ -629,23 +630,15 @@ def multiway5_plan(
         # same bigint in Spark and DuckDB, making the rounded sum
         # bit-identical regardless of join order/physical plan (the
         # bucketed layout re-attaches in fresh sessions from r13 on, so
-        # the SMJ form runs during hash-gated sweeps — r12 ADVICE #1).
-        # Bound: long sum wraps past 2^63 e4-units per group (~4.6e17
-        # at the 100 TB posture, 20x headroom); past it, lift into
-        # decimal(38,0) before summing.
+        # the SMJ form runs during hash-gated sweeps — r12 ADVICE #1;
+        # 2^63 wrap bound ~4.6e17 e4-units/group at the 100 TB
+        # posture, 20x headroom — functions/exact.py).
         .agg(
-            F.round(
-                F.sum(
-                    F.floor(
-                        F.col("l_extendedprice")
-                        * (1 - F.col("l_discount"))
-                        * 10000
-                        + F.lit(0.5)
-                    )
-                )
-                / 10000.0,
-                4,
-            ).alias("revenue"),
+            exact_unit_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                10000,
+                "revenue",
+            ),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -764,21 +757,13 @@ def custkey_inner_plan(
     # bit-identical REGARDLESS of physical plan (SMJ vs SHJ change FP
     # summation order; with layouts now re-attaching in fresh sessions
     # the bucketed plan IS live during hash-gated driver sweeps —
-    # r12 ADVICE #1). Bound: the long sum wraps past 2^63 ~ 9.2e18
-    # cents per group (non-ANSI Spark; DuckDB promotes to HUGEINT) —
-    # ~9e16 dollars/group, 4 orders of magnitude above the 100 TB
-    # posture (~4.5e15 cents/segment); past it, lift into
-    # decimal(38,0) before summing.
+    # r12 ADVICE #1; guard-band + 2^63 wrap bound in functions/exact.py).
     return (
         o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
-                / 100.0,
-                4,
-            ).alias("sum_price"),
+            exact_unit_sum(F.col("o_totalprice"), 100, "sum_price"),
         )
     )
 

@@ -4434,3 +4434,62 @@ def test_bucketed_layout_reattaches_across_sessions(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {c_tbl}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(max_examples=500, deadline=None)
+@given(cents=st.integers(min_value=0, max_value=10**13))
+def test_exact_cents_lift_recovers_integer(cents: int):
+    """functions/exact.py guard-band claim, 2-decimal case: for any
+    money value stored as a double, floor(x*100 + 0.5) recovers the
+    exact cent count (the double is within ~1e-11 relative of the
+    decimal value — far inside the 0.5 guard, up to 1e11 dollars)."""
+    x = cents / 100.0
+    assert math.floor(x * 100 + 0.5) == cents
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    price_c=st.integers(min_value=0, max_value=11_000_000),
+    disc_c=st.integers(min_value=0, max_value=100),
+)
+def test_exact_e4_lift_recovers_product(price_c: int, disc_c: int):
+    """4-decimal case (the join_multiway_5 revenue lift): price and
+    discount are 2-decimal, so price*(1-disc) is exactly 4-decimal —
+    price_c*(100-disc_c) in e4 units; the double-computed lift must
+    recover that integer exactly."""
+    price = price_c / 100.0
+    disc = disc_c / 100.0
+    assert math.floor(price * (1 - disc) * 10000 + 0.5) == price_c * (
+        100 - disc_c
+    )
+
+
+def test_exact_unit_sum_plan_order_independent(spark, sf_dir, duck):
+    """The point of exact_unit_sum: the SAME logical sum computed
+    under different physical partitionings/orderings must be
+    BIT-identical (a plain double sum is not — that is why the
+    layout-dispatched keys needed the lift once re-attach made SMJ
+    plans live during hash-gated sweeps). Also cross-engine: DuckDB's
+    lifted spelling must produce the identical double."""
+    from atd_dockless_processing_spark.functions.exact import exact_unit_sum
+    from atd_dockless_processing_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    forms = [
+        orders.repartition(1),
+        orders.repartition(7, "o_custkey"),
+        orders.orderBy(F.desc("o_totalprice")),
+        orders.orderBy("o_orderkey"),
+    ]
+    vals = {
+        df.agg(
+            exact_unit_sum(F.col("o_totalprice"), 100, "s")
+        ).collect()[0]["s"]
+        for df in forms
+    }
+    assert len(vals) == 1, vals
+    duck_val = duck.execute(
+        "SELECT ROUND(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))"
+        " / 100.0, 4) FROM orders"
+    ).fetchone()[0]
+    assert vals == {duck_val}
