@@ -24,6 +24,16 @@ Past it, lift into decimal(38,0) before summing.
 Used by the layout-dispatched keys (join_inner, join_multiway_5,
 evt_tumbling_hour), where the bucketed/staged physical plan IS live
 during hash-gated driver sweeps since the r13 DDL re-attach.
+
+Scope note: this helper is the single-aggregate form of the
+discipline. The PAIRS-FIRST/groupingSets keys (aggregates.py —
+agg_grouping_sets family, sql_group_by_all) carry their own staged
+variant of the same lift (a named ``cents`` column summed across two
+agg phases, re-summed map-side) — structurally different by design
+and equality-pinned in their own tests; a change to the lift rule
+(e.g. the decimal(38,0) promotion past 2^63) must be applied in both
+places. Their registered expressions predate r13 and stay untouched
+to keep driver evidence current.
 """
 
 from __future__ import annotations

@@ -461,11 +461,18 @@ class _BucketedLayout:
                     f"`{f.name}` {f.dataType.simpleString()}"
                     for f in sch.fields
                 )
-                # SQL string literal: '' is the only escape needed —
-                # a corpus path containing a quote must not turn every
-                # probe into a ParseException (build via .option(path)
-                # handles such paths, so re-attach must too)
-                loc = f"{base}/{name}".replace("'", "''")
+                # SQL string literal: escape BACKSLASHES as well as
+                # quotes — Spark's default parser treats backslash as
+                # an active escape inside string literals (verified on
+                # 4.1.2), so an unescaped '\n' in a corpus path would
+                # silently attach the table to a DIFFERENT (empty)
+                # location and serve 0 rows under the hash gate; a
+                # quote without '' would merely throw ParseException.
+                # Build via .option("path") accepts both, so re-attach
+                # must too.
+                loc = (
+                    f"{base}/{name}".replace("\\", "\\\\").replace("'", "''")
+                )
                 spark.sql(
                     f"CREATE TABLE IF NOT EXISTS `{name}` ({cols_ddl}) "
                     f"USING parquet CLUSTERED BY (`{key}`) "
