@@ -2777,34 +2777,51 @@ def test_q5_bucketed_layout_exchange_free_and_identical(spark, sf_dir):
     """The layout-aware Q5 dispatch (r8): once the bucketed-orderkey
     layout exists, 'auto' must pick it, the orderkey fact-fact join
     must consume the bucketed scans with NO Exchange on either side,
-    and the result must equal the ad-hoc plan row-for-row."""
+    and the result must equal the ad-hoc plan row-for-row.
+
+    r13: cleanup added (the CK tests' try/finally discipline) — a
+    leaked layout was inert while availability was catalog-scoped,
+    but with DDL re-attach it would silently flip every later
+    sf0.001 'auto' plan to bucketed-4, making suite plans order-
+    dependent (values stay identical by construction, but plan
+    assertions must be deterministic)."""
     import re as _re
+    import shutil
+    from pathlib import Path
 
     from atd_dockless_processing_spark.operators.joins import (
+        _Q5_LAYOUT,
         _q5_layout_available,
         ensure_q5_bucketed_layout,
         multiway5_plan,
     )
 
+    names, base = _Q5_LAYOUT.names(sf_dir, 4)
     ensure_q5_bucketed_layout(spark, sf_dir, buckets=4)
-    assert _q5_layout_available(spark, sf_dir, buckets=4)
-    # a DIFFERENT bucket count must not see this layout (identity
-    # includes the count), and a fresh marker must be required
-    assert not _q5_layout_available(spark, sf_dir, buckets=16)
+    try:
+        assert _q5_layout_available(spark, sf_dir, buckets=4)
+        # a DIFFERENT bucket count must not see this layout (identity
+        # includes the count), and a fresh marker must be required
+        assert not _q5_layout_available(spark, sf_dir, buckets=16)
 
-    adhoc = sorted(map(tuple, multiway5_plan(spark, sf_dir, "adhoc").collect()))
-    auto = multiway5_plan(spark, sf_dir, buckets=4)  # must dispatch to bucketed
-    plan = auto._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan, plan[:2000]
-    assert not _re.search(r"Exchange hashpartitioning\(l_orderkey", plan), plan[:3000]
-    assert not _re.search(r"Exchange hashpartitioning\(o_orderkey", plan), plan[:3000]
-    # r8 ADVICE #4: the merge hint on the bucketed orders scan must
-    # bias ONLY the nearest join above it (the orderkey SMJ). At small
-    # SF the later orders⋈customer join must keep Catalyst's broadcast
-    # choice — a Spark upgrade that widens hint scoping trips here.
-    assert _re.search(r"BroadcastHashJoin \[o_custkey", plan), plan[:3000]
-    got = sorted(map(tuple, auto.collect()))
-    assert got == adhoc and got, (got[:3], adhoc[:3])
+        adhoc = sorted(map(tuple, multiway5_plan(spark, sf_dir, "adhoc").collect()))
+        auto = multiway5_plan(spark, sf_dir, buckets=4)  # must dispatch to bucketed
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert not _re.search(r"Exchange hashpartitioning\(l_orderkey", plan), plan[:3000]
+        assert not _re.search(r"Exchange hashpartitioning\(o_orderkey", plan), plan[:3000]
+        # r8 ADVICE #4: the merge hint on the bucketed orders scan must
+        # bias ONLY the nearest join above it (the orderkey SMJ). At small
+        # SF the later orders⋈customer join must keep Catalyst's broadcast
+        # choice — a Spark upgrade that widens hint scoping trips here.
+        assert _re.search(r"BroadcastHashJoin \[o_custkey", plan), plan[:3000]
+        got = sorted(map(tuple, auto.collect()))
+        assert got == adhoc and got, (got[:3], adhoc[:3])
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        shutil.rmtree(base, ignore_errors=True)
+        assert not Path(base).exists()
 
 
 def test_ivf_scaled_plan_recall_and_determinism(spark):
