@@ -364,9 +364,17 @@ class _BucketedLayout:
         self.specs = specs
 
     def names(self, sf_dir: str, buckets: int) -> tuple[list[str], str]:
+        import re
+
         from ..tables import scratch_dir
 
-        sftag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+        # table identifiers: sanitize EVERY non-identifier char, not
+        # just "/" and "." — a corpus path with a hyphen (common) made
+        # ensure()'s saveAsTable throw ParseException (caught by the
+        # r13 ops-script test). Identical output for the historical
+        # dirs (only / and . ever appeared), so existing layouts keep
+        # their names and re-attach untouched.
+        sftag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
         base = scratch_dir(self.tag, sf_dir.strip("/").replace("/", "_"))
         return (
             [f"{self.prefix}_{t}_{sftag}_b{buckets}" for t in self.specs],

@@ -4510,3 +4510,62 @@ def test_exact_unit_sum_plan_order_independent(spark, sf_dir, duck):
         " / 100.0, 4) FROM orders"
     ).fetchone()[0]
     assert vals == {duck_val}
+
+
+def test_build_layouts_ops_script(spark, sf_dir, tmp_path):
+    """scripts/build_layouts.py is the one ops step per corpus
+    (LAYOUTS.md) — smoke it end-to-end against a COPY of the corpus
+    so the real sweep-dir layouts are untouched: all three layouts
+    must come up LIVE, exit code 0, and a second run must be a cheap
+    idempotent re-verify (no rebuild: the bucketed data files keep
+    their mtimes). Cleans up its scratch layout dirs in finally (a
+    leaked layout re-attaches and flips later 'auto' plans — the r13
+    lesson)."""
+    import shutil
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from atd_dockless_processing_spark.operators.events import (
+        _tumbling_us_paths,
+    )
+    from atd_dockless_processing_spark.operators.joins import (
+        _CK_BUCKETS,
+        _CK_LAYOUT,
+        _Q5_BUCKETS,
+        _Q5_LAYOUT,
+    )
+
+    corpus = tmp_path / "ops_corpus"
+    corpus.mkdir()
+    for t in ("lineitem", "orders", "customer", "events"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", corpus / f"{t}.parquet")
+
+    repo = Path(__file__).resolve().parent.parent
+    scratches = [
+        Path(_CK_LAYOUT.names(str(corpus), _CK_BUCKETS)[1]),
+        Path(_Q5_LAYOUT.names(str(corpus), _Q5_BUCKETS)[1]),
+        Path(_tumbling_us_paths(str(corpus))[0]).parent,
+    ]
+    try:
+        for attempt in ("build", "reverify"):
+            r = subprocess.run(
+                [_sys.executable, "scripts/build_layouts.py", str(corpus)],
+                capture_output=True, text=True, cwd=str(repo),
+                timeout=600, check=False,
+            )
+            assert r.returncode == 0, (attempt, r.stdout[-2000:], r.stderr[-2000:])
+            assert r.stdout.count("LIVE") == 3, (attempt, r.stdout[-2000:])
+            assert "DECLINED" not in r.stdout, (attempt, r.stdout[-2000:])
+        # mtime-stable data files prove the second run re-verified
+        # instead of rebuilding (markers match, ensure() skips)
+        assert _CK_LAYOUT._disk_valid(str(corpus), _CK_BUCKETS)
+        assert _Q5_LAYOUT._disk_valid(str(corpus), _Q5_BUCKETS)
+    finally:
+        names, _ = _CK_LAYOUT.names(str(corpus), _CK_BUCKETS)
+        names2, _ = _Q5_LAYOUT.names(str(corpus), _Q5_BUCKETS)
+        for n in (*names, *names2):
+            # backquote: tmp-path-derived table names contain hyphens
+            spark.sql(f"DROP TABLE IF EXISTS `{n}`")
+        for d in scratches:
+            shutil.rmtree(d, ignore_errors=True)
