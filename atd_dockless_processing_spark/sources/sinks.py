@@ -250,7 +250,13 @@ def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned DataFrame scans tables that persist until the next
     overwrite).
     """
-    sftag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    import re as _re
+
+    # sanitize EVERY non-identifier char (not just "/" and ".") — a
+    # hyphenated corpus path made saveAsTable throw ParseException
+    # (the r13 _BucketedLayout.names() fix, applied here too; names
+    # are unchanged for the historical dirs)
+    sftag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
     base = scratch_dir("snk_bucketed", sf_dir.strip("/").replace("/", "_"))
     o_tbl, c_tbl = f"bkt_orders_{sftag}", f"bkt_customer_{sftag}"
     (
