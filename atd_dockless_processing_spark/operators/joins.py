@@ -502,6 +502,35 @@ class _BucketedLayout:
             )
             return False
 
+    def _location_ok(self, spark: SparkSession, name: str, expected: str) -> bool:
+        """The catalog table named ``name`` is attached at the path
+        this layout expects. Name alone is not proof of identity:
+        ``names()`` sanitizes every non-identifier char, so DISTINCT
+        corpus dirs differing only in punctuation (``/data/c-v2`` vs
+        ``/data/c.v2``) share a table name while their scratch bases
+        stay distinct — in a session that probed both corpora, B's
+        ``_disk_valid`` can pass on B's files while the catalog entry
+        points at A's location, silently serving A's rows (r13 ADVICE
+        #1). DESCRIBE FORMATTED is driver-side metadata (~30 rows);
+        any failure degrades to False → ad-hoc plan, correct rows."""
+        from pathlib import Path
+        from urllib.parse import unquote, urlparse
+
+        try:
+            rows = spark.sql(f"DESCRIBE FORMATTED `{name}`").collect()
+            loc = next(
+                (r.data_type for r in rows if r.col_name == "Location"), None
+            )
+        except Exception:
+            return False
+        if not loc:
+            return False
+        path = unquote(urlparse(loc).path) if ":" in loc.split("/", 1)[0] else loc
+        try:
+            return Path(path).resolve() == Path(expected).resolve()
+        except OSError:
+            return False
+
     def available(
         self, spark: SparkSession, sf_dir: str, buckets: int
     ) -> bool:
@@ -511,10 +540,17 @@ class _BucketedLayout:
             return False
         if not self._disk_valid(sf_dir, buckets):
             return False
-        names, _ = self.names(sf_dir, buckets)
-        if all(spark.catalog.tableExists(n) for n in names):
-            return True
-        return self._reattach(spark, sf_dir, buckets)
+        names, base = self.names(sf_dir, buckets)
+        if not all(spark.catalog.tableExists(n) for n in names):
+            if not self._reattach(spark, sf_dir, buckets):
+                return False
+        # final identity gate: every table must be attached at THIS
+        # layout's location (tableExists by name is not identity —
+        # _reattach's IF NOT EXISTS also keeps a same-named table
+        # attached elsewhere, which must probe False here)
+        return all(
+            self._location_ok(spark, n, f"{base}/{n}") for n in names
+        )
 
 
 _Q5_LAYOUT = _BucketedLayout(

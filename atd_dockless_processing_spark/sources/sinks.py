@@ -389,12 +389,34 @@ def snk_jdbc_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overwrite + deterministic merge make re-runs idempotent, and
     tearing down a Derby directory mid-JVM corrupts its booted-db
     cache. At scale the url points at the real warehouse; everything
-    else runs as-is."""
+    else runs as-is.
+
+    Concurrency (r13 VERDICT item 4): embedded Derby admits ONE JVM
+    per database directory — two processes running this key against a
+    shared dir race on the db lock and the loser errors with "Failed
+    to start database". The database dir is therefore PER-PROCESS
+    (pid-suffixed), so overlapped gate runs (driver_sim + selfcheck)
+    each boot their own db. Stale siblings whose owning pid is dead
+    are swept opportunistically — safe because a dead pid's JVM
+    cannot have the db booted (pid-reuse only defers cleanup, never
+    corrupts a live db)."""
+    import os
+    import shutil
+
     db_home = scratch_dir("snk_jdbc_derby", "home")
     jvm = spark.sparkContext._jvm
     # keep derby.log inside .scratch (no-op if the engine already booted)
     jvm.java.lang.System.setProperty("derby.system.home", db_home)
-    db = scratch_dir("snk_jdbc_derby", sf_dir.strip("/").replace("/", "_"), "db")
+    from pathlib import Path
+
+    sftag = sf_dir.strip("/").replace("/", "_")
+    # glob on a not-yet-created base yields nothing — no mkdir needed
+    base = Path(scratch_dir("snk_jdbc_derby", sftag))
+    for sib in base.glob("db-pid*"):
+        pid = sib.name.removeprefix("db-pid")
+        if pid.isdigit() and not Path(f"/proc/{pid}").exists():
+            shutil.rmtree(sib, ignore_errors=True)
+    db = scratch_dir("snk_jdbc_derby", sftag, f"db-pid{os.getpid()}")
     url = f"jdbc:derby:{db};create=true"
 
     o = load(spark, sf_dir, "orders")

@@ -117,6 +117,24 @@ def diff_preview(a, b, n=4):
     return f"spark-only={only_a} oracle-only={only_b}"
 
 
+# Known non-bug causes to name in a FAIL line so triage starts at the
+# right hypothesis (r13 ADVICE #2): the registered MinHash band shape
+# for the shared-candidate dedup family is the production 8x2, whose
+# per-true-pair miss bound is (1-J^2)^8 (~2.8e-4 at J=0.8) vs the 16x1
+# twin's (1-J)^16 (~6.6e-12) — on a REGENERATED or new corpus a banded
+# recall miss can legitimately fail the exact gate with correct code.
+# First triage step: re-run with rows_per_band=1 (the 16x1 twin); if
+# that passes, it is band-shape recall on the new corpus, not a bug.
+TRIAGE_HINTS = {
+    k: (
+        "known cause: 8x2 band-shape recall miss-bound (1-J^2)^8 is "
+        "corpus-dependent — retry ngram_candidate_pairs with "
+        "rows_per_band=1 (16x1 twin) to split recall-vs-bug"
+    )
+    for k in ("llm_dedup_ngram", "llm_dedup_clusters", "llm_dedup_keep_list")
+}
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
@@ -156,12 +174,15 @@ def main():
             print(f"FAIL {key}: columns {sc} != {oc}")
             n_fail += 1
         elif len(sr) != len(orr):
+            hint = f" [{TRIAGE_HINTS[key]}]" if key in TRIAGE_HINTS else ""
             print(
-                f"FAIL {key}: rowcount {len(sr)} != {len(orr)}; {diff_preview(sr, orr)}"
+                f"FAIL {key}: rowcount {len(sr)} != {len(orr)};"
+                f" {diff_preview(sr, orr)}{hint}"
             )
             n_fail += 1
         elif sr != orr:
-            print(f"FAIL {key}: values differ; {diff_preview(sr, orr)}")
+            hint = f" [{TRIAGE_HINTS[key]}]" if key in TRIAGE_HINTS else ""
+            print(f"FAIL {key}: values differ; {diff_preview(sr, orr)}{hint}")
             n_fail += 1
         else:
             print(f"PASS {key} ({len(sr)} rows, {time.time()-t0:.1f}s)")

@@ -4453,6 +4453,54 @@ def test_bucketed_layout_reattaches_across_sessions(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_bucketed_layout_name_collision_probes_false(spark, sf_dir, tmp_path):
+    """r13 ADVICE #1: names() sanitizes every non-identifier char, so
+    DISTINCT corpus dirs differing only in punctuation (c-v2 vs c.v2)
+    share table NAMES while their scratch bases stay distinct. When the
+    catalog table points at corpus A's location, corpus B's probe must
+    NOT dispatch to it: available(B) verifies the attached LOCATION,
+    not just tableExists by name — else B silently serves A's rows.
+    Pinned by building A's layout, manufacturing B's disk-valid layout
+    files WITHOUT touching the catalog (the cross-session-persistence
+    scenario), and asserting available(B) is False while available(A)
+    stays True."""
+    import shutil
+    from pathlib import Path
+
+    from atd_dockless_processing_spark.operators.joins import _CK_LAYOUT
+
+    corpus_a = tmp_path / "c-v2"
+    corpus_b = tmp_path / "c.v2"
+    for corpus in (corpus_a, corpus_b):
+        corpus.mkdir()
+        for t in ("orders", "customer"):
+            shutil.copy(f"{sf_dir}/{t}.parquet", corpus / f"{t}.parquet")
+
+    names_a, base_a = _CK_LAYOUT.names(str(corpus_a), 4)
+    names_b, base_b = _CK_LAYOUT.names(str(corpus_b), 4)
+    assert names_a == names_b and base_a != base_b  # the collision
+
+    try:
+        _CK_LAYOUT.ensure(spark, str(corpus_a), 4)
+        assert _CK_LAYOUT.available(spark, str(corpus_a), 4)
+        # manufacture B's disk-valid layout (files + marker) without
+        # touching the catalog — what a prior session's build leaves
+        shutil.copytree(base_a, base_b, dirs_exist_ok=True)
+        Path(base_b, f".{names_b[0]}.src_sig").write_text(
+            _CK_LAYOUT.src_sig(str(corpus_b))
+        )
+        assert _CK_LAYOUT._disk_valid(str(corpus_b), 4)
+        # the catalog's table points at A — B must decline to dispatch
+        assert not _CK_LAYOUT.available(spark, str(corpus_b), 4)
+        # and A keeps its layout
+        assert _CK_LAYOUT.available(spark, str(corpus_a), 4)
+    finally:
+        for n in names_a:
+            spark.sql(f"DROP TABLE IF EXISTS `{n}`")
+        shutil.rmtree(base_a, ignore_errors=True)
+        shutil.rmtree(base_b, ignore_errors=True)
+
+
 @settings(max_examples=500, deadline=None)
 @given(cents=st.integers(min_value=0, max_value=10**13))
 def test_exact_cents_lift_recovers_integer(cents: int):
@@ -4565,7 +4613,8 @@ def test_build_layouts_ops_script(spark, sf_dir, tmp_path):
         names, _ = _CK_LAYOUT.names(str(corpus), _CK_BUCKETS)
         names2, _ = _Q5_LAYOUT.names(str(corpus), _Q5_BUCKETS)
         for n in (*names, *names2):
-            # backquote: tmp-path-derived table names contain hyphens
+            # names() sanitizes to identifier chars since r13, so the
+            # backquotes are belt-and-braces only
             spark.sql(f"DROP TABLE IF EXISTS `{n}`")
         for d in scratches:
             shutil.rmtree(d, ignore_errors=True)
