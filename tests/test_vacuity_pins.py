@@ -1,0 +1,289 @@
+"""De-vacuation pins (r14, VERDICT r13 item 6).
+
+The driver's hash gate compares engine vs oracle on the CURRENT corpus;
+for keys whose result set exists only when the data happens to contain
+the phenomenon (duplicates, funnel completers, near-identical names,
+contaminated n-grams, orphan FKs, in-band values), a regenerated corpus
+can make both sides legitimately empty/degenerate — a vacuous pass that
+would hide a broken operator. Each pin here synthesizes a corpus where
+the phenomenon is GUARANTEED present, re-runs BOTH the registered
+engine query and its DuckDB oracle on that corpus through the same
+pandas canonicalizer the driver hashes, and asserts the phenomenon was
+actually detected (non-empty / strictly-collapsed), following the
+join_anti pin (test_oracle_parity.py).
+
+Keys audited but NOT pinned here, with reasons:
+- llm_dedup_url_canon, src_json_corrupt: the phenomenon is derived
+  from doc_id arithmetic inside the query itself — structurally
+  present for any corpus with enough rows.
+- near-dup family (minhash/simhash/ngram/embedding/semdedup):
+  test_ngram_candidate_plan_cross_form_equality and the banding
+  property tests already fail LOUDLY (assert non-empty) if the corpus
+  loses its near-dup pairs — not a silent vacuous pass.
+- evt_cusum_changepoint, evt_rebalance_detect, evt_outlier_mad: the
+  fold/walk is exercised by any data; outputs are per-entity values,
+  not existence-of-phenomenon sets.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from selfcheck import norm_pdf  # noqa: E402
+
+from atd_dockless_processing_spark import ORACLES, QUERIES  # noqa: E402
+
+
+def _append_like(src: str, out: Path, extra: pd.DataFrame) -> None:
+    """Copy the parquet at ``src`` to ``out`` with ``extra`` rows
+    appended, cast to the SOURCE file's exact arrow schema (keeps the
+    ts physical encoding whatever the corpus generation used)."""
+    t = pq.read_table(src)
+    add = pa.Table.from_pandas(
+        extra, schema=t.schema, preserve_index=False
+    )
+    pq.write_table(pa.concat_tables([t, add]), out)
+
+
+def _oracle(corpus: Path, key: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for p in sorted(corpus.glob("*.parquet")):
+            glob = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(
+                f"CREATE VIEW {p.name.removesuffix('.parquet')} AS "
+                f"SELECT * FROM read_parquet('{glob}')"
+            )
+        return con.execute(ORACLES[key]).df()
+    finally:
+        con.close()
+
+
+def _compare(spark, corpus: Path, key: str) -> list:
+    """Engine vs oracle on the synthesized corpus through the driver's
+    canonicalizer; returns the normalized engine rows."""
+    s_cols, s_rows = norm_pdf(QUERIES[key](spark, str(corpus)).toPandas())
+    o_cols, o_rows = norm_pdf(_oracle(corpus, key))
+    assert s_cols == o_cols, f"{key}: column names differ"
+    assert s_rows == o_rows, f"{key}: values differ on synthesized corpus"
+    return s_rows
+
+
+def test_dedup_exact_collapses_synthesized_duplicates(spark, sf_dir, tmp_path):
+    """llm_dedup_exact: the stock corpus's duplicate density is a
+    generator accident (the VERDICT's named example: dups could be 0
+    after regeneration, making the gate dup-free and vacuous). Append
+    exact-text duplicates with HIGHER doc_ids and a DIFFERENT lang:
+    the survivor count must collapse them (total rows > sum of
+    survivors) and min_by(lang, doc_id) must keep the ORIGINAL lang."""
+    corpus = tmp_path / "dup_corpus"
+    corpus.mkdir()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    seed = docs.head(3).copy()
+    max_id = int(docs["doc_id"].max())
+    dups = pd.concat([seed, seed]).reset_index(drop=True)
+    dups["doc_id"] = [max_id + i for i in range(1, len(dups) + 1)]
+    dups["lang"] = "zz"  # must NOT survive: doc_id ordering wins
+    _append_like(
+        f"{sf_dir}/documents.parquet", corpus / "documents.parquet", dups
+    )
+
+    # normalized rows are in SORTED column order: (lang, n_docs)
+    rows = _compare(spark, corpus, "llm_dedup_exact")
+    survivors = sum(int(r[1].split(":")[1]) for r in rows)
+    assert survivors == docs["text"].nunique(), "dups must collapse"
+    assert survivors < len(docs) + len(dups), "nothing was deduplicated"
+    assert not any(r[0] == "'zz'" for r in rows), "later-doc_id lang survived"
+
+
+def test_funnel_counts_synthesized_completers(spark, sf_dir, tmp_path):
+    """evt_funnel: completion of signup->click->purchase is a corpus
+    accident (1-row summary; all-zero under regen = vacuous). Inject
+    three users completing the funnel IN ORDER and one user whose
+    purchase precedes the click (must count in no purchase stage)."""
+    corpus = tmp_path / "funnel_corpus"
+    corpus.mkdir()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    u0 = int(ev["user_id"].max())
+    t0 = pd.Timestamp("2024-06-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    rows = []
+    eid = 10_000_000
+    for i in range(1, 4):  # completers
+        for j, et in enumerate(("signup", "click", "purchase")):
+            rows.append((eid, t0 + j * h, u0 + i, et, 1.0, "{}"))
+            eid += 1
+    # out-of-order user: purchase BEFORE click
+    rows += [
+        (eid, t0, u0 + 4, "signup", 1.0, "{}"),
+        (eid + 1, t0 + h, u0 + 4, "purchase", 1.0, "{}"),
+        (eid + 2, t0 + 2 * h, u0 + 4, "click", 1.0, "{}"),
+    ]
+    extra = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    _append_like(f"{sf_dir}/events.parquet", corpus / "events.parquet", extra)
+
+    # sorted columns: (n_click_after, n_purchase_after, n_signup)
+    (row,) = _compare(spark, corpus, "evt_funnel")
+    n_purchase = int(row[1].split(":")[1])
+    assert n_purchase >= 3, "injected completers must be counted"
+
+
+def test_levenshtein_matches_synthesized_near_names(spark, tmp_path):
+    """fn_levenshtein: pairs under the edit-12 threshold within a
+    brand block exist only if the generator happens to produce
+    near-identical names. Synthesize a part table with known
+    near-pairs and one far-off name; the result must be non-empty,
+    exclude the far name, and hash-match the oracle."""
+    corpus = tmp_path / "lev_corpus"
+    corpus.mkdir()
+    names = [
+        "steel blue tan spring",
+        "steel blue tan string",  # dist 2 from #0
+        "steel blue tin spring",  # dist 1 from #0
+        "xq zv wk yj pq mn bt ld rs ce fg hu",  # far from all (>12)
+    ]
+    part = pd.DataFrame(
+        {
+            "p_partkey": pd.array(range(1, len(names) + 1), dtype="int64"),
+            "p_name": names,
+            "p_brand": "Brand#1",
+            "p_type": "STANDARD",
+            "p_size": pd.array([1] * len(names), dtype="int32"),
+            "p_retailprice": 100.0,
+        }
+    )
+    part.to_parquet(corpus / "part.parquet", index=False)
+
+    # sorted columns: (edit_dist, name_a, name_b)
+    rows = _compare(spark, corpus, "fn_levenshtein")
+    assert rows, "near-identical names must produce pairs"
+    flat = "|".join(r[1] + r[2] for r in rows)
+    assert "xq zv" not in flat, "far name must be filtered by the threshold"
+
+
+def test_contamination_flags_synthesized_shared_ngram(spark, tmp_path):
+    """llm_contamination_ngram: a train document sharing a 4-gram with
+    the doc_id%97==0 eval split exists only by textual accident.
+    Synthesize one eval doc (doc_id 97) and train docs with/without
+    its 4-gram; the contaminated doc must be flagged, the clean one
+    not, and the result must hash-match the oracle."""
+    corpus = tmp_path / "contam_corpus"
+    corpus.mkdir()
+    shared = "alpha beta gamma delta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([97, 5, 11], dtype="int64"),
+            "text": [
+                f"prefix {shared} suffix tokens here",
+                f"unrelated opening {shared} closing words",
+                "completely different content with no overlap at all",
+            ],
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": pd.array([0, 0, 0], dtype="int64"),
+        }
+    )
+    docs.to_parquet(corpus / "documents.parquet", index=False)
+
+    rows = _compare(spark, corpus, "llm_contamination_ngram")
+    flagged = {int(r[0].split(":")[1]) for r in rows}
+    assert 5 in flagged, "doc sharing the eval 4-gram must be flagged"
+    assert 11 not in flagged, "clean doc must not be flagged"
+
+
+def test_theta_range_bands_on_synthesized_values(spark, tmp_path):
+    """join_theta_range: which bands receive events depends entirely
+    on the value distribution (2 rows on the stock corpus; 0 rows =
+    vacuous if the scale shifts). Synthesize values hitting exactly
+    three of the four bands (boundary-inclusive lo, exclusive hi) and
+    require those three rows, hash-equal to the oracle."""
+    corpus = tmp_path / "theta_corpus"
+    corpus.mkdir()
+    vals = [-5.0, 0.0, 50.0, 99.999, 100.0, 500.0]  # neg, low x3, mid x2
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(range(1, len(vals) + 1), dtype="int64"),
+            "ts": pd.Timestamp("2024-06-01"),
+            "user_id": pd.array([1] * len(vals), dtype="int64"),
+            "event_type": "view",
+            "value": vals,
+            "props": "{}",
+        }
+    )
+    ev.to_parquet(corpus / "events.parquet", index=False)
+
+    # sorted columns: (band, n_events, sum_value)
+    rows = _compare(spark, corpus, "join_theta_range")
+    assert {r[0] for r in rows} == {"'neg'", "'low'", "'mid'"}, rows
+
+
+@pytest.mark.parametrize(
+    "key", ["stm_watermark_dedup", "stm_dedup_within_watermark"]
+)
+def test_streaming_dedup_drops_synthesized_duplicates(
+    spark, sf_dir, tmp_path, key
+):
+    """Streaming dedup keys: the stock corpus's event_ids are globally
+    UNIQUE (verified at sf0.01/sf0.001), so dropDuplicates removes
+    nothing and the driver gate never exercises the dedup semantics —
+    the vacuity is present TODAY, not just under regeneration. Append
+    re-ingested copies of existing events (same event_id, same ts —
+    inside any watermark) and require the deduped counts to match the
+    COUNT(DISTINCT) oracle, i.e. strictly fewer than the raw rows."""
+    corpus = tmp_path / f"sdup_{key[-9:]}"
+    corpus.mkdir()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    dups = ev.head(25).copy()  # same event_id/ts: an idempotent re-pull
+    _append_like(f"{sf_dir}/events.parquet", corpus / "events.parquet", dups)
+
+    rows = _compare(spark, corpus, key)
+    n_unique = sum(int(r[1].split(":")[1]) for r in rows)
+    assert n_unique == len(ev), "dedup must drop the re-ingested copies"
+
+
+def test_fk_orphans_counts_synthesized_orphans(spark, sf_dir, tmp_path):
+    """dq_fk_orphans: every orphan count is 0 on the stock corpus
+    (including the events->customer edge — verified), so the NOT-IN
+    audit logic passes vacuously, exactly like pre-pin join_anti.
+    Synthesize events rows whose user_id exceeds every c_custkey and
+    require the events->customer edge to count them, hash-equal to
+    the oracle."""
+    corpus = tmp_path / "orphan_corpus"
+    corpus.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", corpus / f"{t}.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    max_ck = int(cust["c_custkey"].max())
+    extra = pd.DataFrame(
+        {
+            "event_id": pd.array(range(20_000_000, 20_000_009), dtype="int64"),
+            "ts": pd.Timestamp("2024-06-01"),
+            "user_id": pd.array(
+                [max_ck + 1 + (i % 3) for i in range(9)], dtype="int64"
+            ),
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    _append_like(f"{sf_dir}/events.parquet", corpus / "events.parquet", extra)
+
+    # sorted columns: (fk, n_child, n_orphan_keys, n_orphan_rows)
+    rows = _compare(spark, corpus, "dq_fk_orphans")
+    edge = {r[0].strip("'"): r for r in rows}
+    orphan_keys = int(edge["events->customer"][2].split(":")[1])
+    orphan_rows = int(edge["events->customer"][3].split(":")[1])
+    assert orphan_rows == 9 and orphan_keys == 3
