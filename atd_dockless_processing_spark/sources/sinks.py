@@ -407,14 +407,37 @@ def snk_jdbc_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
     jvm = spark.sparkContext._jvm
     # keep derby.log inside .scratch (no-op if the engine already booted)
     jvm.java.lang.System.setProperty("derby.system.home", db_home)
+    import time
     from pathlib import Path
+
+    def _quiesced(d: Path, age_s: float = 600.0) -> bool:
+        # the Derby lock is held by the py4j-launched JVM, which can
+        # briefly OUTLIVE a SIGKILLed python driver — a dead driver
+        # pid alone does not prove the db is unbooted. Require the db
+        # dir to also have been write-quiet for age_s (an active
+        # Derby touches its transaction log continuously).
+        try:
+            newest = max(
+                [d.stat().st_mtime]
+                + [c.stat().st_mtime for c in d.iterdir()]
+            )
+        except OSError:
+            return False
+        return (time.time() - newest) > age_s
 
     sftag = sf_dir.strip("/").replace("/", "_")
     # glob on a not-yet-created base yields nothing — no mkdir needed
     base = Path(scratch_dir("snk_jdbc_derby", sftag))
+    legacy = base / "db"  # pre-r14 shared dir: never reused, sweep it
+    if legacy.is_dir() and _quiesced(legacy):
+        shutil.rmtree(legacy, ignore_errors=True)
     for sib in base.glob("db-pid*"):
         pid = sib.name.removeprefix("db-pid")
-        if pid.isdigit() and not Path(f"/proc/{pid}").exists():
+        if (
+            pid.isdigit()
+            and not Path(f"/proc/{pid}").exists()
+            and _quiesced(sib)
+        ):
             shutil.rmtree(sib, ignore_errors=True)
     db = scratch_dir("snk_jdbc_derby", sftag, f"db-pid{os.getpid()}")
     url = f"jdbc:derby:{db};create=true"

@@ -356,20 +356,35 @@ def main() -> None:
         clean = pair <= BASELINE_12Q_S * PAIR_DRIFT_LIMIT
         # stop when the bracket is clean AND the paired ratio (the
         # number the gate reads) is under the bar; otherwise re-run,
-        # bounded by MAX_EPOCHS
+        # bounded by MAX_EPOCHS. The RETRY is keyed on the ratio; the
+        # SELECTION below deliberately is not (see _rank).
         if clean and sum(per_query.values()) / pair <= PAIRED_RATIO_LIMIT:
             break
 
     def _rank(e: tuple[float, dict[str, float], int]):
-        e_pair, e_pq, _ = e
+        # Select by the INDEPENDENT noise proxy only: prefer clean
+        # brackets, then the quietest bracket — never by the paired
+        # ratio itself. Ranking on the judged metric would make the
+        # record a best-of-N sample of the gate statistic (biased
+        # low); ranking on the bracket keeps the pre-r14 honesty —
+        # the ratio-keyed RETRY above re-rolls a bad window, but the
+        # recorded epoch is still chosen blind to its own ratio.
+        e_pair, _e_pq, _ = e
         if not pair_applies:
-            return (False, 0.0, e_pair)
-        e_clean = e_pair <= BASELINE_12Q_S * PAIR_DRIFT_LIMIT
-        # prefer clean brackets, then best paired ratio, then the
-        # quietest bracket (the pre-r14 tiebreak)
-        return (not e_clean, sum(e_pq.values()) / e_pair, e_pair)
+            return (False, e_pair)
+        return (e_pair > BASELINE_12Q_S * PAIR_DRIFT_LIMIT, e_pair)
 
     pair, per_query, n_passes = min(epochs, key=_rank)
+    # retry-reason accounting for the discarded epochs (r14 review
+    # finding: lumping ratio-retries into "noisy" misattributed them)
+    discarded = epochs.copy()
+    discarded.remove((pair, per_query, n_passes))
+    n_noisy_discards = sum(
+        1
+        for p, _q, _n in discarded
+        if pair_applies and p > BASELINE_12Q_S * PAIR_DRIFT_LIMIT
+    )
+    n_ratio_discards = len(discarded) - n_noisy_discards
 
     total = round(sum(per_query.values()), 4)
     print(
@@ -402,7 +417,11 @@ def main() -> None:
                     if pair_applies
                     else None
                 ),
-                "noisy_epochs_discarded": len(epochs) - 1,
+                "noisy_epochs_discarded": n_noisy_discards,
+                # clean-bracket epochs re-rolled because their paired
+                # ratio exceeded the 2.0 gate (distinct from host
+                # noise — the r14 retry rule)
+                "ratio_epochs_discarded": n_ratio_discards,
                 "method": (
                     f"hot inputs (tables cached), FRESH plan instance per"
                     f" execution (full stage re-execution, no shuffle-output"
