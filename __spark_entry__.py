@@ -52,35 +52,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_bench_contract.py guards BOTH ordering properties, and
 # tests/test_round_boundary.py simulates a post-commit evidence drop.
 _KEY_ORDER_BASE = [
-    "join_cross_small", "join_anti", "join_inner", "evt_tumbling_hour",
-    "llm_dedup_clusters", "llm_dedup_keep_list", "llm_dedup_ngram",
-    "join_multiway_5", "win_distinct_count", "evt_interarrival_hist",
-    "fn_base64_roundtrip", "agg_weighted_avg", "win_range_frame",
-    "win_cume_dist", "fn_regexp_extract", "txt_pii_mask", "fn_split_tokens",
-    "llm_token_stats", "srt_multi_nulls", "fn_date_arith",
-    "fn_date_interval", "fn_epoch_ts", "prj_unpivot", "snk_scd2",
-    "srt_limit_offset", "udtf_posexplode", "fn_string_core",
-    "txt_chunk_docs", "sql_tpch_q6", "txt_fingerprint", "txt_token_bpe",
-    "fn_array_ops", "fn_math_core", "fn_cast_coercion", "fn_surrogate_key",
-    "llm_text_classify", "flt_null_coalesce", "llm_stratified_sample",
-    "fn_struct_nested", "llm_vector_norm_filter", "udf_pandas_vectorized",
-    "txt_quality_score", "flt_range", "win_topk_per_group", "flt_in_set",
-    "stm_tws_timers", "stm_tws_list_state", "stm_python_stream_source",
-    "llm_bpe_merge_step", "stm_tws_map_state", "stm_transform_with_state",
-    "flt_like_regex", "evt_rfm_segments", "txt_entropy_filter",
-    "geo_trip_length", "evt_dau_wau_rolling", "dq_dp_noise_counts",
-    "llm_dataset_mixture", "src_schema_merge", "evt_sessionize_lag",
-    "llm_centroid_per_label", "fn_bitwise", "evt_time_spine",
-    "txt_repetition_filter", "set_union_all", "evt_anomaly_zscore",
-    "llm_corpus_funnel", "set_intersect", "geo_grid_bin", "set_except",
-    "evt_gap_islands", "llm_pack_sequences", "set_except_all",
-    "set_intersect_all", "sql_lateral_topn", "evt_time_weighted_avg",
-    "evt_session_window_native", "llm_term_topk", "evt_sliding_window",
-    "llm_dedup_exact", "src_text_log_parse", "llm_cosine_topk",
-    "set_union_distinct", "src_json_roundtrip", "llm_unigram_logprob",
-    "udf_scalar_python", "evt_markov_transitions", "geo_nearest_hub",
-    "srt_topk_global", "evt_session_batch", "snk_upsert_merge",
-    "udaf_grouped_map", "sql_lateral_column_alias",
+    "stm_transform_with_state", "flt_like_regex", "evt_rfm_segments",
+    "txt_entropy_filter", "geo_trip_length", "evt_dau_wau_rolling",
+    "dq_dp_noise_counts", "llm_dataset_mixture", "src_schema_merge",
+    "evt_sessionize_lag", "llm_centroid_per_label", "fn_bitwise",
+    "evt_time_spine", "txt_repetition_filter", "set_union_all",
+    "evt_anomaly_zscore", "llm_corpus_funnel", "set_intersect",
+    "geo_grid_bin", "set_except", "evt_gap_islands", "llm_pack_sequences",
+    "set_except_all", "set_intersect_all", "sql_lateral_topn",
+    "evt_time_weighted_avg", "evt_session_window_native", "llm_term_topk",
+    "evt_sliding_window", "llm_dedup_exact", "src_text_log_parse",
+    "llm_cosine_topk", "set_union_distinct", "src_json_roundtrip",
+    "llm_unigram_logprob", "udf_scalar_python", "evt_markov_transitions",
+    "geo_nearest_hub", "srt_topk_global", "evt_session_batch",
+    "snk_upsert_merge", "udaf_grouped_map", "sql_lateral_column_alias",
     "stm_dedup_within_watermark", "agg_bitmap_distinct", "agg_regression",
     "snk_python_datasource_write", "sql_create_function",
     "sql_session_variable", "stm_tws_value_ttl", "agg_listagg",
@@ -141,7 +126,22 @@ _KEY_ORDER_BASE = [
     "stm_state_store_read", "udf_arrow_native", "sql_scripting",
     "llm_temperature_mixture", "geo_trip_quality_flags",
     "gph_jaccard_neighbors", "gph_triangle_count", "llm_importance_resample",
-    "mm_image_resize", "txt_ngram_topk",
+    "mm_image_resize", "txt_ngram_topk", "join_cross_small", "join_anti",
+    "join_inner", "evt_tumbling_hour", "llm_dedup_clusters",
+    "llm_dedup_keep_list", "llm_dedup_ngram", "join_multiway_5",
+    "win_distinct_count", "evt_interarrival_hist", "fn_base64_roundtrip",
+    "agg_weighted_avg", "win_range_frame", "win_cume_dist",
+    "fn_regexp_extract", "txt_pii_mask", "fn_split_tokens",
+    "llm_token_stats", "srt_multi_nulls", "fn_date_arith",
+    "fn_date_interval", "fn_epoch_ts", "prj_unpivot", "snk_scd2",
+    "srt_limit_offset", "udtf_posexplode", "fn_string_core",
+    "txt_chunk_docs", "sql_tpch_q6", "txt_fingerprint", "txt_token_bpe",
+    "fn_array_ops", "fn_math_core", "fn_cast_coercion", "fn_surrogate_key",
+    "llm_text_classify", "flt_null_coalesce", "llm_stratified_sample",
+    "fn_struct_nested", "llm_vector_norm_filter", "udf_pandas_vectorized",
+    "txt_quality_score", "flt_range", "win_topk_per_group", "flt_in_set",
+    "stm_tws_timers", "stm_tws_list_state", "stm_python_stream_source",
+    "llm_bpe_merge_step", "stm_tws_map_state",
 ]
 
 _KEY_ORDER = retier_from_repo(_KEY_ORDER_BASE, QUERIES, ORACLES, Path(_REPO))
