@@ -431,14 +431,18 @@ def snk_jdbc_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
     legacy = base / "db"  # pre-r14 shared dir: never reused, sweep it
     if legacy.is_dir() and _quiesced(legacy):
         shutil.rmtree(legacy, ignore_errors=True)
-    for sib in base.glob("db-pid*"):
-        pid = sib.name.removeprefix("db-pid")
-        if (
-            pid.isdigit()
-            and not Path(f"/proc/{pid}").exists()
-            and _quiesced(sib)
-        ):
-            shutil.rmtree(sib, ignore_errors=True)
+    # pid liveness needs procfs; without it (non-Linux) SKIP the sweep
+    # rather than treat every pid as dead — stale dirs accumulate, but
+    # a live idle db is never torn down
+    if Path("/proc").is_dir():
+        for sib in base.glob("db-pid*"):
+            pid = sib.name.removeprefix("db-pid")
+            if (
+                pid.isdigit()
+                and not Path(f"/proc/{pid}").exists()
+                and _quiesced(sib)
+            ):
+                shutil.rmtree(sib, ignore_errors=True)
     db = scratch_dir("snk_jdbc_derby", sftag, f"db-pid{os.getpid()}")
     url = f"jdbc:derby:{db};create=true"
 
