@@ -287,3 +287,105 @@ def test_fk_orphans_counts_synthesized_orphans(spark, sf_dir, tmp_path):
     orphan_keys = int(edge["events->customer"][2].split(":")[1])
     orphan_rows = int(edge["events->customer"][3].split(":")[1])
     assert orphan_rows == 9 and orphan_keys == 3
+
+
+def test_constraint_report_counts_synthesized_violations(
+    spark, sf_dir, tmp_path
+):
+    """dq_constraint_report: on TPC-H-consistent data every violation
+    counter is 0 (quantities 1..50, discounts 0..0.1, no null
+    shipdates, positive prices, no orphan lineitems) — the detection
+    logic passes vacuously TODAY. Append one lineitem row violating
+    all five constraints at once and require each counter to go
+    nonzero, hash-equal to the oracle."""
+    corpus = tmp_path / "viol_corpus"
+    corpus.mkdir()
+    shutil.copy(f"{sf_dir}/orders.parquet", corpus / "orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    bad = pd.DataFrame(
+        {
+            "l_orderkey": pd.array(
+                [int(li["l_orderkey"].max()) + 999_983], dtype="int64"
+            ),  # orphan: beyond every o_orderkey
+            "l_partkey": pd.array([1], dtype="int64"),
+            "l_suppkey": pd.array([1], dtype="int64"),
+            "l_linenumber": pd.array([1], dtype="int32"),
+            "l_quantity": [999.0],  # > 50
+            "l_extendedprice": [-5.0],  # <= 0
+            "l_discount": [0.5],  # > 0.1
+            "l_tax": [0.0],
+            "l_returnflag": ["N"],
+            "l_linestatus": ["O"],
+            "l_shipdate": [pd.NaT],  # null shipdate
+        }
+    )
+    _append_like(
+        f"{sf_dir}/lineitem.parquet", corpus / "lineitem.parquet", bad
+    )
+
+    # sorted columns: (bad_discount, bad_price, bad_quantity, n_rows,
+    # null_shipdate, orphan_lineitems)
+    (row,) = _compare(spark, corpus, "dq_constraint_report")
+    counts = [int(v.split(":")[1]) for v in row]
+    bad_disc, bad_price, bad_qty, _n, null_ship, orphans = counts
+    assert (
+        bad_disc >= 1
+        and bad_price >= 1
+        and bad_qty >= 1
+        and null_ship >= 1
+        and orphans >= 1
+    ), counts
+
+
+def test_pk_uniqueness_counts_synthesized_dup_key(spark, sf_dir, tmp_path):
+    """dq_pk_uniqueness: the four SINGLE-column PKs (orders, customer,
+    events, documents) are genuinely unique on the stock corpus, so
+    their n_dup_keys == 0 and a broken GROUP-BY-count audit would pass
+    vacuously for them. (lineitem's compound PK actually HAS duplicate
+    (l_orderkey, l_linenumber) pairs in the generated corpus — that
+    edge is non-vacuous already and is left corpus-defined here.)
+    Duplicate one orders row (same o_orderkey) and require the orders
+    row of the report to count it, hash-equal to the oracle."""
+    corpus = tmp_path / "dup_pk_corpus"
+    corpus.mkdir()
+    for t in ("customer", "lineitem", "events", "documents"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", corpus / f"{t}.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    _append_like(
+        f"{sf_dir}/orders.parquet", corpus / "orders.parquet", o.head(1)
+    )
+
+    # sorted columns: (max_mult, n_dup_keys, n_keys, n_rows, tbl)
+    rows = _compare(spark, corpus, "dq_pk_uniqueness")
+    by_tbl = {r[4].strip("'"): r for r in rows}
+    assert int(by_tbl["orders"][1].split(":")[1]) == 1  # n_dup_keys
+    assert int(by_tbl["orders"][0].split(":")[1]) == 2  # max_mult
+    for t in ("customer", "events", "documents"):
+        assert int(by_tbl[t][1].split(":")[1]) == 0
+
+
+def test_bbox_join_zones_on_synthesized_points(spark, tmp_path):
+    """geo_bbox_join: zone membership depends entirely on the
+    (value, props.k) point distribution — the theta-range shape.
+    Synthesize points hitting three of the four zones (boundary
+    semantics: >= lo, < hi) and require exactly those zone rows,
+    hash-equal to the oracle."""
+    corpus = tmp_path / "bbox_corpus"
+    corpus.mkdir()
+    pts = [(10.0, 10), (150.0, 50), (150.0, 99), (50.0, 75)]
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(range(1, len(pts) + 1), dtype="int64"),
+            "ts": pd.Timestamp("2024-06-01"),
+            "user_id": pd.array([1] * len(pts), dtype="int64"),
+            "event_type": "view",
+            "value": [x for x, _ in pts],
+            "props": [f'{{"k": {y}}}' for _, y in pts],
+        }
+    )
+    ev.to_parquet(corpus / "events.parquet", index=False)
+
+    # sorted columns: (n_points, zone)
+    rows = _compare(spark, corpus, "geo_bbox_join")
+    zones = {r[1] for r in rows}
+    assert zones == {"'downtown'", "'east'", "'west'"}, rows
