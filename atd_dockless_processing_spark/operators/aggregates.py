@@ -381,6 +381,87 @@ _PCTL_EXACT_MAX_ROWS = 5_000_000
 _PCTL_SKETCH_ACCURACY = 2500
 
 
+_PCTL_QS = (0.5, 0.9, 0.99)
+
+
+def _percentiles_exact_hist(o: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 per priority via a (priority, value)
+    HISTOGRAM instead of the ``percentile`` TypedImperativeAggregate
+    (r14 optimization round; the evt_outlier_mad precedent — "the
+    3-pass structure WAS reducible" — applied to this key's 1-pass
+    structure, which was off whole-stage codegen).
+
+    Why: ``percentile`` plans as ObjectHashAggregate — each partial
+    builds a per-group OpenHashMap value→count buffer OUTSIDE
+    whole-stage codegen, the exchange ships serialized maps, and the
+    final merge + sort of each group's full value domain runs
+    single-threaded per group (5 tasks here). This form runs the
+    heavy 15M-row pass as a codegen HashAggregate collapsing to the
+    value-domain cells (~150k at any replication of this corpus —
+    prices repeat, keys shift), then derives the EXACT interpolated
+    percentiles from the tiny weighted histogram: cumulative counts
+    give each cell its 0-based rank span [hi-cnt, hi), the cells
+    holding ranks floor(pos)/ceil(pos) are picked out with
+    conditional aggregates, and the interpolation below replicates
+    Spark's ``Percentile.getPercentile`` FORMULA EXACTLY —
+    ``(higher - pos) * vlow + (pos - lower) * vhigh`` with
+    pos = q * (n-1) — so the result is the same IEEE double the
+    TypedImperativeAggregate returns, not merely close (equality with
+    the ``percentile()`` form is pinned in tests at three SFs plus a
+    synthetic single-row/exact-rank edge corpus).
+
+    Measured outcome (r14 ×100 A/B, two epochs): REJECTED — this
+    form read 2.728 s vs the ``percentile()`` plan's 1.557 s, then
+    1.474 vs 1.299 s in a quieter window. On THIS corpus ~150k
+    distinct prices are visible to every partition, so the partial
+    (priority, value) cells shuffled here cost what the partial
+    value→count maps cost there, and the extra exchange + two
+    windows are pure overhead. The helper stays as the measured,
+    equality-pinned alternative (it wins only when the value domain
+    is far smaller than per-partition row count — the
+    evt_outlier_mad regime, ~56k cells/type vs millions of rows);
+    the registered exact plan remains ``_percentiles_plan``."""
+    from pyspark.sql import Window
+
+    cells = (
+        o.where(F.col("o_totalprice").isNotNull())
+        .groupBy("o_orderpriority", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = cells.withColumn("hi", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    lo = F.col("hi") - F.col("cnt")
+    v = F.col("o_totalprice")
+    aggs = [F.sum("cnt").alias("n_orders")]
+    for i, q in enumerate(_PCTL_QS):
+        pos = F.lit(q) * (F.col("n") - 1).cast("double")
+        lower, higher = F.floor(pos), F.ceil(pos)
+        aggs.append(
+            F.max(F.when((lo <= lower) & (lower < F.col("hi")), v)).alias(f"vl{i}")
+        )
+        aggs.append(
+            F.max(F.when((lo <= higher) & (higher < F.col("hi")), v)).alias(f"vh{i}")
+        )
+    out = cum.groupBy("o_orderpriority").agg(*aggs)
+    cols = [F.col("o_orderpriority"), F.col("n_orders")]
+    for i, (q, name) in enumerate(zip(_PCTL_QS, ("p50", "p90", "p99"))):
+        pos = F.lit(q) * (F.col("n_orders") - 1).cast("double")
+        lower, higher = F.floor(pos), F.ceil(pos)
+        interp = F.when(lower == higher, F.col(f"vl{i}")).otherwise(
+            (higher.cast("double") - pos) * F.col(f"vl{i}")
+            + (pos - lower.cast("double")) * F.col(f"vh{i}")
+        )
+        cols.append(F.round(interp, 4).alias(name))
+    return out.select(*cols)
+
+
 def _percentiles_plan(o: DataFrame, exact: bool) -> DataFrame:
     """Shared p50/p90/p99-per-priority plan; ``exact`` picks the
     aggregate. ONE array-argument call either way — three separate
@@ -438,7 +519,20 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-dependent surprise; a 100 TB deployment sets the flag (or
     calls ``_percentiles_plan(df, exact=False)`` directly). Boundary
     agreement (sketch within 0.5% of exact on the largest local
-    corpus) is asserted in tests."""
+    corpus) is asserted in tests.
+
+    r14 optimization round, attempted and REJECTED BY MEASUREMENT:
+    a histogram-exact rewrite (``_percentiles_exact_hist`` — codegen
+    HashAggregate over (priority, value) cells + Percentile-formula
+    interpolation, value-IDENTICAL and equality-pinned in tests)
+    targeted the off-codegen ObjectHashAggregate plan, but measured
+    SLOWER at ×100 in both A/B epochs (2.728 vs 1.557 s, then 1.474
+    vs 1.299 s hot): the partial value→count maps this corpus ships
+    (~150k distinct prices × 32 partitions) cost the same either way,
+    and the histogram form adds an exchange + two windows on top.
+    The ``percentile()`` single-array form therefore STAYS the
+    registered exact plan; the helper remains as the measured
+    alternative for bounded value domains (OPTIMIZATION_r14.md)."""
     import os
 
     return _percentiles_plan(

@@ -197,7 +197,17 @@ def txt_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish pre-tokenizer regex (alpha runs /
     digit runs / punctuation runs — the GPT-2 pre-tokenizer shape,
     simplified to the character classes both engines' regex dialects
-    share). Per-language token totals for pretraining data budgeting."""
+    share). Per-language token totals for pretraining data budgeting.
+
+    r14 optimization round, examined and left: an array-free count
+    via ``regexp_count`` is ILLUSORY — RegExpCount is
+    RuntimeReplaceable and Catalyst rewrites it to exactly
+    ``size(regexp_extract_all(...))`` (verified in the physical
+    plan), so the ×100 A/B read a pure wash (−4%/+4% across two
+    epochs, 4.9–6.2 s abs). The cost is the java.util.regex matcher
+    walk itself — the key's CLOSED-AS-CONSTANT-FACTOR surface
+    (SCALE.md: 2.91×, flat absolute) — and no builtin spelling
+    removes it."""
     toks = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
     d = load(spark, sf_dir, "documents").select("lang", F.size(toks).alias("nt"))
     return d.groupBy("lang").agg(

@@ -4648,3 +4648,38 @@ def test_map_ops_json_fast_twin_value_equality(spark, sf_dir):
         F.sum(F.col("k") % 10).alias("sum_k_mod"),
     )
     assert sorted(map(tuple, twin.collect())) == reg and reg
+
+
+def test_percentiles_hist_form_matches_percentile_agg(spark, sf_dir):
+    """agg_percentiles r14 A/B pin: the histogram-exact alternative
+    (codegen HashAggregate over (priority, value) cells + exact
+    interpolation replicating Percentile.getPercentile's formula) was
+    REJECTED BY MEASUREMENT at x100 (slower than the registered
+    percentile() single-array plan in both epochs — see its
+    docstring), but remains the measured alternative for
+    bounded-value-domain corpora; this pin is the value-identity
+    witness that keeps it swappable: identical rows on the driver
+    corpus AND on a synthetic edge corpus (single-row group,
+    exact-rank positions at n=101, an all-ties group)."""
+    from atd_dockless_processing_spark.operators.aggregates import (
+        _percentiles_exact_hist,
+        _percentiles_plan,
+    )
+    from atd_dockless_processing_spark.tables import load
+
+    o = load(spark, sf_dir, "orders")
+    a = sorted(map(tuple, _percentiles_plan(o, exact=True).collect()))
+    b = sorted(map(tuple, _percentiles_exact_hist(o).collect()))
+    assert a == b and a
+
+    data = (
+        [("A", 1.0)]
+        + [("B", float(i)) for i in range(1, 102)]
+        + [("C", 5.0)] * 7
+    )
+    df = spark.createDataFrame(
+        data, "o_orderpriority string, o_totalprice double"
+    )
+    a = sorted(map(tuple, _percentiles_plan(df, exact=True).collect()))
+    b = sorted(map(tuple, _percentiles_exact_hist(df).collect()))
+    assert a == b and len(a) == 3
