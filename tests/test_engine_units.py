@@ -4683,3 +4683,153 @@ def test_percentiles_hist_form_matches_percentile_agg(spark, sf_dir):
     a = sorted(map(tuple, _percentiles_plan(df, exact=True).collect()))
     b = sorted(map(tuple, _percentiles_exact_hist(df).collect()))
     assert a == b and len(a) == 3
+
+
+def test_dau_wau_interval_cover_matches_fanout_twin(spark, sf_dir):
+    """evt_dau_wau_rolling r14 rewrite pin: the registered
+    interval-cover form (per-user merged [d, d+6] intervals ->
+    +1/-1 deltas -> calendar running sum) returns IDENTICAL rows to
+    the pre-r14 x7 fan-out + count_distinct twin — on the driver
+    corpus AND on a synthetic corpus exercising the merge edges:
+    overlapping intervals (gap <= 6), adjacent intervals (gap == 7,
+    deltas cancel without merging), disjoint intervals (gap > 7),
+    and a single-day user."""
+    import datetime
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.operators.pipeline_r3 import (
+        _dau_wau_fanout_twin,
+    )
+
+    reg = sorted(map(tuple, QUERIES["evt_dau_wau_rolling"](spark, sf_dir).collect()))
+    twin = sorted(map(tuple, _dau_wau_fanout_twin(spark, sf_dir).collect()))
+    assert reg == twin and reg
+
+    d0 = datetime.datetime(2031, 3, 1)
+    day = lambda off, uid, eid: (  # noqa: E731
+        eid,
+        d0 + datetime.timedelta(days=off, hours=uid % 5),
+        uid,
+        "synthetic",
+        1.0,
+        '{"k": 1}',
+    )
+    rows = (
+        # user 1: overlapping intervals (days 0, 4) -> one merged span
+        [day(0, 1, 1), day(4, 1, 2)]
+        # user 2: adjacent intervals (days 0, 7) -> cancel unmerged
+        + [day(0, 2, 3), day(7, 2, 4)]
+        # user 3: disjoint intervals (days 0, 20)
+        + [day(0, 3, 5), day(20, 3, 6)]
+        # user 4: single day; plus duplicate same-day events
+        + [day(10, 4, 7), day(10, 4, 8)]
+    )
+    import atd_dockless_processing_spark.tables as tables
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    orig = tables._PROVIDER
+    tables.set_table_provider(
+        lambda s, d, name: df if name == "events" else tables.load(s, d, name)
+    )
+    try:
+        reg = sorted(
+            map(tuple, QUERIES["evt_dau_wau_rolling"](spark, sf_dir).collect())
+        )
+        twin = sorted(map(tuple, _dau_wau_fanout_twin(spark, sf_dir).collect()))
+    finally:
+        tables.set_table_provider(orig)
+    assert reg == twin and len(reg) >= 4
+
+
+def test_funnel_window_form_matches_stage_join_twin(spark, sf_dir):
+    """evt_funnel r14 rewrite pin: the registered single-pass
+    running-min window form returns IDENTICAL counts to the pre-r14
+    stage-join twin — on the driver corpus AND on a synthetic
+    order-edge corpus: click before any signup (must not count),
+    click at exactly the signup ts (strict >, must not count),
+    purchase before the first qualifying click (must not count),
+    and a fully-ordered user (counts everywhere)."""
+    import datetime
+
+    import atd_dockless_processing_spark.tables as tables
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.operators.events import (
+        _funnel_stage_join_twin,
+    )
+
+    reg = sorted(map(tuple, QUERIES["evt_funnel"](spark, sf_dir).collect()))
+    twin = sorted(map(tuple, _funnel_stage_join_twin(spark, sf_dir).collect()))
+    assert reg == twin and reg
+
+    t0 = datetime.datetime(2031, 3, 1)
+    mk = lambda m, uid, eid, typ: (  # noqa: E731
+        eid,
+        t0 + datetime.timedelta(minutes=m),
+        uid,
+        typ,
+        1.0,
+        '{"k": 1}',
+    )
+    rows = (
+        # user 1: fully ordered signup -> click -> purchase
+        [mk(0, 1, 1, "signup"), mk(5, 1, 2, "click"), mk(9, 1, 3, "purchase")]
+        # user 2: click BEFORE signup, purchase after signup but no
+        # qualifying click -> counts only as signup
+        + [mk(1, 2, 4, "click"), mk(3, 2, 5, "signup"), mk(8, 2, 6, "purchase")]
+        # user 3: click at EXACTLY the signup ts (strict > excludes),
+        # later click qualifies; purchase before that click
+        + [
+            mk(0, 3, 7, "signup"),
+            mk(0, 3, 8, "click"),
+            mk(2, 3, 9, "purchase"),
+            mk(4, 3, 10, "click"),
+        ]
+        # user 4: no signup at all
+        + [mk(0, 4, 11, "click"), mk(1, 4, 12, "purchase")]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    orig = tables._PROVIDER
+    tables.set_table_provider(
+        lambda s, d, name: df if name == "events" else tables.load(s, d, name)
+    )
+    try:
+        reg = sorted(map(tuple, QUERIES["evt_funnel"](spark, sf_dir).collect()))
+        twin = sorted(
+            map(tuple, _funnel_stage_join_twin(spark, sf_dir).collect())
+        )
+    finally:
+        tables.set_table_provider(orig)
+    assert reg == twin == [(3, 2, 1)]
+
+
+def test_tfidf_df_branch_matches_count_distinct(spark, sf_dir):
+    """llm_tfidf_topk r14 rewrite pin: df(term) computed as
+    explode(array_distinct(tokens)) + plain count equals the
+    countDistinct(doc_id)-after-explode form — (term, doc_id) is
+    unique by construction after the per-doc dedup, so the plain
+    count IS the document frequency."""
+    from atd_dockless_processing_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    tf = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    a = sorted(
+        map(
+            tuple,
+            tf.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .collect(),
+        )
+    )
+    dt = d.select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    b = sorted(
+        map(tuple, dt.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect())
+    )
+    assert a == b and a
