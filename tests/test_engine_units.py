@@ -4833,3 +4833,46 @@ def test_tfidf_df_branch_matches_count_distinct(spark, sf_dir):
         map(tuple, dt.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect())
     )
     assert a == b and a
+
+
+def test_new_vs_returning_firstday_count_matches_pair_join(spark, sf_dir):
+    """evt_new_vs_returning r14 rewrite pin: n_new(day) as a plain
+    COUNT of first-seen days equals the pair-join form (re-attach
+    first_day to every pair, compare) — a user is NEW on day d iff
+    min(day) == d. Identical rows on the driver corpus."""
+    from pyspark.sql import Window
+
+    from atd_dockless_processing_spark import QUERIES
+    from atd_dockless_processing_spark.tables import load
+
+    reg = sorted(
+        map(tuple, QUERIES["evt_new_vs_returning"](spark, sf_dir).collect())
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    )
+    pairs = e.distinct()
+    firsts = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        pairs.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    twin = daily.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).alias("cum_users"),
+    )
+    assert sorted(map(tuple, twin.collect())) == reg and reg
