@@ -296,41 +296,43 @@ def evt_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve (its last value = total distinct users — a built-in
     self-check).
 
-    Plan shape (the pair-summary form — ×100 A/B 3.20 → 2.02 s):
-    raw events collapse ONCE into distinct (user, day) pairs (the
-    only corpus-size exchange); first-seen and the daily counts run
-    over the pair summary — the naive daily-distinct form instead
-    Expand-doubled the full event stream through a 2-column distinct.
-    At 100 TB the first-seen dim is the user registry you already
-    keep. TZ posture: date derivation matches the house date_trunc
-    precedent (evt_cohort_retention).
+    Plan-shape history: the naive daily-distinct form Expand-doubled
+    the full event stream through a 2-column distinct; the r12
+    pair-summary form collapsed events once into distinct (user,
+    day) pairs (×100 A/B 3.20 → 2.02 s). At 100 TB the first-seen
+    dim is the user registry you already keep. TZ posture: date
+    derivation matches the house date_trunc precedent
+    (evt_cohort_retention).
 
-    r14 optimization round — the pairs⋈firsts JOIN is gone: a user
-    is NEW on day d iff their min(day) == d, so n_new(d) is just a
-    COUNT of firsts grouped by first_day — no need to re-attach
-    first_day to every pair and compare. The pair dedup is lazily
-    localCheckpoint'd so its two consumers (n_active, firsts) share
-    one scan+exchange instead of re-executing the subtree (the
-    llm_bm25_topk no-cross-consumer-reuse finding; the old plan held
-    two events scans). n_new days are a subset of active days (every
-    first_day IS a pair day), so the day-level re-attach is a
-    calendar-sized LEFT join. ×100 same-session A/B: DuckDB 1.342 s,
-    pair-join form 2.756 s (2.05×), this form **2.342 s (1.75×)**;
-    value-identical 30 rows, equality pinned in tests."""
+    r14 optimization round, step 1 — the pairs⋈firsts JOIN is gone:
+    a user is NEW on day d iff their min(day) == d, so n_new(d) is
+    just a COUNT of firsts grouped by first_day (×100: 2.756 →
+    2.342 s). Step 2 — ONE corpus-sized exchange instead of two:
+    the checkpointed distinct-(user, day) + groupBy(user) pair both
+    hashed the full pair stream; `groupBy(user).collect_set(day)`
+    does the dedup AND the per-user gather in a single exchange
+    (partial_collect_set dedups map-side; the set is calendar-
+    bounded, ≤ #distinct days, so rows stay narrow), then n_active /
+    n_new fall out of one explode + day-level agg — n_new(d) counts
+    exploded days equal to their user's array_min (≡ min(day) ==
+    first seen). ×100 same-session A/Bs (two epochs): registered
+    1.920/1.756 s → this form **1.685/1.210 s (1.77×/1.53× →
+    1.56×/1.05× vs DuckDB)**; value-identical 30 rows (dtype-exact
+    pandas equality), pair-join twin pinned in tests."""
     e = load(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("day"),
     )
-    pairs = e.distinct().localCheckpoint(eager=False)
-    firsts = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    n_new = firsts.groupBy(F.col("first_day").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_new")
+    per_user = e.groupBy("user_id").agg(F.collect_set("day").alias("days"))
+    exploded = per_user.select(
+        F.explode("days").alias("day"),
+        F.array_min("days").alias("first_day"),
     )
-    n_act = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
-    daily = n_act.join(n_new, "day", "left").select(
-        "day",
-        "n_active",
-        F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+    daily = exploded.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+        ).alias("n_new"),
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
