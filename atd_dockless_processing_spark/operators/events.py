@@ -374,30 +374,66 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER the first signup, then purchased AFTER that first click —
     strict event-time ordering, not mere co-occurrence.
 
-    r14 optimization round — SINGLE-PASS running-min window form
-    (guide §2.4 remove shuffles / §2.3 shuffle fewer bytes). The old
-    stage-join form re-executed each stage's subtree in every
-    consumer (DataFrame DAGs have no cross-consumer reuse — the
-    llm_bm25_topk finding): SIX filtered events scans, three
-    user-keyed agg exchanges, two joins. This form scans the
-    3-type-filtered events ONCE, exchanges them ONCE by user_id, and
-    derives all three stage firsts inside the sorted per-user pass:
-    s_run = running min signup ts; a click qualifies iff
-    ts > s_run AT THAT ROW (the global first-signup is among the
-    preceding rows exactly when any signup precedes the click — and
-    a same-ts signup never qualifies it under the strict >, so tie
-    order within equal ts is irrelevant); c_run = running min of
-    qualifying click ts, purchases likewise. The per-user groupBy
-    rides the window's user_id partitioning (no extra exchange).
-    Per-task state is the sort buffer (spills gracefully), not
-    per-user collections.
+    r14 optimization round, second step — SORT-FREE AGGREGATE-HOF
+    form (guide §2.3 aggregate before you shuffle + §4.1 HOFs over
+    arrays). The funnel firsts need NO ordering of the event stream:
+    c_ts = min click ts strictly greater than s_ts, p_ts = min
+    purchase ts strictly greater than c_ts — each an `array_min`
+    over a filtered UNSORTED array. One combinable groupBy(user_id)
+    collects s_ts = min(signup ts) plus the per-user click/purchase
+    ts arrays (`collect_list` skips the non-matching-type NULLs), a
+    codegen projection does the two array_min(filter(...)) walks,
+    and the final count is a single-row agg. ONE exchange, ZERO
+    sorts. Null semantics do the stage gating for free: s_ts NULL ⇒
+    the `x > s_ts` predicate is NULL ⇒ filter drops every click ⇒
+    c_ts NULL ⇒ purchases drop likewise.
 
-    ×100 A/B (same warm session, 5 hot runs): DuckDB 1.278 s; old
-    stage-join form 1.942–2.259 s (1.77× — matches its r8 stamp);
-    this form **1.657 s (1.30×)**. Value-identical; cross-form
-    equality pinned in tests (driver corpus + a synthetic
-    order-edge corpus: click-before-signup, same-ts ties,
-    purchase-before-click)."""
+    History of the three forms at ×100: stage-join (r8, 6 filtered
+    scans + 2 joins) 1.942–2.259 s = 1.77×; running-min window (r14
+    step 1, 1 scan / 1 exchange / 1 full per-user sort) 1.657 s =
+    1.30× on its epoch. Window-vs-this A/B (r14b host): same-process
+    comparisons proved ORDER-DEPENDENT (first-measured form reads
+    ~2.2–2.5 s, interleaving poisons the ObjectHashAggregate side —
+    full story in OPTIMIZATION_r14.md); the honest fresh-process
+    isolated epochs read **agg-HOF 1.135/1.159 s vs window
+    1.222/1.196 s** against DuckDB ~1.2 s — BOTH ≈1.0×, this form
+    ~5% faster in both epochs and structurally sort-free (the
+    window's full per-partition sort is its 100 TB liability; the
+    collect partials ship exactly the bytes the window form
+    shuffled, and arrays are event-count-bounded per user).
+    Value-identical; three-way cross-form equality pinned in tests
+    (driver corpus + a synthetic order-edge corpus:
+    click-before-signup, same-ts ties, purchase-before-click)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("signup", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchases"),
+    )
+    walked = per_user.withColumn(
+        "c_ts", F.expr("array_min(filter(clicks, x -> x > s_ts))")
+    ).withColumn("p_ts", F.expr("array_min(filter(purchases, x -> x > c_ts))"))
+    return walked.agg(
+        F.count("s_ts").alias("n_signup"),
+        F.count("c_ts").alias("n_click_after"),
+        F.count("p_ts").alias("n_purchase_after"),
+    )
+
+
+def _funnel_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14-step-1 single-pass running-min window funnel (one
+    exchange + one full per-user sort), kept as the second
+    cross-form equality witness for the registered sort-free
+    aggregate-HOF form (isolated ×100 epochs: window 1.20–1.22 s vs
+    agg-HOF 1.14–1.16 s — see the registered docstring)."""
     ev = (
         load(spark, sf_dir, "events")
         .where(F.col("event_type").isin("signup", "click", "purchase"))

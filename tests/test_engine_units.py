@@ -4745,24 +4745,27 @@ def test_dau_wau_interval_cover_matches_fanout_twin(spark, sf_dir):
 
 
 def test_funnel_window_form_matches_stage_join_twin(spark, sf_dir):
-    """evt_funnel r14 rewrite pin: the registered single-pass
-    running-min window form returns IDENTICAL counts to the pre-r14
-    stage-join twin — on the driver corpus AND on a synthetic
-    order-edge corpus: click before any signup (must not count),
-    click at exactly the signup ts (strict >, must not count),
-    purchase before the first qualifying click (must not count),
-    and a fully-ordered user (counts everywhere)."""
+    """evt_funnel r14 rewrite pin (three-way): the registered
+    sort-free aggregate-HOF form returns IDENTICAL counts to BOTH
+    prior forms — the r8 stage-join twin and the r14-step-1
+    running-min window twin — on the driver corpus AND on a
+    synthetic order-edge corpus: click before any signup (must not
+    count), click at exactly the signup ts (strict >, must not
+    count), purchase before the first qualifying click (must not
+    count), and a fully-ordered user (counts everywhere)."""
     import datetime
 
     import atd_dockless_processing_spark.tables as tables
     from atd_dockless_processing_spark import QUERIES
     from atd_dockless_processing_spark.operators.events import (
         _funnel_stage_join_twin,
+        _funnel_window_twin,
     )
 
     reg = sorted(map(tuple, QUERIES["evt_funnel"](spark, sf_dir).collect()))
     twin = sorted(map(tuple, _funnel_stage_join_twin(spark, sf_dir).collect()))
-    assert reg == twin and reg
+    wtwin = sorted(map(tuple, _funnel_window_twin(spark, sf_dir).collect()))
+    assert reg == twin == wtwin and reg
 
     t0 = datetime.datetime(2031, 3, 1)
     mk = lambda m, uid, eid, typ: (  # noqa: E731
@@ -4803,9 +4806,12 @@ def test_funnel_window_form_matches_stage_join_twin(spark, sf_dir):
         twin = sorted(
             map(tuple, _funnel_stage_join_twin(spark, sf_dir).collect())
         )
+        wtwin = sorted(
+            map(tuple, _funnel_window_twin(spark, sf_dir).collect())
+        )
     finally:
         tables.set_table_provider(orig)
-    assert reg == twin == [(3, 2, 1)]
+    assert reg == twin == wtwin == [(3, 2, 1)]
 
 
 def test_tfidf_df_branch_matches_count_distinct(spark, sf_dir):
