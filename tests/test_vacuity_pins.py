@@ -364,6 +364,69 @@ def test_pk_uniqueness_counts_synthesized_dup_key(spark, sf_dir, tmp_path):
         assert int(by_tbl[t][1].split(":")[1]) == 0
 
 
+def test_pk_packed_lineitem_key_matches_composite_twin(
+    spark, sf_dir, tmp_path
+):
+    """dq_pk_uniqueness r14 rewrite pin: the registered form groups
+    lineitem on ONE packed long (l_orderkey*8 + l_linenumber,
+    injective while l_linenumber stays in 0..7 — the corpus generator
+    emits 1..7) instead of the (bigint, int) composite pair, narrowing
+    the dominant exchange. Equality vs the composite-key twin on the
+    driver corpus, then on a synthesized corpus stressing the packing:
+    (k0+1, 2) and (k0+2, 1) are DISTINCT pairs that a broken ×1
+    packing would collide into one key (both sum to k0+3), line
+    numbers sit at both range edges (1 and 7), and (k0+5, 7) appears
+    twice — a genuine composite dup the packed key must still count
+    exactly once. Oracle-hash-equal on the synthesized corpus too."""
+    from atd_dockless_processing_spark.operators.pipeline_r6c import (
+        _pk_uniqueness_composite_twin,
+    )
+
+    reg = sorted(
+        map(tuple, QUERIES["dq_pk_uniqueness"](spark, str(sf_dir)).collect())
+    )
+    twin = sorted(
+        map(tuple, _pk_uniqueness_composite_twin(spark, str(sf_dir)).collect())
+    )
+    assert reg == twin and reg
+
+    corpus = tmp_path / "packed_pk_corpus"
+    corpus.mkdir()
+    for t in ("customer", "orders", "events", "documents"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", corpus / f"{t}.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    k0 = int(li["l_orderkey"].max())
+    extra = li.head(4).copy().reset_index(drop=True)
+    extra["l_orderkey"] = pd.array(
+        [k0 + 1, k0 + 2, k0 + 5, k0 + 5], dtype="int64"
+    )
+    extra["l_linenumber"] = pd.array([2, 1, 7, 7], dtype="int32")
+    _append_like(
+        f"{sf_dir}/lineitem.parquet", corpus / "lineitem.parquet", extra
+    )
+
+    _compare(spark, corpus, "dq_pk_uniqueness")  # oracle-hash parity
+    twin_syn = sorted(
+        map(
+            tuple,
+            _pk_uniqueness_composite_twin(spark, str(corpus)).collect(),
+        )
+    )
+    reg_syn = sorted(
+        map(tuple, QUERIES["dq_pk_uniqueness"](spark, str(corpus)).collect())
+    )
+    assert reg_syn == twin_syn
+
+    # raw row order: (tbl, n_rows, n_keys, n_dup_keys, max_mult)
+    base_li = next(r for r in reg if r[0] == "lineitem")
+    syn_li = next(r for r in reg_syn if r[0] == "lineitem")
+    # +4 rows; +3 distinct keys (the ×1-collision pair stays TWO keys);
+    # +1 dup key (the doubled (k0+5, 7) pair).
+    assert syn_li[1] == base_li[1] + 4
+    assert syn_li[2] == base_li[2] + 3
+    assert syn_li[3] == base_li[3] + 1
+
+
 def test_bbox_join_zones_on_synthesized_points(spark, tmp_path):
     """geo_bbox_join: zone membership depends entirely on the
     (value, props.k) point distribution — the theta-range shape.
