@@ -436,11 +436,43 @@ def geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with fewer than 5 trips are suppressed (HAVING).
 
     Scale shape: pure codegen cell derivation (zero pre-agg shuffle),
-    ONE combinable agg exchange on (o_cell, d_cell), suppression as a
+    ONE combinable agg exchange on the cell key, suppression as a
     post-agg filter — at 100 TB this is the same map + partial-agg +
     final-agg profile as geo_grid_bin with a composite key. Exact
     DECIMAL(18,4) value sums (order-free, the round-4 house
-    pattern)."""
+    pattern).
+
+    r14 optimization round (guide §2.3 shuffle keys/metadata, not
+    payloads): the pre-r14 form built the two CELL STRINGS per input
+    row and grouped on them — every row paid 2 concat_ws + 4
+    long→string casts before the partial agg, and the exchange
+    carried two strings. This form groups on the four underlying
+    LONG components (floor(value/50), floor(k/25), ...) and formats
+    the strings ONCE PER SURVIVING GROUP after the HAVING filter.
+    The component→string mapping is injective (integer formatting
+    never collides; a missing-k NULL renders as 'x', which no
+    numeric component can produce; a NULL first component drops its
+    separator, yielding a string with no '_' that only that shape
+    can make), so the grouping partition is identical and the
+    result bit-identical — pinned against the string-key twin in
+    tests, incl. a synthesized null-k corpus for the 'x' path the
+    stock corpus never exercises. Isolated-process ×100 A/B (fresh
+    process per form, 5 hot runs, 2 epochs): packed 0.844/1.078 s
+    vs string-key 3.397/3.169 s (~3× faster)."""
+    return _od_matrix(spark, sf_dir, int_components=True)
+
+
+def _od_matrix_stringkey_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r14 form: per-row cell-string build, groupBy on the
+    two strings. Kept as the cross-form equality witness for the
+    registered integer-component form (isolated ×100 epochs:
+    string-key 3.397/3.169 s vs packed 0.844/1.078 s)."""
+    return _od_matrix(spark, sf_dir, int_components=False)
+
+
+def _od_matrix(
+    spark: SparkSession, sf_dir: str, int_components: bool
+) -> DataFrame:
     # project the JSON field ONCE: o_cell and d_cell both use k, and
     # Catalyst only de-duplicates cheap expressions — inlining the
     # raw extraction would parse every props document twice
@@ -448,33 +480,47 @@ def geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events"), "k", "props", "k", "int"
     ).select("event_id", "user_id", "value", "k")
     k = F.col("k")
+    o1 = F.floor(F.col("value") / 50)
+    o2 = F.floor(k / 25.0)
+    d1 = F.floor((F.col("value") + (F.col("user_id") % 7) * F.lit(30.0)) / 50)
+    d2 = F.floor((k + F.col("event_id") % 5) / 25.0)
+
     # COALESCE the k-derived cell components (both engines): DuckDB
     # CONCAT keeps the '_' separator on a NULL operand while Spark
     # concat_ws drops it, so a NULL props.$.k would hash-diverge.
-    o_cell = F.concat_ws(
-        "_",
-        F.floor(F.col("value") / 50).cast("string"),
-        F.coalesce(F.floor(k / 25.0).cast("string"), F.lit("x")),
-    )
-    d_cell = F.concat_ws(
-        "_",
-        F.floor((F.col("value") + (F.col("user_id") % 7) * F.lit(30.0)) / 50).cast(
-            "string"
-        ),
-        F.coalesce(
-            F.floor((k + F.col("event_id") % 5) / 25.0).cast("string"), F.lit("x")
-        ),
-    )
-    return (
-        ev.select(o_cell.alias("o_cell"), d_cell.alias("d_cell"), "value")
-        .groupBy("o_cell", "d_cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_trips"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
-            ).alias("sum_value"),
+    def cell(a, b):
+        return F.concat_ws(
+            "_", a.cast("string"), F.coalesce(b.cast("string"), F.lit("x"))
         )
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_trips"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
+    ]
+    if not int_components:
+        return (
+            ev.select(
+                cell(o1, o2).alias("o_cell"), cell(d1, d2).alias("d_cell"), "value"
+            )
+            .groupBy("o_cell", "d_cell")
+            .agg(*aggs)
+            .where(F.col("n_trips") >= 5)
+        )
+    return (
+        ev.select(
+            o1.alias("o1"), o2.alias("o2"), d1.alias("d1"), d2.alias("d2"), "value"
+        )
+        .groupBy("o1", "o2", "d1", "d2")
+        .agg(*aggs)
         .where(F.col("n_trips") >= 5)
+        .select(
+            cell(F.col("o1"), F.col("o2")).alias("o_cell"),
+            cell(F.col("d1"), F.col("d2")).alias("d_cell"),
+            "n_trips",
+            "sum_value",
+        )
     )
 
 

@@ -427,6 +427,60 @@ def test_pk_packed_lineitem_key_matches_composite_twin(
     assert syn_li[3] == base_li[3] + 1
 
 
+def test_od_matrix_int_components_match_stringkey_twin(
+    spark, sf_dir, tmp_path
+):
+    """geo_od_matrix r14 rewrite pin: the registered form groups on
+    the four LONG cell components and formats the cell strings only
+    per surviving group; the pre-r14 form grouped on per-row-built
+    strings. Equality vs the string-key twin on the driver corpus,
+    then on a synthesized corpus exercising the one path the stock
+    corpus never does — rows whose props carry NO 'k' (NULL → the
+    'x' cell component on both engines): six such rows share one
+    (0_x, 0_x) cell, so they must survive the k>=5 suppression as
+    exactly one row with n_trips == 6. Oracle-hash parity on the
+    synthesized corpus guards the Spark-vs-DuckDB NULL-concat
+    divergence the COALESCE exists for."""
+    from atd_dockless_processing_spark.operators.pipeline_r5 import (
+        _od_matrix_stringkey_twin,
+    )
+
+    reg = sorted(
+        map(tuple, QUERIES["geo_od_matrix"](spark, str(sf_dir)).collect())
+    )
+    twin = sorted(
+        map(tuple, _od_matrix_stringkey_twin(spark, str(sf_dir)).collect())
+    )
+    assert reg == twin and reg
+
+    corpus = tmp_path / "od_nullk_corpus"
+    corpus.mkdir()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e0 = int(ev["event_id"].max())
+    e0 -= e0 % 5  # keep appended event_ids ≡ 0 (mod 5): d2 stays k-only
+    extra = ev.head(6).copy().reset_index(drop=True)
+    extra["event_id"] = pd.array(
+        [e0 + 5 * i for i in range(1, 7)], dtype="int64"
+    )
+    extra["user_id"] = pd.array([7] * 6, dtype="int64")  # % 7 == 0
+    extra["value"] = [10.0] * 6  # floor(10/50) = 0 for o1 and d1
+    extra["props"] = ["{}"] * 6  # NO 'k' → NULL → the 'x' component
+    _append_like(
+        f"{sf_dir}/events.parquet", corpus / "events.parquet", extra
+    )
+
+    _compare(spark, corpus, "geo_od_matrix")  # oracle-hash parity
+    reg_syn = sorted(
+        map(tuple, QUERIES["geo_od_matrix"](spark, str(corpus)).collect())
+    )
+    twin_syn = sorted(
+        map(tuple, _od_matrix_stringkey_twin(spark, str(corpus)).collect())
+    )
+    assert reg_syn == twin_syn
+    xrow = [r for r in reg_syn if r[0] == "0_x" and r[1] == "0_x"]
+    assert len(xrow) == 1 and xrow[0][2] == 6, xrow
+
+
 def test_bbox_join_zones_on_synthesized_points(spark, tmp_path):
     """geo_bbox_join: zone membership depends entirely on the
     (value, props.k) point distribution — the theta-range shape.
