@@ -540,18 +540,67 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     question; Gini is its canonical statistic). Computed by the
     rank formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending
     values — Σ i·xᵢ is invariant under tie permutations (equal x
-    share the rank-block sum regardless of assignment), and the
-    declared (cents, orderkey) order makes the ranking itself fully
-    deterministic anyway.
+    share the rank-block sum regardless of assignment), which is
+    exactly what makes the HISTOGRAM form below legal.
+
+    r14 registered plan — rank-block histogram, no per-row rank:
+    the pre-r14 form ranked every row with a window partitioned by
+    the 5 priority classes (parallelism 5, a full per-group sort of
+    the whole fact — the evt_outlier_mad disease). But the value
+    domain ≪ rows (~150k distinct cents vs 3M rows/group at ×100),
+    so the same Σ i·xᵢ falls out of the (priority, cents) histogram:
+    a tie block of c rows at cumulative offset C occupies ranks
+    C+1..C+c, whose exact rank sum is c·C + c(c+1)/2, giving
+    Σ i·xᵢ = Σ_cells cents·(c·C + c(c+1)/2). The map-side-combinable
+    histogram groupBy replaces the row shuffle, and the only sort
+    left is over cells (~20× fewer rows per group). Isolated-process
+    ×100 A/B (fresh process per form, 5 hot runs, 2 epochs):
+    hist 2.444/2.433 s vs rank 10.758/9.681 s vs DuckDB
+    8.054/7.231 s — ~4× faster, 0.30–0.34× vs the oracle. The rank
+    form stays as ``_gini_rank_twin``, equality-pinned (driver
+    corpus + synthetic tie-block corpus).
 
     Exactness: values lift to integer cents via the shared
     floor(x·100+0.5) tree (hazard: bare double→int CAST rounds in
-    DuckDB, truncates in Spark); Σ i·xᵢ accumulates DECIMAL(38)-
-    exact (order-free; DuckDB's HUGEINT mirrors it); the Gini itself
-    is a 6-op shared IEEE tail + ROUND 6. Plan shape: one window
-    exchange per priority group (rank), one combinable agg — the
-    same two-exchange shape as every ranked statistic; at 100 TB the
-    rank can ride a pre-sorted bucketing of the fact."""
+    DuckDB, truncates in Spark); the block rank sum c·C + c(c+1)/2
+    is long-exact (c, C ≤ rowcount; products ≤ n² ≈ 2.3e14 at ×100,
+    far under 2^63, and c(c+1) is always even so ``div 2`` is
+    exact), lifted to DECIMAL(38) BEFORE the ×cents product exactly
+    as the twin lifts i — identical integer s2, identical 6-op
+    shared IEEE tail + ROUND 6."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cells = o.groupBy("o_orderpriority", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # cumulative rows BEFORE this cell in (cents asc) order — cells
+    # are unique per (priority, cents) so no tie-frame ambiguity
+    wc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cells.withColumn("cbefore", F.coalesce(F.sum("c").over(wc), F.lit(0)))
+    block = (
+        F.col("c") * F.col("cbefore") + F.expr("(c * (c + 1)) div 2")
+    ).cast("decimal(38,0)")
+    s = cum.groupBy("o_orderpriority").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("cents")).alias("sum_cents"),
+        F.sum(block * F.col("cents")).alias("s2"),
+    )
+    return _gini_tail(s)
+
+
+def _gini_rank_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r14 per-row window-rank form, kept as the cross-form
+    equality witness for the registered histogram plan (isolated
+    ×100 epochs: rank 10.758/9.681 s vs hist 2.444/2.433 s). The
+    declared (cents, orderkey) order makes the per-row ranking fully
+    deterministic, and Σ i·xᵢ is tie-permutation invariant, so both
+    forms compute the same exact DECIMAL s2."""
     o = load(spark, sf_dir, "orders").select(
         "o_orderpriority",
         "o_orderkey",
@@ -564,6 +613,13 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("sum_cents"),
         F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("s2"),
     )
+    return _gini_tail(s)
+
+
+def _gini_tail(s: DataFrame) -> DataFrame:
+    """Shared output tail: the ONE exact→double cast + 6-op IEEE
+    Gini expression + ROUND 6, identical across both forms and the
+    DuckDB oracle."""
     nd = F.col("n").cast("double")
     return s.select(
         "o_orderpriority",

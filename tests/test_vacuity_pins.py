@@ -506,3 +506,58 @@ def test_bbox_join_zones_on_synthesized_points(spark, tmp_path):
     rows = _compare(spark, corpus, "geo_bbox_join")
     zones = {r[1] for r in rows}
     assert zones == {"'downtown'", "'east'", "'west'"}, rows
+
+
+def test_gini_hist_form_matches_rank_twin(spark, sf_dir, tmp_path):
+    """agg_gini r14 rewrite pin: the registered form derives
+    Σ i·xᵢ from the (priority, cents) histogram via exact rank-block
+    sums c·C + c(c+1)/2; the pre-r14 form ranked every row with a
+    5-partition window. Equality vs the rank twin on the driver
+    corpus, then on a synthesized corpus engineered for the block
+    arithmetic's edges the stock corpus (~unique prices) barely
+    exercises: a new priority class holding REAL tie blocks (5 rows
+    at one price, 3 at a lower one, 1 alone — blocks of c>1 where
+    the c(c+1)/2 term and the cbefore offset both matter), a
+    zero-cents row (block at the rank-order head), and a second new
+    single-row class (n=1 → gini 0, the degenerate tail). Oracle-
+    hash parity on the synthesized corpus guards the lift + DECIMAL
+    accumulation cross-engine."""
+    from atd_dockless_processing_spark.operators.pipeline_r6e import (
+        _gini_rank_twin,
+    )
+
+    reg = sorted(
+        map(tuple, QUERIES["agg_gini"](spark, str(sf_dir)).collect())
+    )
+    twin = sorted(
+        map(tuple, _gini_rank_twin(spark, str(sf_dir)).collect())
+    )
+    assert reg == twin and reg
+
+    corpus = tmp_path / "gini_ties_corpus"
+    corpus.mkdir()
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    k0 = int(od["o_orderkey"].max()) + 1
+    extra = od.head(11).copy().reset_index(drop=True)
+    extra["o_orderkey"] = pd.array(range(k0, k0 + 11), dtype="int64")
+    extra["o_orderpriority"] = ["9-TIES"] * 10 + ["9-SOLO"]
+    # 9-TIES: tie blocks 5×100.00 + 3×50.00 + 1×200.00 + 1×0.00;
+    # 9-SOLO: one row (n=1, gini must be exactly 0 on both engines)
+    extra["o_totalprice"] = [100.0] * 5 + [50.0] * 3 + [200.0, 0.0, 77.77]
+    _append_like(
+        f"{sf_dir}/orders.parquet", corpus / "orders.parquet", extra
+    )
+
+    rows = _compare(spark, corpus, "agg_gini")  # oracle-hash parity
+    reg_syn = sorted(
+        map(tuple, QUERIES["agg_gini"](spark, str(corpus)).collect())
+    )
+    twin_syn = sorted(
+        map(tuple, _gini_rank_twin(spark, str(corpus)).collect())
+    )
+    assert reg_syn == twin_syn
+    ties = [r for r in reg_syn if r[0] == "9-TIES"]
+    solo = [r for r in reg_syn if r[0] == "9-SOLO"]
+    assert len(ties) == 1 and ties[0][1] == 10, ties
+    assert len(solo) == 1 and solo[0][1] == 1 and solo[0][3] == 0.0, solo
+    assert len(rows) == len(reg_syn) == 7  # 5 stock classes + 2 new
