@@ -561,3 +561,70 @@ def test_gini_hist_form_matches_rank_twin(spark, sf_dir, tmp_path):
     assert len(ties) == 1 and ties[0][1] == 10, ties
     assert len(solo) == 1 and solo[0][1] == 1 and solo[0][3] == 0.0, solo
     assert len(rows) == len(reg_syn) == 7  # 5 stock classes + 2 new
+
+
+def test_rouge_merge_form_matches_quadratic_twin(spark, sf_dir, tmp_path):
+    """llm_rouge_overlap r14 rewrite pin: the registered form scores
+    each pair with a linear two-pointer merge over map-side-SORTED
+    gram arrays; the pre-r14 form scanned both arrays per distinct
+    gram. Equality vs the quadratic twin on the driver corpus, then
+    on a synthesized corpus engineered for the merge's edges: a pair
+    where CLIPPING binds in both directions ("a b"×3 vs ×2 and
+    "b a"×2 vs ×1 → ov must be 3, not 5), an identical-text pair
+    (ov = n), a 1-token doc (empty gram array → ov 0, NULL p_milli
+    via the nullif guard), and a disjoint pair (ov 0). Oracle-hash
+    parity on the synthesized corpus guards the sorted-merge vs
+    DuckDB clipped-list semantics."""
+    from atd_dockless_processing_spark.operators.pipeline_r6f import (
+        _rouge_quadratic_twin,
+    )
+
+    reg = sorted(
+        map(tuple, QUERIES["llm_rouge_overlap"](spark, str(sf_dir)).collect())
+    )
+    twin = sorted(
+        map(tuple, _rouge_quadratic_twin(spark, str(sf_dir)).collect())
+    )
+    assert reg == twin and reg
+
+    corpus = tmp_path / "rouge_edge_corpus"
+    corpus.mkdir()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    d0 = int(docs["doc_id"].max()) + 1
+    texts = [
+        "a b a b a b",    # "a b"x3, "b a"x2
+        "a b a b x",      # "a b"x2, "b a"x1, "b x"x1 -> pair ov 3
+        "same same text", # identical pair: ov = 2
+        "same same text",
+        "solo",           # 1-token: empty grams -> ov 0, p_milli NULL
+        "q r s q r",      # vs prev: ov 0 (disjoint)
+    ]
+    extra = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(d0, d0 + len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": "en",
+            "source": "synth-rouge",
+            "n_chars": pd.array(
+                [len(t) for t in texts], dtype="int64"
+            ),
+        }
+    )
+    _append_like(
+        f"{sf_dir}/documents.parquet", corpus / "documents.parquet", extra
+    )
+
+    _compare(spark, corpus, "llm_rouge_overlap")  # oracle-hash parity
+    reg_syn = {
+        (r["a_id"], r["b_id"]): r.asDict()
+        for r in QUERIES["llm_rouge_overlap"](spark, str(corpus)).collect()
+    }
+    twin_syn = {
+        (r["a_id"], r["b_id"]): r.asDict()
+        for r in _rouge_quadratic_twin(spark, str(corpus)).collect()
+    }
+    assert reg_syn == twin_syn
+    assert reg_syn[(d0, d0 + 1)]["ov"] == 3  # clipped, not 5
+    assert reg_syn[(d0 + 2, d0 + 3)]["ov"] == 2  # identical pair
+    solo = reg_syn[(d0 + 4, d0 + 5)]
+    assert solo["n_a"] == 0 and solo["ov"] == 0 and solo["p_milli"] is None
