@@ -27,7 +27,7 @@ rest of the calendar derivation surface in ``functions/scalars.py``.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -234,20 +234,93 @@ def fn_geojson_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation + covariance of (l_quantity, l_extendedprice) per
-    return flag via ONE-PASS power sums in exact DECIMAL arithmetic:
-    n, Σx, Σy, Σx², Σy², Σxy as map-side-combinable aggregates, with
-    the closed-form corr/covariance derived from the sums afterward.
+    return flag via ONE-PASS power sums: n, Σx, Σy, Σx², Σy², Σxy as
+    map-side-combinable aggregates, closed-form corr/covariance from
+    the sums afterward. The sums are EXACT (no summation-order drift,
+    no Welford merge-state concerns) so the double math's inputs are
+    cross-engine bit-identical. Built-in corr()/covar_samp() would
+    hide the sums inside engine-specific accumulation orders and
+    could not be hash-checked at 4-6 decimals. Generalizes telemetry
+    correlation screens ([P med], product analytics).
 
-    This is the scale-correct distributed form: the six sums merge
-    associatively across any partitioning (one agg exchange, partial
-    aggregation upstream), and the decimal accumulation makes the
-    pre-division state EXACT — no summation-order drift, no Welford
-    merge-state concerns, cross-engine bit-identical inputs to the
-    final double math (the same exact→double cast and expression on
-    both engines). Built-in corr()/covar_samp() would hide the sums
-    inside engine-specific accumulation orders and could not be
-    hash-checked at 4-6 decimals. Generalizes telemetry correlation
-    screens ([P med], product analytics)."""
+    r14 registered plan — long-unit split sums (guide §2.3 narrower
+    types): the pre-r14 form accumulated six DECIMAL sums of
+    decimal(18,4)/(37,8) per-row products — BigDecimal-backed multiply
+    and add once a partial exceeds the long range, the dominant
+    per-row cost. The same exact integers fall out of pure long
+    arithmetic: lift to units ux = floor(x·1e4 + 0.5) (the exact.py
+    idiom — recovers the unscaled value of CAST(x AS DECIMAL(18,4))
+    on the same IEEE double), per-row long products, and hi/lo split
+    sums at 2^32 (hi = p div 2^32, lo = p & (2^32−1)) so no partial
+    can wrap. The exact decimal sums are reconstructed post-agg over
+    the ≤3 surviving groups — Σhi·2^32 + Σlo in decimal(29,0), scale
+    shift by an exact ×decimal(8,8) literal to decimal(38,8); every
+    step stays ≤ precision 38, so Spark's precision-loss adjustment
+    never fires — then the ONE decimal→double cast and the identical
+    IEEE tail run as before: bit-identical by integer identity.
+
+    Overflow bounds at ×100 (60M rows; qty ≤ 50 → ux ≤ 5e5, price ≤
+    105k → uy ≤ 1.05e9): per-row pyy = uy² ≤ 1.11e18 (8.4× long
+    margin); Σlo < rows·2^32 ≤ 2.6e17 (35×); Σhi ≤ 1.6e16 against
+    the decimal(17,0) cast (6×); Σuy ≤ 6.3e16 against decimal(17,0).
+    Binding bound: rows/group < ~2.3e8 for the decimal(18,0) Σlo
+    cast — 11× above ×100; past it, lift the products into
+    decimal(38,0) before summing (the twin's shape, exact.py's
+    documented promotion). Isolated-process ×100 A/B (fresh process
+    per form, 5 hot runs, 2 epochs): units 0.890/0.810 s vs decimal
+    3.873/4.163 s vs DuckDB 2.810/2.370 s — ~4.7× faster, 0.32–0.34×
+    vs the oracle (was 1.61×). The decimal power-sum form stays as
+    ``_corr_cov_decimal_twin``, equality-pinned (driver corpus +
+    synthesized edge corpus)."""
+    li = load(spark, sf_dir, "lineitem")
+    ux = F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("long")
+    uy = F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast("long")
+    t = li.select(F.col("l_returnflag"), ux.alias("ux"), uy.alias("uy")).select(
+        "l_returnflag",
+        "ux",
+        "uy",
+        (F.col("ux") * F.col("ux")).alias("pxx"),
+        (F.col("uy") * F.col("uy")).alias("pyy"),
+        (F.col("ux") * F.col("uy")).alias("pxy"),
+    )
+    m = F.lit(4294967295)
+    sums = t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ux").alias("sux"),
+        F.sum("uy").alias("suy"),
+        F.sum(F.expr("pxx div 4294967296")).alias("hxx"),
+        F.sum(F.col("pxx").bitwiseAND(m)).alias("lxx"),
+        F.sum(F.expr("pyy div 4294967296")).alias("hyy"),
+        F.sum(F.col("pyy").bitwiseAND(m)).alias("lyy"),
+        F.sum(F.expr("pxy div 4294967296")).alias("hxy"),
+        F.sum(F.col("pxy").bitwiseAND(m)).alias("lxy"),
+    )
+    two32 = F.expr("CAST(4294967296 AS DECIMAL(10,0))")
+    cent8 = F.expr("CAST(0.00000001 AS DECIMAL(8,8))")  # units² → value
+    cent4 = F.expr("CAST(0.0001 AS DECIMAL(4,4))")  # units → value
+
+    def rec8(h: str, l: str) -> Column:
+        # decimal(17,0)·(10,0) → (28,0); + (18,0) → (29,0); ·(8,8) →
+        # (38,8): all exact, precision never exceeds 38.
+        s = F.col(h).cast("decimal(17,0)") * two32 + F.col(l).cast("decimal(18,0)")
+        return (s * cent8).cast("double")
+
+    return _corr_tail(
+        sums,
+        sx=(F.col("sux").cast("decimal(14,0)") * cent4).cast("double"),
+        sy=(F.col("suy").cast("decimal(17,0)") * cent4).cast("double"),
+        sxx=rec8("hxx", "lxx"),
+        syy=rec8("hyy", "lyy"),
+        sxy=rec8("hxy", "lxy"),
+    )
+
+
+def _corr_cov_decimal_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r14 decimal power-sum form, kept as the cross-form
+    equality witness for the registered long-unit plan (isolated ×100
+    epochs: decimal 3.873/4.163 s vs units 0.890/0.810 s). Both forms
+    feed the same exact sum VALUES — Σux/1e4 as decimal — into the
+    shared ``_corr_tail``, so every output bit matches."""
     li = load(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(18,4)")
     y = F.col("l_extendedprice").cast("decimal(18,4)")
@@ -259,10 +332,28 @@ def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * y).alias("syy"),
         F.sum(x * y).alias("sxy"),
     )
+    return _corr_tail(
+        sums,
+        sx=F.col("sx").cast("double"),
+        sy=F.col("sy").cast("double"),
+        sxx=F.col("sxx").cast("double"),
+        syy=F.col("syy").cast("double"),
+        sxy=F.col("sxy").cast("double"),
+    )
+
+
+def _corr_tail(
+    sums: DataFrame,
+    sx: Column,
+    sy: Column,
+    sxx: Column,
+    syy: Column,
+    sxy: Column,
+) -> DataFrame:
+    """Shared output tail: the exact→double power sums feed one IEEE
+    expression + ROUND, identical across both forms and the DuckDB
+    oracle."""
     nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
     cov_num = sxy - sx * sy / nd
     return sums.select(
         "l_returnflag",

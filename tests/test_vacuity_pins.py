@@ -628,3 +628,55 @@ def test_rouge_merge_form_matches_quadratic_twin(spark, sf_dir, tmp_path):
     assert reg_syn[(d0 + 2, d0 + 3)]["ov"] == 2  # identical pair
     solo = reg_syn[(d0 + 4, d0 + 5)]
     assert solo["n_a"] == 0 and solo["ov"] == 0 and solo["p_milli"] is None
+
+
+def test_corr_cov_units_form_matches_decimal_twin(spark, sf_dir, tmp_path):
+    """agg_corr_cov r14 rewrite pin: the registered form computes the
+    six exact power sums in long-unit arithmetic (floor(x·1e4+0.5)
+    lift, per-row long products, hi/lo split sums at 2^32, exact
+    decimal reconstruction post-agg); the pre-r14 form summed decimal
+    products directly. Equality vs the decimal twin on the driver
+    corpus, then on a synthesized corpus engineered for the split
+    arithmetic's edges: a new flag holding TEN rows at the domain-max
+    price (104999.91 → uy² ≈ 1.10e18 each, Σ ≈ 1.1e19 — an UNSPLIT
+    long sum of pyy would wrap 2^63 here, so the hi/lo split is
+    provably load-bearing), mixed with minimum-domain rows (qty 1,
+    price 0.01 — lift exactness at the small end) so the group keeps
+    nonzero variance. Oracle-hash parity on the synthesized corpus
+    guards the lift + reconstruction cross-engine."""
+    from atd_dockless_processing_spark.operators.pipeline_r4 import (
+        _corr_cov_decimal_twin,
+    )
+
+    reg = sorted(
+        map(tuple, QUERIES["agg_corr_cov"](spark, str(sf_dir)).collect())
+    )
+    twin = sorted(
+        map(tuple, _corr_cov_decimal_twin(spark, str(sf_dir)).collect())
+    )
+    assert reg == twin and reg
+
+    corpus = tmp_path / "corr_units_corpus"
+    corpus.mkdir()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    k0 = int(li["l_orderkey"].max()) + 1
+    extra = li.head(13).copy().reset_index(drop=True)
+    extra["l_orderkey"] = pd.array(range(k0, k0 + 13), dtype="int64")
+    extra["l_returnflag"] = ["Z"] * 13
+    extra["l_quantity"] = [50.0] * 10 + [1.0, 1.0, 7.0]
+    extra["l_extendedprice"] = [104999.91] * 10 + [0.01, 900.68, 77.77]
+    _append_like(
+        f"{sf_dir}/lineitem.parquet", corpus / "lineitem.parquet", extra
+    )
+
+    rows = _compare(spark, corpus, "agg_corr_cov")  # oracle-hash parity
+    reg_syn = sorted(
+        map(tuple, QUERIES["agg_corr_cov"](spark, str(corpus)).collect())
+    )
+    twin_syn = sorted(
+        map(tuple, _corr_cov_decimal_twin(spark, str(corpus)).collect())
+    )
+    assert reg_syn == twin_syn
+    z = [r for r in reg_syn if r[0] == "Z"]
+    assert len(z) == 1 and z[0][1] == 13 and z[0][2] is not None, z
+    assert len(rows) == len(reg_syn) == 4  # 3 stock flags + Z
