@@ -139,7 +139,7 @@ POINTERS = {
     "sql_session_variable": "SURFACE demo (session variables) — two plans from the scan+agg family; the variable is driver-side state substituted at analysis time, zero executor cost",
     "stm_dedup_within_watermark": "SURFACE demo (bounded-state streaming dedup) — state = keys-per-lateness-window, the 24/7 idempotent-reingest form; batch volume shape shared with stm_watermark_dedup (inclusive stream timing family)",
     "sql_lateral_column_alias": "SURFACE demo (alias resolution) — analyzer rewrite to nested Projects, plan = agg_groupby_q1's scan+hash-agg family (bit-equality with the DataFrame twin pinned in tests)",
-    "agg_regression": "single-pass combinable moment sums (regr_* = cov/var ratios) — agg_corr_cov's measured plan family (1.61x at x100), one agg exchange",
+    "agg_regression": "single-pass combinable moment sums (regr_* = cov/var ratios) — agg_corr_cov's measured plan family (0.32-0.34x at x100 since the r14d long-unit rewrite; regression's own double-typed REGR_* sums measured 0.93x same-session r9), one agg exchange",
     "agg_bitmap_distinct": "2-level bitmap groupBy — exchange bounded by key-space/32768 per group (never per-distinct-value rows), map-side OR-combinable; pins Spark's BUILT-IN bitmap-agg surface beside the wired 64-bit bucket form (agg_distinct_count, the general default) — bucket-width tradeoff measured same-session at x100 (1.26x vs 2.59x on sparse keys)",
     "stm_tws_value_ttl": "SURFACE demo (TWS TTL'd state) — same bounded per-user RocksDB row as stm_transform_with_state plus TTL's secondary index, the knob that keeps 24/7 session state bounded; volume shape priced by the TWS family's INCLUSIVE x100 row",
     "snk_python_datasource_write": "SURFACE demo (V2 Python writer, two-phase commit) — per-row Python+JSON text by construction (udf_scalar_python precedent); production twin is the JVM parquet sink (snk_parquet); manifest discipline shared with snk_manifest_publish",
