@@ -442,30 +442,110 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (0.30 / 0.10) is flagged as repetitive boilerplate.
     Reported per language: doc counts, flag counts, average fractions.
 
-    Everything is per-row higher-order-function work (transform /
-    array_distinct / filter inside whole-stage codegen) on the map
-    side — the per-doc mode computation is O(distinct x n) within the
-    row, never a shuffle — followed by ONE map-combinable agg on
-    lang. At 100 TB this runs inside the scan stage like txt_pii_mask;
-    the per-row cost is bounded by document length, not corpus size."""
+    Everything stays per-row map-side work followed by ONE
+    map-combinable agg on lang; at 100 TB this runs inside the scan
+    stage like txt_pii_mask, cost bounded by document length, not
+    corpus size.
+
+    r14 registered plan — sorted run-length walk (the
+    llm_rouge_overlap precedent, per-row instead of per-pair): the
+    pre-r14 mode count ``array_max(transform(array_distinct(g2),
+    x -> size(filter(g2, ...))))`` rescanned the whole gram array once
+    per DISTINCT gram — O(d·n) string compares per row, quadratic in
+    document length. Both per-doc statistics fall out of ONE
+    ``array_sort`` + a linear ``aggregate`` walk: equal sorted
+    neighbors extend a run, a new value starts one; max run length =
+    max multiplicity and number of runs = distinct count — the SAME
+    integers, so dup2_frac / top2_frac and every downstream aggregate
+    are bit-identical (including the empty-g2 degenerate: NULL via
+    the shared /0 → NULL division either way). Isolated-process ×100
+    A/B (fresh process per form, 5 hot runs, 2 epochs): sorted
+    33.897/32.900 s vs quadratic 46.816/48.820 s vs DuckDB 32.817 s —
+    ~1.45× faster, ~1.0× vs the oracle (was 1.46×; the oracle keeps
+    its quadratic list lambdas — its d·n is small at this doc length,
+    which is why parity, not a rouge-sized gap, was the honest
+    before-state). The quadratic form stays as
+    ``_repetition_quadratic_twin``, equality-pinned (driver corpus +
+    synthesized run-edge corpus)."""
+    m = _repetition_fracs_sorted(spark, sf_dir)
+    return _repetition_tail(m)
+
+
+def _repetition_fracs_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (lang, dup2_frac, top2_frac) via the sorted run-length
+    walk."""
     d = load(spark, sf_dir, "documents").select(
         "lang",
+        # 1-token guard: sequence(1, 0) is DESCENDING in Spark
+        # ([1, 0]) and element_at(..., 0) throws — DuckDB's
+        # generate_series(1, 0) is empty, so short docs must yield an
+        # empty gram array here too (r14d pin finding; the stock
+        # corpus min is 10 tokens, so this was a latent crash)
         F.expr(
-            "transform(sequence(1, size(split(text,' ')) - 1),"
+            "IF(size(split(text,' ')) < 2, CAST(array() AS ARRAY<STRING>),"
+            " transform(sequence(1, size(split(text,' ')) - 1),"
             " i -> concat(element_at(split(text,' '), i), ' ',"
-            "             element_at(split(text,' '), i + 1)))"
+            "             element_at(split(text,' '), i + 1))))"
+        ).alias("g2"),
+    )
+    # one walk returns (best = max run length, nd = number of runs);
+    # grams are never null (concat of split parts), so the x <=> prev
+    # null-safe compare only ever sees NULL in the initial state
+    rl = F.expr(
+        "aggregate(array_sort(g2),"
+        " struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best,"
+        "        0L AS nd),"
+        " (a, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> a.prev, a.run + 1, 1L),"
+        "   'best', GREATEST(a.best, IF(x <=> a.prev, a.run + 1, 1L)),"
+        "   'nd', a.nd + IF(x <=> a.prev, 0L, 1L)),"
+        " a -> struct(a.best AS best, a.nd AS nd))"
+    )
+    w = d.select("lang", F.size("g2").cast("double").alias("n_g"), rl.alias("rl"))
+    # nullif: an empty gram array (1-token doc) must yield NULL
+    # fractions as DuckDB's x/0 does — under ANSI a bare /0 throws
+    ng = F.nullif(F.col("n_g"), F.lit(0.0))
+    dup2 = (F.col("n_g") - F.col("rl.nd").cast("double")) / ng
+    top2 = F.col("rl.best").cast("double") / ng
+    return w.select("lang", dup2.alias("dup2_frac"), top2.alias("top2_frac"))
+
+
+def _repetition_quadratic_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r14 quadratic-HOF form, kept as the cross-form equality
+    witness for the registered sorted run-length plan (isolated ×100
+    epochs: quadratic 46.816/48.820 s vs sorted 33.897/32.900 s)."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        # 1-token guard: sequence(1, 0) is DESCENDING in Spark
+        # ([1, 0]) and element_at(..., 0) throws — DuckDB's
+        # generate_series(1, 0) is empty, so short docs must yield an
+        # empty gram array here too (r14d pin finding; the stock
+        # corpus min is 10 tokens, so this was a latent crash)
+        F.expr(
+            "IF(size(split(text,' ')) < 2, CAST(array() AS ARRAY<STRING>),"
+            " transform(sequence(1, size(split(text,' ')) - 1),"
+            " i -> concat(element_at(split(text,' '), i), ' ',"
+            "             element_at(split(text,' '), i + 1))))"
         ).alias("g2"),
     )
     n_g = F.size("g2").cast("double")
-    dup2 = (n_g - F.size(F.array_distinct("g2")).cast("double")) / n_g
+    ng = F.nullif(n_g, F.lit(0.0))  # same empty-gram NULL path
+    dup2 = (n_g - F.size(F.array_distinct("g2")).cast("double")) / ng
     top2 = (
         F.expr(
             "array_max(transform(array_distinct(g2),"
             " x -> size(filter(g2, y -> y = x))))"
         ).cast("double")
-        / n_g
+        / ng
     )
     m = d.select("lang", dup2.alias("dup2_frac"), top2.alias("top2_frac"))
+    return _repetition_tail(m)
+
+
+def _repetition_tail(m: DataFrame) -> DataFrame:
+    """Shared per-lang aggregation tail, identical across both forms
+    and the DuckDB oracle."""
     return m.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_if(

@@ -680,3 +680,66 @@ def test_corr_cov_units_form_matches_decimal_twin(spark, sf_dir, tmp_path):
     z = [r for r in reg_syn if r[0] == "Z"]
     assert len(z) == 1 and z[0][1] == 13 and z[0][2] is not None, z
     assert len(rows) == len(reg_syn) == 4  # 3 stock flags + Z
+
+
+def test_repetition_sorted_form_matches_quadratic_twin(spark, sf_dir, tmp_path):
+    """txt_repetition_filter r14 rewrite pin: the registered form
+    derives max 2-gram multiplicity and distinct count from ONE
+    array_sort + linear run-length walk; the pre-r14 form rescanned
+    the gram array per distinct gram (O(d·n) per row). Equality vs the
+    quadratic twin on the driver corpus, then on a synthesized corpus
+    engineered for the walk's edges the stock corpus (min 10 tokens,
+    near-unique grams) barely exercises: a heavy-repetition doc (one
+    gram ×4 — the run extends across the whole array), an interleaved
+    doc whose equal grams are NON-adjacent pre-sort ("b a b a c c" —
+    sorting is what makes the run-length walk correct), an all-distinct
+    doc (every run length 1), and a 1-token doc (empty g2 → NULL
+    fractions via the shared /0 path on BOTH engines — verified
+    NULL/NULL cross-engine before pinning). Oracle-hash parity on the
+    synthesized corpus guards the sorted-walk vs DuckDB's quadratic
+    list lambdas."""
+    from atd_dockless_processing_spark.operators.pipeline_r2 import (
+        _repetition_quadratic_twin,
+    )
+
+    reg = sorted(
+        map(tuple, QUERIES["txt_repetition_filter"](spark, str(sf_dir)).collect())
+    )
+    twin = sorted(
+        map(tuple, _repetition_quadratic_twin(spark, str(sf_dir)).collect())
+    )
+    assert reg == twin and reg
+
+    corpus = tmp_path / "rep_runs_corpus"
+    corpus.mkdir()
+    dd = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    d0 = int(dd["doc_id"].max()) + 1
+    texts = [
+        "spam spam spam spam spam",  # one gram x4: dup2 0.75, top2 1.0
+        "b a b a c c",  # non-adjacent equal grams pre-sort
+        "a b c d e",  # all distinct: top2 = 1/4
+        "solo",  # empty g2: NULL fractions on both engines
+    ]
+    extra = dd.head(4).copy().reset_index(drop=True)
+    extra["doc_id"] = pd.array(range(d0, d0 + 4), dtype="int64")
+    extra["lang"] = ["xx"] * 4  # a fresh lang so the group is pure
+    extra["text"] = texts
+    extra["n_chars"] = pd.array([len(t) for t in texts], dtype="int64")
+    _append_like(
+        f"{sf_dir}/documents.parquet", corpus / "documents.parquet", extra
+    )
+
+    rows = _compare(spark, corpus, "txt_repetition_filter")  # oracle parity
+    reg_syn = sorted(
+        map(tuple, QUERIES["txt_repetition_filter"](spark, str(corpus)).collect())
+    )
+    twin_syn = sorted(
+        map(tuple, _repetition_quadratic_twin(spark, str(corpus)).collect())
+    )
+    assert reg_syn == twin_syn
+    xx = [r for r in reg_syn if r[0] == "xx"]
+    # 4 docs; the NULL-fraction solo doc must not flag; spam (0.75/1.0)
+    # and the all-distinct doc (top2 0.25) and the interleaved doc
+    # (top2 0.4) all exceed a threshold
+    assert len(xx) == 1 and xx[0][1] == 4 and xx[0][2] == 3, xx
+    assert any("xx" in str(r) for r in rows)  # canonicalized row strings
