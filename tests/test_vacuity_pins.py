@@ -203,6 +203,45 @@ def test_contamination_flags_synthesized_shared_ngram(spark, tmp_path):
     assert 11 not in flagged, "clean doc must not be flagged"
 
 
+def test_contamination_handles_short_docs(spark, tmp_path):
+    """llm_contamination_ngram on docs with tokens < n (VERDICT r14
+    item 5 / next-round item 3): Spark's ``sequence(1, 0)`` is
+    DESCENDING, so an UNGUARDED 4-gram build would crash on short
+    docs via ``slice(t, 0, 4)``. The registered plan filters
+    ``size(t) >= 4`` before the transform (present since the key
+    landed, e585ca5) — this pin proves the guard holds on 1/2/3-token
+    and empty docs on BOTH the train and eval (doc_id % 97 == 0)
+    sides, with oracle parity, so a future refactor cannot
+    reintroduce the crash silently."""
+    corpus = tmp_path / "contam_short_corpus"
+    corpus.mkdir()
+    shared = "alpha beta gamma delta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 97, 194, 1, 2, 3, 4, 5, 6], dtype="int64"),
+            "text": [
+                "solo",                      # eval, 1 token
+                "two tokens",                # eval, 2 tokens
+                f"{shared} epsilon",          # eval, 5 tokens
+                "x",                          # train, 1 token
+                "x y",                        # train, 2 tokens
+                "x y z",                      # train, 3 tokens
+                shared,                       # train, exactly n tokens (hit)
+                f"pre {shared} post",         # train, hit
+                "",                           # empty text
+            ],
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": pd.array([0] * 9, dtype="int64"),
+        }
+    )
+    docs.to_parquet(corpus / "documents.parquet", index=False)
+
+    rows = _compare(spark, corpus, "llm_contamination_ngram")
+    flagged = {int(r[0].split(":")[1]) for r in rows}
+    assert flagged == {4, 5}, "only the >=4-token overlap docs flag"
+
+
 def test_theta_range_bands_on_synthesized_values(spark, tmp_path):
     """join_theta_range: which bands receive events depends entirely
     on the value distribution (2 rows on the stock corpus; 0 rows =
