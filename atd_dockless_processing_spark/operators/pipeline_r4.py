@@ -27,6 +27,8 @@ rest of the calendar derivation surface in ``functions/scalars.py``.)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -259,19 +261,43 @@ def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     never fires — then the ONE decimal→double cast and the identical
     IEEE tail run as before: bit-identical by integer identity.
 
+    PRECONDITIONS (load-bearing — r14 ADVICE): inputs must be
+    NON-NEGATIVE. The unit lift floor(x·1e4 + 0.5) matches decimal
+    HALF_UP only for x ≥ 0 (HALF_UP rounds away from zero; floor+0.5
+    rounds toward +∞), and the hi/lo reconstruction hi·2^32 + lo
+    assumes non-negative products — Spark's truncating ``div`` and
+    two's-complement ``& 0xffffffff`` both break it for negatives.
+    True for TPC-H qty/price by generator contract; a telemetry
+    corpus with signed values must use the decimal twin (below).
+
     Overflow bounds at ×100 (60M rows; qty ≤ 50 → ux ≤ 5e5, price ≤
-    105k → uy ≤ 1.05e9): per-row pyy = uy² ≤ 1.11e18 (8.4× long
-    margin); Σlo < rows·2^32 ≤ 2.6e17 (35×); Σhi ≤ 1.6e16 against
-    the decimal(17,0) cast (6×); Σuy ≤ 6.3e16 against decimal(17,0).
-    Binding bound: rows/group < ~2.3e8 for the decimal(18,0) Σlo
-    cast — 11× above ×100; past it, lift the products into
-    decimal(38,0) before summing (the twin's shape, exact.py's
-    documented promotion). Isolated-process ×100 A/B (fresh process
-    per form, 5 hot runs, 2 epochs): units 0.890/0.810 s vs decimal
-    3.873/4.163 s vs DuckDB 2.810/2.370 s — ~4.7× faster, 0.32–0.34×
-    vs the oracle (was 1.61×). The decimal power-sum form stays as
+    105k → uy ≤ 1.05e9), worst case per term: per-row pyy = uy² ≤
+    1.11e18 (8.4× long margin); Σlo < rows·2^32 vs decimal(18,0) →
+    rows/group < ~2.3e8; Σhi(yy) ≤ rows·uy²/2^32 ≈ rows·2.6e8 vs
+    decimal(17,0) → rows/group < ~3.9e8; Σuy ≤ rows·1.05e9 vs
+    decimal(18,0) → rows/group < ~9.5e8; Σux vs decimal(15,0) →
+    rows/group < ~2e9. Binding bound: the Σlo decimal(18,0) cast at
+    **rows/group < ~2.3e8** — 11× above ×100 (the suy/sux casts were
+    widened to 18,0/15,0 in r15 per ADVICE so the long sums, not
+    these casts, bind; the hi casts cannot widen past 17,0 without
+    pushing the reconstruction over precision 38). PAST the bound
+    this form is wrong-by-construction: Spark 4.1 ANSI throws on the
+    long-sum wrap (and with ANSI off it would silently corrupt), so
+    deployments at the stated 100 TB design point (~1e11 rows/flag)
+    must flip ``SPARK_GRAFT_CORR_COV_WIDE=1``, which swaps in the
+    decimal power-sum twin — identical output (equality-pinned), no
+    row bound, ~4.7× slower per ×100 A/B. The local default stays
+    the long-unit form (driver bench comparable; sf0.1/×100 are 11×+
+    under the bound).
+
+    Isolated-process ×100 A/B (fresh process per form, 5 hot runs, 2
+    epochs): units 0.890/0.810 s vs decimal 3.873/4.163 s vs DuckDB
+    2.810/2.370 s — ~4.7× faster, 0.32–0.34× vs the oracle (was
+    1.61×). The decimal power-sum form stays as
     ``_corr_cov_decimal_twin``, equality-pinned (driver corpus +
     synthesized edge corpus)."""
+    if os.environ.get("SPARK_GRAFT_CORR_COV_WIDE") == "1":
+        return _corr_cov_decimal_twin(spark, sf_dir)
     li = load(spark, sf_dir, "lineitem")
     ux = F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("long")
     uy = F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast("long")
@@ -307,8 +333,11 @@ def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _corr_tail(
         sums,
-        sx=(F.col("sux").cast("decimal(14,0)") * cent4).cast("double"),
-        sy=(F.col("suy").cast("decimal(17,0)") * cent4).cast("double"),
+        # r15 (ADVICE): widened from (14,0)/(17,0) so the Σlo cast —
+        # not these — is the binding bound; ×cent4 keeps precision
+        # ≤ 38 ((15,0)→(20,4), (18,0)→(23,4)).
+        sx=(F.col("sux").cast("decimal(15,0)") * cent4).cast("double"),
+        sy=(F.col("suy").cast("decimal(18,0)") * cent4).cast("double"),
         sxx=rec8("hxx", "lxx"),
         syy=rec8("hyy", "lyy"),
         sxy=rec8("hxy", "lxy"),
