@@ -88,6 +88,23 @@ EVIDENCE_INVALIDATED: dict[str, int] = {
     "llm_dedup_ngram": 13,
     "llm_dedup_clusters": 13,
     "llm_dedup_keep_list": 13,
+    # r15 (VERDICT r14 item 5): of the ten r14 registered-plan
+    # rewrites, the driver's r14 rotation independently hash-verified
+    # only evt_dau_wau_rolling and txt_repetition_filter; the other
+    # eight re-tier to the needy band so every r14 plan change earns
+    # a driver CORRECTNESS row on the NEW plan.
+    "llm_tfidf_topk": 14,
+    "evt_funnel": 14,
+    "evt_new_vs_returning": 14,
+    "agg_gini": 14,
+    "llm_rouge_overlap": 14,
+    "dq_pk_uniqueness": 14,
+    "geo_od_matrix": 14,
+    # r15: the long-unit form's sux/suy sum casts widened
+    # (14,0)/(17,0) -> (15,0)/(18,0) per r14 ADVICE — same values by
+    # construction, but the registered plan changed again, so its r14
+    # evidence (none) stays invalid through r15.
+    "agg_corr_cov": 15,
 }
 
 
