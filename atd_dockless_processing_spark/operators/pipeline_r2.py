@@ -11,7 +11,7 @@ empty at survey time, SURVEY §0 — no file:line cites possible).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash60, portable_hash60_sql
@@ -466,27 +466,62 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is why parity, not a rouge-sized gap, was the honest
     before-state). The quadratic form stays as
     ``_repetition_quadratic_twin``, equality-pinned (driver corpus +
-    synthesized run-edge corpus)."""
+    synthesized run-edge corpus).
+
+    r15 — the gram build's token split is HOISTED into its own
+    projection (see ``_repetition_g2_from``): the r14 form still
+    re-ran ``split(text, ' ')`` once per element inside the
+    interpreted transform lambda, which was most of the "~33 s ≈
+    DuckDB parity" constant (DuckDB materializes ``t`` once). The
+    twin keeps the inline build, so the pin witnesses the hoist."""
     m = _repetition_fracs_sorted(spark, sf_dir)
     return _repetition_tail(m)
 
 
+def _repetition_g2_from(tok_col: str) -> Column:
+    """Guarded word-2-gram build from an ALREADY-PROJECTED token
+    array column — the r15 split hoist (see llm_rouge_overlap: HOF
+    lambdas are interpreted, so the inline form's
+    ``element_at(split(text,' '), i)`` re-ran the full split per
+    element, O(n·len) char work per doc; projecting the split once
+    makes each access a bound-reference lookup). The INLINE build
+    below stays on the quadratic twin so the cross-form equality pin
+    witnesses the hoist as well as the run-length walk.
+
+    1-token guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]) and
+    element_at(..., 0) throws — DuckDB's generate_series(1, 0) is
+    empty, so short docs must yield an empty gram array here too
+    (r14d pin finding; the stock corpus min is 10 tokens, so this was
+    a latent crash)."""
+    return F.expr(
+        f"IF(size({tok_col}) < 2, CAST(array() AS ARRAY<STRING>),"
+        f" transform(sequence(1, size({tok_col}) - 1),"
+        f" i -> concat(element_at({tok_col}, i), ' ',"
+        f"             element_at({tok_col}, i + 1))))"
+    ).alias("g2")
+
+
+def _repetition_g2() -> Column:
+    """The pre-r15 INLINE word-2-gram build (split re-evaluated per
+    element inside the lambda) — kept ONLY for
+    ``_repetition_quadratic_twin`` so the equality pin covers the r15
+    hoist; registered code uses ``_repetition_g2_from``. Same guard
+    rationale as there."""
+    return F.expr(
+        "IF(size(split(text,' ')) < 2, CAST(array() AS ARRAY<STRING>),"
+        " transform(sequence(1, size(split(text,' ')) - 1),"
+        " i -> concat(element_at(split(text,' '), i), ' ',"
+        "             element_at(split(text,' '), i + 1))))"
+    ).alias("g2")
+
+
 def _repetition_fracs_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc (lang, dup2_frac, top2_frac) via the sorted run-length
-    walk."""
-    d = load(spark, sf_dir, "documents").select(
-        "lang",
-        # 1-token guard: sequence(1, 0) is DESCENDING in Spark
-        # ([1, 0]) and element_at(..., 0) throws — DuckDB's
-        # generate_series(1, 0) is empty, so short docs must yield an
-        # empty gram array here too (r14d pin finding; the stock
-        # corpus min is 10 tokens, so this was a latent crash)
-        F.expr(
-            "IF(size(split(text,' ')) < 2, CAST(array() AS ARRAY<STRING>),"
-            " transform(sequence(1, size(split(text,' ')) - 1),"
-            " i -> concat(element_at(split(text,' '), i), ' ',"
-            "             element_at(split(text,' '), i + 1))))"
-        ).alias("g2"),
+    walk over hoisted-split grams (r15)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.split("text", " ").alias("tok"))
+        .select("lang", _repetition_g2_from("tok"))
     )
     # one walk returns (best = max run length, nd = number of runs);
     # grams are never null (concat of split parts), so the x <=> prev
@@ -515,20 +550,7 @@ def _repetition_quadratic_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pre-r14 quadratic-HOF form, kept as the cross-form equality
     witness for the registered sorted run-length plan (isolated ×100
     epochs: quadratic 46.816/48.820 s vs sorted 33.897/32.900 s)."""
-    d = load(spark, sf_dir, "documents").select(
-        "lang",
-        # 1-token guard: sequence(1, 0) is DESCENDING in Spark
-        # ([1, 0]) and element_at(..., 0) throws — DuckDB's
-        # generate_series(1, 0) is empty, so short docs must yield an
-        # empty gram array here too (r14d pin finding; the stock
-        # corpus min is 10 tokens, so this was a latent crash)
-        F.expr(
-            "IF(size(split(text,' ')) < 2, CAST(array() AS ARRAY<STRING>),"
-            " transform(sequence(1, size(split(text,' ')) - 1),"
-            " i -> concat(element_at(split(text,' '), i), ' ',"
-            "             element_at(split(text,' '), i + 1))))"
-        ).alias("g2"),
-    )
+    d = load(spark, sf_dir, "documents").select("lang", _repetition_g2())
     n_g = F.size("g2").cast("double")
     ng = F.nullif(n_g, F.lit(0.0))  # same empty-gram NULL path
     dup2 = (n_g - F.size(F.array_distinct("g2")).cast("double")) / ng

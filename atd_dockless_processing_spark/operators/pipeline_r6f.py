@@ -201,14 +201,34 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lead(text) — 84 s, the double gram build dominates;
     scripts/ab_rouge_forms.py carries all four forms.)
 
+    r15 registered gram build — token split HOISTED out of the
+    lambda: higher-order functions are interpreted (no whole-stage
+    codegen, no cross-iteration subexpression elimination), so the
+    r14 form's ``split(text, ' ')[i]`` re-ran the FULL split once per
+    element access — O(n_tokens · len) char work per document, and
+    the real substance of what r14 measured as a "33 s pairing floor
+    shared with the oracle" (DuckDB materializes ``tok`` once; Spark
+    did not). Projecting ``tok = split(text, ' ')`` in its own Select
+    (CollapseProject keeps it: tok is referenced 4×, split is
+    non-cheap) makes every lambda access a bound-reference array
+    lookup. Gram-build-only isolated probe at ×100
+    (scripts/ab_gram_hoist.py, noop sink): inline 29.2 s vs hoisted
+    2.49 s vs DuckDB 2.28 s — 11.7× on the build term. Same strings
+    by construction (identical expression applied to the same split;
+    hash-identity verified over the full ×100 corpus), and the
+    quadratic twin below keeps the INLINE build, so the existing
+    cross-form pin witnesses the hoist too.
+
     Plan shape: bigrams built + sorted map-side per document (no
     corpus explode — the txt_ngram_topk sequence guard for 1-token
     docs); pairing is one lead() window on (source, doc_id); the
     merge is a per-pair linear HOF. At 100 TB against a FIXED
     reference set, the same scoring runs with the reference grams
     broadcast."""
-    g = load(spark, sf_dir, "documents").select(
-        "source", "doc_id", F.array_sort(_bigrams("text")).alias("gr")
+    g = (
+        load(spark, sf_dir, "documents")
+        .select("source", "doc_id", F.split("text", " ").alias("tok"))
+        .select("source", "doc_id", F.array_sort(_bigrams_from("tok")).alias("gr"))
     )
     w = Window.partitionBy("source").orderBy("doc_id")
     pairs = g.select(
@@ -252,10 +272,24 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bigrams(col: str):
-    """Map-side bigram array of a space-tokenized text column, empty
+def _bigrams_from(tok_col: str):
+    """Map-side bigram array from an ALREADY-PROJECTED token array
+    column (r15 split hoist — see llm_rouge_overlap docstring), empty
     (never NULL) for 0/1-token docs — the txt_ngram_topk sequence
     guard."""
+    return F.when(
+        F.size(tok_col) >= 2,
+        F.expr(
+            f"transform(sequence(0, size({tok_col}) - 2), "
+            f"i -> concat({tok_col}[i], ' ', {tok_col}[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _bigrams(col: str):
+    """The pre-r15 INLINE bigram build — ``split`` re-evaluated inside
+    the lambda (O(n·len) per doc; kept only for the quadratic twin so
+    the cross-form equality pin also witnesses the r15 hoist)."""
     return F.when(
         F.size(F.split(col, " ")) >= 2,
         F.expr(

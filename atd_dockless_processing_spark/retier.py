@@ -97,9 +97,13 @@ EVIDENCE_INVALIDATED: dict[str, int] = {
     "evt_funnel": 14,
     "evt_new_vs_returning": 14,
     "agg_gini": 14,
-    "llm_rouge_overlap": 14,
     "dq_pk_uniqueness": 14,
     "geo_od_matrix": 14,
+    # r15 split-hoist rewrites: registered gram builds changed again
+    # (llm_rouge_overlap was already unverified from r14; the
+    # txt_repetition_filter r14 row was earned by the pre-hoist plan)
+    "llm_rouge_overlap": 15,
+    "txt_repetition_filter": 15,
     # r15: the long-unit form's sux/suy sum casts widened
     # (14,0)/(17,0) -> (15,0)/(18,0) per r14 ADVICE — same values by
     # construction, but the registered plan changed again, so its r14

@@ -51,7 +51,7 @@ POINTERS = {
     "llm_dedup_simhash": "BASELINE dedup-family rows — 1.77/4.31/15.95 s at x1/x10/x100 on the suffixed corpus (sublinear steps)",
     "llm_kmeans_step": "BASELINE legacy sweep batch 4 — 0.84x at x100 (2M x 64d)",
     "llm_knn_join": "BASELINE legacy sweep 5 — 0.71x at x100 (Spark faster; staged norms + Arrow batch scoring)",
-    "llm_rouge_overlap": "| rouge overlap (50k doc pairs, clipped bigram intersection) | ×100 | duck 35.2–37.8 s | merge 37.6–37.8 s typical (58.0 s one outlier epoch) | **~1.0–1.1× (was 1.87×** — r14 sorted-merge scoring; quadratic twin same epochs 62.2–72.6 s) |",
+    "llm_rouge_overlap": "| rouge overlap (50k doc pairs, clipped bigram intersection) | ×100 | duck 30.9–34.0 s | hoisted 7.6–11.3 s | **0.25–0.33× (was ~1.0–1.1×** — r15 split hoist over the r14 sorted-merge scoring; r14 inline form same epochs 33.6/58.0 s) |",
     "llm_semdedup": "BASELINE round-6 de-weak — 0.24x at x10 (honest fixed-k config; Spark 4.2x faster)",
     "mm_image_embed_sim": "BASELINE round-6f — 0.12x at x100 (32-core Arrow decode beats the closed-form oracle 8x)",
     "set_intersect_all": "BASELINE legacy sweep 6 — 0.57x at x100 (Spark faster)",
